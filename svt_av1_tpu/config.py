@@ -1,0 +1,151 @@
+"""Encoder configuration.
+
+Mirrors the public configuration surface of the reference encoder
+(``EbSvtAv1Enc.h:34-377`` ``EbSvtAv1EncConfiguration``), re-expressed as a
+typed Python dataclass.  Fields that the TPU build does not implement yet
+are present (API parity) and validated, but raise ``NotImplementedError``
+when enabled, so users get a clear signal instead of silent wrong output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# --- enums (ref: EbSvtAv1Enc.h / EbDefinitions.h) ---------------------------
+
+RC_MODE_CQP = 0       # constant QP             (ref rate_control_mode=0)
+RC_MODE_VBR = 2       # variable bitrate        (ref rate_control_mode=2)
+RC_MODE_CVBR = 3      # constrained VBR         (ref rate_control_mode=3)
+
+PRED_STRUCT_LOW_DELAY_P = 0   # ref EB_PRED_LOW_DELAY_P
+PRED_STRUCT_LOW_DELAY_B = 1   # ref EB_PRED_LOW_DELAY_B
+PRED_STRUCT_RANDOM_ACCESS = 2  # ref EB_PRED_RANDOM_ACCESS
+
+INTRA_PERIOD_INTRA_ONLY = -2  # every frame is a keyframe
+
+_SUPPORTED_PRESETS = tuple(range(9))  # enc_mode 0..8, ref user guide :126
+
+
+@dataclass
+class EncoderConfig:
+    """Full encoder configuration (ref ``EbSvtAv1EncConfiguration``)."""
+
+    # --- input geometry (ref EbSvtAv1Enc.h:96-135) ---
+    width: int = 0
+    height: int = 0
+    bit_depth: int = 8                # 8 or 10 (ref encoder_bit_depth)
+    color_format: str = "yuv420"      # only 4:2:0, like the reference
+    frame_rate_num: int = 30
+    frame_rate_den: int = 1
+
+    # --- coding structure (ref :136-180) ---
+    enc_mode: int = 8                 # preset 0(quality)..8(speed)
+    intra_period: int = INTRA_PERIOD_INTRA_ONLY  # -2: intra-only, -1: first only
+    pred_structure: int = PRED_STRUCT_RANDOM_ACCESS
+    hierarchical_levels: int = 3      # mini-GOP 2^n (ref :141)
+    super_block_size: int = 64        # 64 or 128 (ref :135)
+    look_ahead_distance: int = 0      # 0..120 (ref :160)
+
+    # --- rate control (ref :200-260) ---
+    rate_control_mode: int = RC_MODE_CQP
+    qp: int = 50                      # 0..63 quantizer index base (ref qp)
+    target_bit_rate: int = 0
+    min_qp_allowed: int = 0
+    max_qp_allowed: int = 63
+    enable_adaptive_quantization: bool = False
+
+    # --- AV1 tools (ref :260-345) ---
+    tile_columns_log2: int = 0
+    tile_rows_log2: int = 0
+    enable_deblocking: bool = False   # round 1: off (signaled level 0)
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    enable_film_grain: bool = False
+    screen_content_mode: int = 0
+    enable_warped_motion: bool = False
+    disable_cdf_update: bool = False  # keep per-symbol CDF adaptation on
+
+    # --- TPU build specific ---
+    fixed_partition_size: int = 0     # 0 = adaptive partition RDO;
+                                      # 8/16/32/64 = force uniform partition
+    intra_modes: Tuple[str, ...] = ("DC", "V", "H", "SMOOTH", "PAETH")
+    use_pallas: bool = True           # Pallas kernels where available
+    entropy_backend: str = "auto"     # "auto" | "cpp" | "python"
+
+    # --- observability (ref stat_report EbSvtAv1Enc.h:343) ---
+    stat_report: bool = False
+
+    # --- multi-host (ref channel_id / active_channel_count :292) ---
+    num_gop_shards: int = 1           # GOPs sharded across hosts/devices
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    # -- validation mirrors eb_svt_enc_set_parameter's checks ----------------
+    def validate(self) -> None:
+        if not (64 <= self.width <= 4096) or not (64 <= self.height <= 2304):
+            if self.width or self.height:  # allow zero-init then set
+                raise ValueError(
+                    f"resolution {self.width}x{self.height} outside 64x64..4096x2304"
+                )
+        if self.bit_depth not in (8, 10):
+            raise ValueError("bit_depth must be 8 or 10")
+        if self.color_format != "yuv420":
+            raise ValueError("only yuv420 is supported (as in the reference)")
+        if self.enc_mode not in _SUPPORTED_PRESETS:
+            raise ValueError("enc_mode (preset) must be 0..8")
+        if not (0 <= self.qp <= 63):
+            raise ValueError("qp must be 0..63")
+        if self.super_block_size not in (64, 128):
+            raise ValueError("super_block_size must be 64 or 128")
+        if self.fixed_partition_size not in (0, 8, 16, 32, 64):
+            raise ValueError("fixed_partition_size must be 0/8/16/32/64")
+        # round-1 capability gates — explicit, not silent
+        unimplemented = {
+            "rate_control_mode!=CQP": self.rate_control_mode != RC_MODE_CQP,
+            "bit_depth=10": self.bit_depth == 10,
+            "super_block_size=128": self.super_block_size == 128,
+            "enable_cdef": self.enable_cdef,
+            "enable_restoration": self.enable_restoration,
+            "enable_film_grain": self.enable_film_grain,
+            "enable_warped_motion": self.enable_warped_motion,
+            "enable_deblocking": self.enable_deblocking,
+            "screen_content_mode": bool(self.screen_content_mode),
+            "adaptive_quantization": self.enable_adaptive_quantization,
+        }
+        enabled = [k for k, v in unimplemented.items() if v]
+        if enabled:
+            raise NotImplementedError(
+                f"not yet implemented in the TPU build: {', '.join(enabled)}"
+            )
+
+    # -- derived geometry -----------------------------------------------------
+    @property
+    def sb_size(self) -> int:
+        return self.super_block_size
+
+    @property
+    def sb_cols(self) -> int:
+        return (self.width + self.sb_size - 1) // self.sb_size
+
+    @property
+    def sb_rows(self) -> int:
+        return (self.height + self.sb_size - 1) // self.sb_size
+
+    @property
+    def mi_cols(self) -> int:
+        """4x4 mode-info columns (AV1 spec: 2*ceil(w/8))."""
+        return 2 * ((self.width + 7) >> 3)
+
+    @property
+    def mi_rows(self) -> int:
+        return 2 * ((self.height + 7) >> 3)
+
+    @property
+    def intra_only(self) -> bool:
+        return self.intra_period == INTRA_PERIOD_INTRA_ONLY
+
+    def replace(self, **kw) -> "EncoderConfig":
+        return dataclasses.replace(self, **kw)

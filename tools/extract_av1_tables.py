@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Extract normative AV1-specification constant tables into a binary .npz.
+
+The AV1 bitstream specification (AoM, "AV1 Bitstream & Decoding Process
+Specification") normatively defines large constant tables — default symbol
+CDFs (spec §, Default CDF tables) and quantizer step lookup tables (spec
+§7.12.2 dc_q/ac_q).  Every conformant AV1 codec ships bit-identical values.
+
+This script reads those *numeric constants* out of the reference snapshot's
+data files (EbCabacContextModel.c, EbModeDecisionConfigurationProcess.c —
+themselves copies of the spec tables) and stores them as plain numpy arrays
+in ``svt_av1_tpu/tables/data/av1_tables.npz``.  Only data is extracted; all
+code in this repository that consumes the tables is original.
+
+CDF representation convention in the .npz:
+  * arrays are uint16 with trailing axis = max_symbols
+  * entry [..., i] is the *cumulative* probability Q15 of symbols <= i
+    (the AOM_CDFn macro arguments, with the implicit final 32768 included)
+  * contexts with fewer than max_symbols valid symbols are padded with 32768
+  * adaptation counters are NOT stored (runtime model initializes to 0)
+
+Run:  python tools/extract_av1_tables.py [--reference /root/reference]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+# (c_table_name, leading_shape, max_nsym)
+CDF_MANIFEST = [
+    ("default_kf_y_mode_cdf", (5, 5), 13),
+    ("default_angle_delta_cdf", (8,), 7),
+    ("default_uv_mode_cdf", (2, 13), 14),
+    ("default_partition_cdf", (20,), 10),
+    ("default_skip_cdfs", (3,), 2),
+    ("default_intra_ext_tx_cdf", (3, 4, 13), 16),
+    ("default_inter_ext_tx_cdf", (4, 4), 16),
+    ("default_tx_size_cdf", (4, 3), 3),
+    ("default_delta_q_cdf", (1,), 4),
+    ("default_filter_intra_mode_cdf", (1,), 5),
+    ("default_filter_intra_cdfs", (22,), 2),  # BlockSizes in this snapshot
+    ("default_intrabc_cdf", (1,), 2),
+    ("default_cfl_sign_cdf", (1,), 8),
+    ("default_cfl_alpha_cdf", (6,), 16),
+    # coefficient coding families (q-context dependent, TOKEN_CDF_Q_CTXS=4)
+    ("av1_default_dc_sign_cdfs", (4, 2, 3), 2),
+    ("av1_default_txb_skip_cdfs", (4, 5, 13), 2),
+    ("av1_default_eob_extra_cdfs", (4, 5, 2, 22), 2),
+    ("av1_default_eob_multi16_cdfs", (4, 2, 2), 5),
+    ("av1_default_eob_multi32_cdfs", (4, 2, 2), 6),
+    ("av1_default_eob_multi64_cdfs", (4, 2, 2), 7),
+    ("av1_default_eob_multi128_cdfs", (4, 2, 2), 8),
+    ("av1_default_eob_multi256_cdfs", (4, 2, 2), 9),
+    ("av1_default_eob_multi512_cdfs", (4, 2, 2), 10),
+    ("av1_default_eob_multi1024_cdfs", (4, 2, 2), 11),
+    ("av1_default_coeff_lps_multi_cdfs", (4, 5, 2, 21), 4),
+    ("av1_default_coeff_base_multi_cdfs", (4, 5, 2, 42), 4),
+    ("av1_default_coeff_base_eob_multi_cdfs", (4, 5, 2, 4), 3),
+]
+
+# plain int16 tables: (c_name, out_name, length)
+QLOOKUP_MANIFEST = [
+    ("dc_qlookup_Q3", "dc_qlookup_8", 256),
+    ("dc_qlookup_10_Q3", "dc_qlookup_10", 256),
+    ("dc_qlookup_12_Q3", "dc_qlookup_12", 256),
+    ("ac_qlookup_Q3", "ac_qlookup_8", 256),
+    ("ac_qlookup_10_Q3", "ac_qlookup_10", 256),
+    ("ac_qlookup_12_Q3", "ac_qlookup_12", 256),
+]
+
+_CDF_OR_ZERO = re.compile(r"AOM_CDF(\d+)\s*\(([^)]*)\)|\{\s*0\s*\}", re.S)
+
+
+def _table_block(text: str, name: str) -> str:
+    """Return the initializer text of `name[...] = { ... };`."""
+    m = re.search(re.escape(name) + r"\s*\[", text)
+    if not m:
+        raise KeyError(f"table {name} not found")
+    eq = text.index("=", m.end())
+    start = text.index("{", eq)
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start : i + 1]
+    raise ValueError(f"unbalanced braces in {name}")
+
+
+def parse_cdf_table(text: str, name: str, shape, nsym: int) -> np.ndarray:
+    block = _table_block(text, name)
+    records = []
+    for m in _CDF_OR_ZERO.finditer(block):
+        if m.group(1) is None:  # "{ 0 }" placeholder (unused context)
+            records.append([32768] * nsym)
+            continue
+        k = int(m.group(1))
+        def _ev(tok: str) -> int:  # plain int or "a * b" product (dc_sign tables)
+            parts = [int(p) for p in tok.split("*")]
+            v = 1
+            for p in parts:
+                v *= p
+            return v
+
+        vals = [_ev(v) for v in m.group(2).replace("\n", " ").split(",") if v.strip()]
+        assert len(vals) == k - 1, (name, k, vals)
+        cum = vals + [32768] * (nsym - len(vals))
+        assert all(0 < c <= 32768 for c in cum), (name, cum)
+        assert all(a < b for a, b in zip(vals, vals[1:])), (name, vals)
+        records.append(cum)
+    want = int(np.prod(shape))
+    if len(records) != want:
+        raise ValueError(f"{name}: parsed {len(records)} cdfs, expected {want}")
+    return np.array(records, dtype=np.uint16).reshape(*shape, nsym)
+
+
+def parse_int_table(text: str, name: str, length: int) -> np.ndarray:
+    block = _table_block(text, name)
+    vals = [int(v) for v in re.findall(r"-?\d+", block)]
+    if len(vals) != length:
+        raise ValueError(f"{name}: parsed {len(vals)} ints, expected {length}")
+    return np.array(vals, dtype=np.int32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument(
+        "--out",
+        default=str(Path(__file__).resolve().parents[1]
+                    / "svt_av1_tpu/tables/data/av1_tables.npz"),
+    )
+    args = ap.parse_args()
+
+    ref = Path(args.reference)
+    cabac = (ref / "Source/Lib/Common/Codec/EbCabacContextModel.c").read_text()
+    mdconf = (
+        ref / "Source/Lib/Common/Codec/EbModeDecisionConfigurationProcess.c"
+    ).read_text()
+
+    out = {}
+    for name, shape, nsym in CDF_MANIFEST:
+        out[name] = parse_cdf_table(cabac, name, shape, nsym)
+        print(f"  {name}: {out[name].shape}")
+    for cname, oname, length in QLOOKUP_MANIFEST:
+        out[oname] = parse_int_table(mdconf, cname, length)
+        print(f"  {oname}: {out[oname].shape}")
+
+    outp = Path(args.out)
+    outp.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(outp, **out)
+    print(f"wrote {outp} ({outp.stat().st_size} bytes)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
