@@ -1,0 +1,629 @@
+"""AV1 symbol layer: partition / mode-info / coefficient syntax + contexts.
+
+ONE module implements both the encoder and the mirror decoder for every
+syntax element, with paired ``write_*`` / ``read_*`` methods sharing all
+context derivation — symmetry by construction.
+
+Reference parity (behavioral): EbEntropyCoding.c write_sb stack —
+EncodePartitionAv1 (:934), EncodeSkipCoeffAv1 (:1016), intra mode writers
+(:1080+), Av1WriteCoeffsTxb1D (:496) with GetTxbCtx (:327), GetBrCtx
+(:285), nz-map contexts (encodetxb_sse2.c:470), golomb (:187),
+eob tokens (:203-236).  Context model state mirrors EbNeighborArrays.c.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from svt_av1_tpu.tables import default_scan
+from svt_av1_tpu.entropy.cdf_model import FrameContext, update_icdf
+from svt_av1_tpu.ops.transforms import TX_H, TX_W
+
+# --- intra modes (AV1 enum order) -------------------------------------------
+DC_PRED, V_PRED, H_PRED = 0, 1, 2
+D45_PRED, D135_PRED, D113_PRED, D157_PRED, D203_PRED, D67_PRED = 3, 4, 5, 6, 7, 8
+SMOOTH_PRED, SMOOTH_V_PRED, SMOOTH_H_PRED, PAETH_PRED = 9, 10, 11, 12
+INTRA_MODES = 13
+UV_CFL_PRED = 13
+MAX_ANGLE_DELTA = 3
+
+# spec Intra_Mode_Context (ref EbDefinitions.h:1213)
+INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
+
+# --- partitions ---------------------------------------------------------------
+PARTITION_NONE, PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT = 0, 1, 2, 3
+PARTITION_HORZ_A, PARTITION_HORZ_B, PARTITION_VERT_A, PARTITION_VERT_B = 4, 5, 6, 7
+PARTITION_HORZ_4, PARTITION_VERT_4 = 8, 9
+
+# --- block sizes (AV1 enum order, (w4, h4) in 4x4 units) ----------------------
+BLOCK_DIMS = [
+    (1, 1), (1, 2), (2, 1), (2, 2), (2, 4), (4, 2), (4, 4), (4, 8), (8, 4),
+    (8, 8), (8, 16), (16, 8), (16, 16), (16, 32), (32, 16), (32, 32),
+    (1, 4), (4, 1), (2, 8), (8, 2), (4, 16), (16, 4),
+]
+BLOCK_4X4, BLOCK_8X8, BLOCK_16X16, BLOCK_32X32, BLOCK_64X64 = 0, 3, 6, 9, 12
+BLOCK_128X128 = 15
+
+
+def block_size_of(w4: int, h4: int) -> int:
+    return BLOCK_DIMS.index((w4, h4))
+
+
+# --- tx classes ---------------------------------------------------------------
+TX_CLASS_2D, TX_CLASS_HORIZ, TX_CLASS_VERT = 0, 1, 2
+
+
+def tx_class_of(tx_type: int) -> int:
+    if tx_type in (10, 12, 14):   # V_DCT, V_ADST, V_FLIPADST
+        return TX_CLASS_VERT
+    if tx_type in (11, 13, 15):   # H_DCT, H_ADST, H_FLIPADST
+        return TX_CLASS_HORIZ
+    return TX_CLASS_2D
+
+
+# tx size helper tables (spec)
+def _sqr_idx(n: int) -> int:
+    return {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}[n]
+
+
+def txsize_sqr(tx_size: int) -> int:
+    return _sqr_idx(min(TX_W[tx_size], TX_H[tx_size]))
+
+
+def txsize_sqr_up(tx_size: int) -> int:
+    return _sqr_idx(max(TX_W[tx_size], TX_H[tx_size]))
+
+
+def tx_size_ctx(tx_size: int) -> int:
+    """txs_ctx = (sqr + sqr_up + 1) >> 1 (ref Av1WriteCoeffsTxb1D)."""
+    return (txsize_sqr(tx_size) + txsize_sqr_up(tx_size) + 1) >> 1
+
+
+def adjusted_dims(tx_size: int) -> tuple[int, int]:
+    """Coded coefficient area (spec Adjusted_Tx_Size: dim-64 -> 32)."""
+    return min(TX_W[tx_size], 32), min(TX_H[tx_size], 32)
+
+
+# --- ext-tx sets (spec; ref EbDefinitions.h:1460-1510) ------------------------
+EXT_TX_SET_DCTONLY, EXT_TX_SET_DCT_IDTX, EXT_TX_SET_DTT4_IDTX = 0, 1, 2
+EXT_TX_SET_DTT4_IDTX_1DDCT, EXT_TX_SET_DTT9_IDTX_1DDCT, EXT_TX_SET_ALL16 = 3, 4, 5
+NUM_EXT_TX_SET = [1, 2, 5, 7, 12, 16]
+# symbol index of each tx type within each set (spec inverse mapping)
+EXT_TX_IND = [
+    [0] * 16,
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [1, 3, 4, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [1, 5, 6, 4, 0, 0, 0, 0, 0, 0, 2, 3, 0, 0, 0, 0],
+    [3, 4, 5, 8, 6, 7, 9, 10, 11, 0, 1, 2, 0, 0, 0, 0],
+    [7, 8, 9, 12, 10, 11, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6],
+]
+# inverse: symbol -> tx type (spec av1_ext_tx_inv)
+EXT_TX_INV = [
+    [0] * 16,
+    [9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 0, 10, 11, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 10, 11, 0, 1, 2, 4, 5, 3, 6, 7, 8, 0, 0, 0, 0],
+    [9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 4, 5, 3, 6, 7, 8],
+]
+EXT_TX_SET_TO_INTRA_ESET = {EXT_TX_SET_DTT4_IDTX_1DDCT: 1, EXT_TX_SET_DTT4_IDTX: 2}
+
+
+def scan_for(w: int, h: int, tx_class: int) -> np.ndarray:
+    """Scan order per tx class (ref av1_scan_orders: 2D/IDTX -> default
+    zig-zag, V_* -> mrow/raster, H_* -> mcol/column-major)."""
+    if tx_class == TX_CLASS_2D:
+        return default_scan(h, w)
+    if tx_class == TX_CLASS_VERT:
+        return np.arange(w * h, dtype=np.int32)
+    return np.ascontiguousarray(
+        np.arange(w * h, dtype=np.int32).reshape(h, w).T.ravel())
+
+
+def intra_tx_set_type(tx_size: int, reduced_tx_set: bool) -> int:
+    squp = txsize_sqr_up(tx_size)
+    if squp > 3:
+        return EXT_TX_SET_DCTONLY
+    if squp == 3:
+        return EXT_TX_SET_DCTONLY
+    if reduced_tx_set:
+        return EXT_TX_SET_DTT4_IDTX
+    return (EXT_TX_SET_DTT4_IDTX if txsize_sqr(tx_size) == 2
+            else EXT_TX_SET_DTT4_IDTX_1DDCT)
+
+
+# --- eob grouping (ref EbEntropyCoding.c:187-236) -----------------------------
+EOB_GROUP_START = [0, 1, 2, 3, 5, 9, 17, 33, 65, 129, 257, 513]
+EOB_OFFSET_BITS = [0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def eob_pos_token(eob: int) -> tuple[int, int]:
+    """(eobPt, extra): group token and offset within the group."""
+    assert eob >= 1
+    if eob < 3:
+        t = eob
+    else:
+        t = (eob - 1).bit_length() + 1  # eob in (2^(t-2), 2^(t-1)]
+    return t, eob - EOB_GROUP_START[t]
+
+
+# --- nz-map context offsets (spec rule; ref av1_nz_map_ctx_offset data) -------
+def nz_map_ctx_offset(w: int, h: int) -> np.ndarray:
+    """[h, w] int8 2-D-class base-context offsets for (adjusted) dims."""
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    if w < h:        # tall
+        off = np.where(r < 2, 11, np.where(r + c < 4, 6, 21))
+    elif w > h:      # wide
+        off = np.where(c < 2, 16, np.where(r + c < 4, 6, 21))
+    else:
+        off = np.where(r + c < 2, 1, np.where(r + c < 4, 6, 21))
+    off[0, 0] = 0
+    return off.astype(np.int8)
+
+
+TX_PAD_HOR = 4
+TX_PAD_TOP, TX_PAD_BOTTOM = 2, 4
+
+
+def padded_levels(levels2d: np.ndarray) -> np.ndarray:
+    """uint8 |level| buffer with the spec's padding halo for ctx gathers."""
+    h, w = levels2d.shape
+    buf = np.zeros((h + TX_PAD_TOP + TX_PAD_BOTTOM, w + TX_PAD_HOR), np.uint8)
+    buf[TX_PAD_TOP : TX_PAD_TOP + h, :w] = np.minimum(np.abs(levels2d), 127)
+    return buf
+
+
+def _nz_neighbors(lv: np.ndarray, tx_class: int):
+    """5 base-ctx neighbor planes from the padded buffer (top pad removed)."""
+    h = lv.shape[0] - TX_PAD_TOP - TX_PAD_BOTTOM
+    w = lv.shape[1] - TX_PAD_HOR
+    p = lv[TX_PAD_TOP:, :]
+
+    def at(dr, dc):
+        return p[dr : dr + h, dc : dc + w]
+
+    if tx_class == TX_CLASS_2D:
+        offs = [(0, 1), (1, 0), (0, 2), (1, 1), (2, 0)]
+    elif tx_class == TX_CLASS_HORIZ:
+        offs = [(0, 1), (1, 0), (0, 2), (0, 3), (0, 4)]
+    else:
+        offs = [(0, 1), (1, 0), (2, 0), (3, 0), (4, 0)]
+    return [at(*o) for o in offs]
+
+
+def base_ctx_grid(lv_padded: np.ndarray, tx_class: int) -> np.ndarray:
+    """coeff_base contexts for every position ([h, w]); eob position is
+    overridden by the caller (ref av1_get_nz_map_contexts)."""
+    h = lv_padded.shape[0] - TX_PAD_TOP - TX_PAD_BOTTOM
+    w = lv_padded.shape[1] - TX_PAD_HOR
+    nbr = _nz_neighbors(lv_padded, tx_class)
+    mag = sum(np.minimum(n.astype(np.int32), 3) for n in nbr)
+    count = np.minimum((mag + 1) >> 1, 4)
+    if tx_class == TX_CLASS_2D:
+        return (count + nz_map_ctx_offset(w, h)).astype(np.int32)
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    band = np.minimum(c if tx_class == TX_CLASS_HORIZ else r, 2)
+    return (count + 26 + 5 * band).astype(np.int32)
+
+
+def br_ctx_grid(lv_padded: np.ndarray, tx_class: int) -> np.ndarray:
+    """coeff_br contexts for every position (ref GetBrCtx)."""
+    h = lv_padded.shape[0] - TX_PAD_TOP - TX_PAD_BOTTOM
+    w = lv_padded.shape[1] - TX_PAD_HOR
+    p = lv_padded[TX_PAD_TOP:, :]
+
+    def at(dr, dc):
+        return p[dr : dr + h, dc : dc + w].astype(np.int32)
+
+    mag = at(0, 1) + at(1, 0)
+    if tx_class == TX_CLASS_2D:
+        mag += at(1, 1)
+    elif tx_class == TX_CLASS_HORIZ:
+        mag += at(0, 2)
+    else:
+        mag += at(2, 0)
+    mag = np.minimum((mag + 1) >> 1, 6)
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    if tx_class == TX_CLASS_2D:
+        near = (r < 2) & (c < 2)
+    elif tx_class == TX_CLASS_HORIZ:
+        near = c == 0
+    else:
+        near = r == 0
+    ctx = mag + np.where(near, 7, 14)
+    ctx[0, 0] = mag[0, 0]
+    return ctx
+
+
+def eob_base_ctx(c: int, area: int) -> int:
+    """coeff_base_eob context for scan index c (ref encodetxb_sse2.c:549)."""
+    if c == 0:
+        return 0
+    if c <= area // 8:
+        return 1
+    if c <= area // 4:
+        return 2
+    return 3
+
+
+def _br_ctx_at(lv_padded: np.ndarray, row: int, col: int, tx_class: int) -> int:
+    """Single-position br ctx (decoder side, partial levels)."""
+    p = lv_padded[TX_PAD_TOP:, :]
+    mag = int(p[row, col + 1]) + int(p[row + 1, col])
+    if tx_class == TX_CLASS_2D:
+        mag += int(p[row + 1, col + 1])
+        near = row < 2 and col < 2
+    elif tx_class == TX_CLASS_HORIZ:
+        mag += int(p[row, col + 2])
+        near = col == 0
+    else:
+        mag += int(p[row + 2, col])
+        near = row == 0
+    mag = min((mag + 1) >> 1, 6)
+    if row == 0 and col == 0:
+        return mag
+    return mag + (7 if near else 14)
+
+
+def _base_ctx_at(lv_padded: np.ndarray, row: int, col: int, w: int, h: int,
+                 tx_class: int) -> int:
+    p = lv_padded[TX_PAD_TOP:, :]
+    if tx_class == TX_CLASS_2D:
+        offs = [(0, 1), (1, 0), (0, 2), (1, 1), (2, 0)]
+    elif tx_class == TX_CLASS_HORIZ:
+        offs = [(0, 1), (1, 0), (0, 2), (0, 3), (0, 4)]
+    else:
+        offs = [(0, 1), (1, 0), (2, 0), (3, 0), (4, 0)]
+    mag = sum(min(int(p[row + dr, col + dc]), 3) for dr, dc in offs)
+    count = min((mag + 1) >> 1, 4)
+    if tx_class == TX_CLASS_2D:
+        if row == 0 and col == 0:
+            return count
+        if w < h:
+            off = 11 if row < 2 else (6 if row + col < 4 else 21)
+        elif w > h:
+            off = 16 if col < 2 else (6 if row + col < 4 else 21)
+        else:
+            off = 1 if row + col < 2 else (6 if row + col < 4 else 21)
+        return count + off
+    band = min(col if tx_class == TX_CLASS_HORIZ else row, 2)
+    return count + 26 + 5 * band
+
+
+# =============================================================================
+# Tile context model (neighbor state; ref EbNeighborArrays.c usage)
+# =============================================================================
+
+@dataclass
+class TileContexts:
+    mi_rows: int
+    mi_cols: int
+    # per-4x4 grids (luma/mi coordinates)
+    mi_sizes: np.ndarray = field(init=False)   # block size enum per 4x4
+    y_modes: np.ndarray = field(init=False)
+    skips: np.ndarray = field(init=False)
+    avail_u: np.ndarray = field(init=False)    # derived per access
+    part_above: np.ndarray = field(init=False)  # 32 - w4 of coded block
+    part_left: np.ndarray = field(init=False)
+    # per-plane coefficient contexts: culLevel | dcCat<<6 per plane-4x4 unit
+    lvl_above: list = field(init=False)
+    lvl_left: list = field(init=False)
+
+    def __post_init__(self):
+        mr, mc = self.mi_rows, self.mi_cols
+        self.mi_sizes = np.full((mr, mc), -1, np.int8)
+        self.y_modes = np.zeros((mr, mc), np.int8)  # DC default for ctx
+        self.skips = np.zeros((mr, mc), np.int8)
+        self.part_above = np.zeros(mc, np.uint8)
+        self.part_left = np.zeros(mr, np.uint8)
+        cr, cc = (mr + 1) >> 1, (mc + 1) >> 1
+        self.lvl_above = [np.zeros(mc, np.uint8), np.zeros(cc, np.uint8),
+                          np.zeros(cc, np.uint8)]
+        self.lvl_left = [np.zeros(mr, np.uint8), np.zeros(cr, np.uint8),
+                         np.zeros(cr, np.uint8)]
+
+    # -- partition ctx (ref EncodePartitionAv1) --------------------------------
+    def partition_ctx(self, r: int, c: int, bsl: int) -> int:
+        above = (int(self.part_above[c]) >> bsl) & 1
+        left = (int(self.part_left[r]) >> bsl) & 1
+        return (left * 2 + above) + bsl * 4
+
+    def update_partition(self, r: int, c: int, w4: int, h4: int) -> None:
+        self.part_above[c : c + w4] = 32 - w4
+        self.part_left[r : r + h4] = 32 - h4
+
+    # -- skip ctx ---------------------------------------------------------------
+    def skip_ctx(self, r: int, c: int) -> int:
+        above = int(self.skips[r - 1, c]) if r > 0 else 0
+        left = int(self.skips[r, c - 1]) if c > 0 else 0
+        return above + left
+
+    # -- kf y mode ctx ----------------------------------------------------------
+    def kf_y_ctx(self, r: int, c: int) -> tuple[int, int]:
+        above = int(self.y_modes[r - 1, c]) if r > 0 else DC_PRED
+        left = int(self.y_modes[r, c - 1]) if c > 0 else DC_PRED
+        return INTRA_MODE_CONTEXT[above], INTRA_MODE_CONTEXT[left]
+
+    def set_block(self, r: int, c: int, w4: int, h4: int, bsize: int,
+                  y_mode: int, skip: int) -> None:
+        self.mi_sizes[r : r + h4, c : c + w4] = bsize
+        self.y_modes[r : r + h4, c : c + w4] = y_mode
+        self.skips[r : r + h4, c : c + w4] = skip
+        self.update_partition(r, c, w4, h4)
+
+    # -- coefficient contexts (ref GetTxbCtx) -----------------------------------
+    _SKIP_CTX_TABLE = np.array(
+        [[1, 2, 2, 2, 3], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5],
+         [1, 4, 4, 4, 5], [1, 4, 4, 4, 6]], np.int32)
+
+    def txb_ctx(self, plane: int, pr: int, pc: int, w4: int, h4: int,
+                full_block_tx: bool, larger_block: bool) -> tuple[int, int]:
+        """(txb_skip_ctx, dc_sign_ctx) at plane-4x4 position (pr, pc)."""
+        above = self.lvl_above[plane][pc : pc + w4].astype(np.int32)
+        left = self.lvl_left[plane][pr : pr + h4].astype(np.int32)
+        have_above = pr > 0
+        have_left = pc > 0
+        # dc sign: categories in bits 6+: 1 = negative, 2 = positive
+        signs = np.array([0, -1, 1])
+        dc_sign = 0
+        if have_above:
+            dc_sign += int(signs[above >> 6].sum())
+        if have_left:
+            dc_sign += int(signs[left >> 6].sum())
+        dc_ctx = 2 if dc_sign > 0 else (1 if dc_sign < 0 else 0)
+
+        if plane == 0:
+            if full_block_tx:
+                return 0, dc_ctx
+            top = int(np.bitwise_or.reduce(above)) & 63 if have_above else 0
+            lft = int(np.bitwise_or.reduce(left)) & 63 if have_left else 0
+            mx = min(top | lft, 4)
+            mn = min(min(top, lft), 4)
+            return int(self._SKIP_CTX_TABLE[mn, mx]), dc_ctx
+        top_nz = int((above != 0).sum()) if have_above else 0
+        left_nz = int((left != 0).sum()) if have_left else 0
+        base = (top_nz != 0) + (left_nz != 0)
+        return base + (10 if larger_block else 7), dc_ctx
+
+    def set_txb(self, plane: int, pr: int, pc: int, w4: int, h4: int,
+                cul_level: int) -> None:
+        self.lvl_above[plane][pc : pc + w4] = cul_level
+        self.lvl_left[plane][pr : pr + h4] = cul_level
+
+
+def cul_level_of(levels2d: np.ndarray) -> int:
+    """min(63, sum|level|) | dcSignCategory << 6 (ref set_dc_sign)."""
+    cul = int(min(63, np.abs(levels2d.astype(np.int64)).sum()))
+    dc = int(levels2d.flat[0])
+    if dc < 0:
+        cul |= 1 << 6
+    elif dc > 0:
+        cul += 2 << 6
+    return cul
+
+
+# =============================================================================
+# Coefficient codec (paired write/read; ref Av1WriteCoeffsTxb1D)
+# =============================================================================
+
+def write_coeffs_txb(enc, fc: FrameContext, levels2d: np.ndarray, tx_size: int,
+                     plane_type: int, tx_type: int, txb_skip_ctx: int,
+                     dc_sign_ctx: int, *, write_tx_type: bool = False,
+                     y_mode: int = 0, reduced_tx_set: bool = True,
+                     allow_tx_type: bool = True) -> int:
+    """Write one transform block's coefficients; returns cul_level word."""
+    w, h = adjusted_dims(tx_size)
+    txs_ctx = tx_size_ctx(tx_size)
+    tx_class = tx_class_of(tx_type)
+    scan = scan_for(w, h, tx_class)
+    flat = levels2d.reshape(-1)
+    nz = np.nonzero(flat[scan])[0]
+    eob = int(nz[-1]) + 1 if nz.size else 0
+
+    cdf = fc.txb_skip[txs_ctx][txb_skip_ctx]
+    enc.encode_symbol(int(eob == 0), cdf, 2)
+    update_icdf(cdf, int(eob == 0), 2)
+    if eob == 0:
+        return 0
+
+    if write_tx_type and plane_type == 0:
+        _code_tx_type(enc, None, fc, tx_size, tx_type, y_mode, reduced_tx_set,
+                      allow_tx_type)
+
+    # eob position token
+    eob_pt, extra = eob_pos_token(eob)
+    ms = (w * h).bit_length() - 5  # log2(area) - 4
+    nsym = 5 + ms
+    cdf = fc.eob_pt[16 << ms][plane_type][0 if tx_class == TX_CLASS_2D else 1]
+    enc.encode_symbol(eob_pt - 1, cdf, nsym)
+    update_icdf(cdf, eob_pt - 1, nsym)
+    nbits = EOB_OFFSET_BITS[eob_pt]
+    if nbits > 0:
+        bit = (extra >> (nbits - 1)) & 1
+        cdf = fc.eob_extra[txs_ctx][plane_type][eob_pt]
+        enc.encode_symbol(bit, cdf, 2)
+        update_icdf(cdf, bit, 2)
+        for i in range(1, nbits):
+            enc.encode_bool((extra >> (nbits - 1 - i)) & 1, 16384)
+
+    lv = padded_levels(levels2d)
+    base_ctx = base_ctx_grid(lv, tx_class).reshape(-1)
+    br_ctx = br_ctx_grid(lv, tx_class).reshape(-1)
+    absf = np.abs(flat)
+
+    for c in range(eob - 1, -1, -1):
+        pos = int(scan[c])
+        level = int(absf[pos])
+        if c == eob - 1:
+            ctx = eob_base_ctx(c, w * h)
+            cdf = fc.coeff_base_eob[txs_ctx][plane_type][ctx]
+            s = min(level, 3) - 1
+            enc.encode_symbol(s, cdf, 3)
+            update_icdf(cdf, s, 3)
+        else:
+            cdf = fc.coeff_base[txs_ctx][plane_type][int(base_ctx[pos])]
+            s = min(level, 3)
+            enc.encode_symbol(s, cdf, 4)
+            update_icdf(cdf, s, 4)
+        if level > 2:
+            base_range = level - 3
+            ctx = int(br_ctx[pos])
+            cdf = fc.coeff_br[min(txs_ctx, 3)][plane_type][ctx]
+            for idx in range(0, 12, 3):
+                k = min(base_range - idx, 3)
+                enc.encode_symbol(k, cdf, 4)
+                update_icdf(cdf, k, 4)
+                if k < 3:
+                    break
+
+    # signs + golomb remainders, forward scan order
+    for c in range(eob):
+        pos = int(scan[c])
+        v = int(flat[pos])
+        if v == 0:
+            continue
+        sign = 1 if v < 0 else 0
+        if c == 0:
+            cdf = fc.dc_sign[plane_type][dc_sign_ctx]
+            enc.encode_symbol(sign, cdf, 2)
+            update_icdf(cdf, sign, 2)
+        else:
+            enc.encode_bool(sign, 16384)
+        if abs(v) > 14:
+            _write_golomb(enc, abs(v) - 15)
+
+    return cul_level_of(levels2d)
+
+
+def read_coeffs_txb(dec, fc: FrameContext, tx_size: int, plane_type: int,
+                    txb_skip_ctx: int, dc_sign_ctx: int, *,
+                    read_tx_type: bool = False, y_mode: int = 0,
+                    reduced_tx_set: bool = True, allow_tx_type: bool = True
+                    ) -> tuple[np.ndarray, int, int]:
+    """Mirror of write_coeffs_txb: returns (levels2d, cul_level, tx_type)."""
+    # tx type is DCT_DCT unless signaled
+    tx_type = 0
+    w, h = adjusted_dims(tx_size)
+    txs_ctx = tx_size_ctx(tx_size)
+
+    cdf = fc.txb_skip[txs_ctx][txb_skip_ctx]
+    all_zero = dec.decode_symbol(cdf, 2)
+    update_icdf(cdf, all_zero, 2)
+    if all_zero:
+        return np.zeros((h, w), np.int32), 0, tx_type
+
+    if read_tx_type and plane_type == 0:
+        tx_type = _code_tx_type(None, dec, fc, tx_size, 0, y_mode,
+                                reduced_tx_set, allow_tx_type)
+    tx_class = tx_class_of(tx_type)
+    scan = scan_for(w, h, tx_class)
+
+    ms = (w * h).bit_length() - 5
+    nsym = 5 + ms
+    cdf = fc.eob_pt[16 << ms][plane_type][0 if tx_class == TX_CLASS_2D else 1]
+    eob_pt = dec.decode_symbol(cdf, nsym) + 1
+    update_icdf(cdf, eob_pt - 1, nsym)
+    eob = EOB_GROUP_START[eob_pt]
+    nbits = EOB_OFFSET_BITS[eob_pt]
+    if nbits > 0:
+        cdf = fc.eob_extra[txs_ctx][plane_type][eob_pt]
+        bit = dec.decode_symbol(cdf, 2)
+        update_icdf(cdf, bit, 2)
+        extra = bit << (nbits - 1)
+        for i in range(1, nbits):
+            extra |= dec.decode_bool(16384) << (nbits - 1 - i)
+        eob += extra
+
+    lv = np.zeros((h + TX_PAD_TOP + TX_PAD_BOTTOM, w + TX_PAD_HOR), np.uint8)
+    mags = np.zeros(w * h, np.int32)
+    for c in range(eob - 1, -1, -1):
+        pos = int(scan[c])
+        row, col = pos // w, pos % w
+        if c == eob - 1:
+            ctx = eob_base_ctx(c, w * h)
+            cdf = fc.coeff_base_eob[txs_ctx][plane_type][ctx]
+            s = dec.decode_symbol(cdf, 3)
+            update_icdf(cdf, s, 3)
+            level = s + 1
+        else:
+            ctx = _base_ctx_at(lv, row, col, w, h, tx_class)
+            cdf = fc.coeff_base[txs_ctx][plane_type][ctx]
+            s = dec.decode_symbol(cdf, 4)
+            update_icdf(cdf, s, 4)
+            level = s
+        if level > 2:
+            ctx = _br_ctx_at(lv, row, col, tx_class)
+            cdf = fc.coeff_br[min(txs_ctx, 3)][plane_type][ctx]
+            for _ in range(0, 12, 3):
+                k = dec.decode_symbol(cdf, 4)
+                update_icdf(cdf, k, 4)
+                level += k
+                if k < 3:
+                    break
+        mags[pos] = level
+        lv[TX_PAD_TOP + row, col] = min(level, 127)
+
+    out = np.zeros(w * h, np.int32)
+    for c in range(eob):
+        pos = int(scan[c])
+        level = int(mags[pos])
+        if level == 0:
+            continue
+        if c == 0:
+            cdf = fc.dc_sign[plane_type][dc_sign_ctx]
+            sign = dec.decode_symbol(cdf, 2)
+            update_icdf(cdf, sign, 2)
+        else:
+            sign = dec.decode_bool(16384)
+        if level > 14:
+            level = 15 + _read_golomb(dec)
+        out[pos] = -level if sign else level
+
+    out2d = out.reshape(h, w)
+    return out2d, cul_level_of(out2d), tx_type
+
+
+def _code_tx_type(enc, dec, fc: FrameContext, tx_size: int, tx_type: int,
+                  y_mode: int, reduced_tx_set: bool, allow: bool) -> int:
+    """Paired tx-type write/read (ref Av1WriteTxType)."""
+    set_type = intra_tx_set_type(tx_size, reduced_tx_set)
+    if NUM_EXT_TX_SET[set_type] <= 1 or not allow:
+        return 0
+    eset = EXT_TX_SET_TO_INTRA_ESET[set_type]
+    sq = txsize_sqr(tx_size)
+    nsym = NUM_EXT_TX_SET[set_type]
+    cdf = fc.intra_ext_tx[eset][sq][y_mode]
+    if enc is not None:
+        s = EXT_TX_IND[set_type][tx_type]
+        enc.encode_symbol(s, cdf, nsym)
+        update_icdf(cdf, s, nsym)
+        return tx_type
+    s = dec.decode_symbol(cdf, nsym)
+    update_icdf(cdf, s, nsym)
+    return EXT_TX_INV[set_type][s]
+
+
+def _write_golomb(enc, level: int) -> None:
+    x = level + 1
+    length = x.bit_length()
+    for _ in range(length - 1):
+        enc.encode_bool(0, 16384)
+    for i in range(length - 1, -1, -1):
+        enc.encode_bool((x >> i) & 1, 16384)
+
+
+def _read_golomb(dec) -> int:
+    length = 0
+    while dec.decode_bool(16384) == 0:
+        length += 1
+        if length > 31:
+            raise ValueError("bad golomb code")
+    x = 1
+    for _ in range(length):
+        x = (x << 1) | dec.decode_bool(16384)
+    return x - 1
