@@ -1,0 +1,292 @@
+"""OBU framing + sequence/frame headers (writer and parser).
+
+Covers the v1 coding configuration: profile 0 (8-bit 4:2:0), intra
+keyframes, CQP, single uniform tile grid, in-loop filters signaled off.
+Writer and parser are paired in this module so the mirror decoder stays
+in lockstep with the encoder.
+
+Reference parity: EncodeSPSAv1 (EbEntropyCoding.c:4303),
+WriteFrameHeaderObu (:4214), encode_td_av1 (:4333), OBU header/LEB128
+(EbEntropyCoding.h:180-183), packetization (EbPacketizationProcess.c:240).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from svt_av1_tpu.utils.bits import BitReader, BitWriter, leb128, read_leb128
+
+OBU_SEQUENCE_HEADER = 1
+OBU_TEMPORAL_DELIMITER = 2
+OBU_FRAME_HEADER = 3
+OBU_TILE_GROUP = 4
+OBU_FRAME = 6
+
+
+def wrap_obu(obu_type: int, payload: bytes) -> bytes:
+    hdr = BitWriter()
+    hdr.f(0, 1).f(obu_type, 4).f(0, 1).f(1, 1).f(0, 1)  # has_size_field=1
+    return hdr.data() + leb128(len(payload)) + payload
+
+
+def temporal_delimiter() -> bytes:
+    return wrap_obu(OBU_TEMPORAL_DELIMITER, b"")
+
+
+def _seq_level_idx(width: int, height: int) -> int:
+    pic = width * height
+    if pic <= 2228224 and width <= 2048:   # 4.0
+        return 8
+    if pic <= 8912896 and width <= 4096:   # 5.0
+        return 12
+    return 13                              # 5.1
+
+
+@dataclass
+class SequenceParams:
+    width: int
+    height: int
+    bit_depth: int = 8
+    sb_size: int = 64
+
+    @property
+    def mi_cols(self) -> int:
+        return 2 * ((self.width + 7) >> 3)
+
+    @property
+    def mi_rows(self) -> int:
+        return 2 * ((self.height + 7) >> 3)
+
+
+def write_sequence_header(sp: SequenceParams) -> bytes:
+    w = BitWriter()
+    w.f(0, 3)      # seq_profile
+    w.f(0, 1)      # still_picture
+    w.f(0, 1)      # reduced_still_picture_header
+    w.f(0, 1)      # timing_info_present_flag
+    w.f(0, 1)      # initial_display_delay_present_flag
+    w.f(0, 5)      # operating_points_cnt_minus_1
+    w.f(0, 12)     # operating_point_idc[0]
+    lvl = _seq_level_idx(sp.width, sp.height)
+    w.f(lvl, 5)    # seq_level_idx[0]
+    if lvl > 7:
+        w.f(0, 1)  # seq_tier[0]
+    wbits = max(1, (sp.width - 1).bit_length())
+    hbits = max(1, (sp.height - 1).bit_length())
+    w.f(wbits - 1, 4).f(hbits - 1, 4)
+    w.f(sp.width - 1, wbits).f(sp.height - 1, hbits)
+    w.f(0, 1)      # frame_id_numbers_present_flag
+    w.f(0, 1)      # use_128x128_superblock
+    w.f(0, 1)      # enable_filter_intra
+    w.f(0, 1)      # enable_intra_edge_filter
+    w.f(0, 1)      # enable_interintra_compound
+    w.f(0, 1)      # enable_masked_compound
+    w.f(0, 1)      # enable_warped_motion
+    w.f(0, 1)      # enable_dual_filter
+    w.f(0, 1)      # enable_order_hint
+    w.f(0, 1)      # seq_choose_screen_content_tools
+    w.f(0, 1)      # seq_force_screen_content_tools = OFF
+    w.f(0, 1)      # enable_superres
+    w.f(0, 1)      # enable_cdef
+    w.f(0, 1)      # enable_restoration
+    # color_config
+    w.f(0, 1)      # high_bitdepth
+    w.f(0, 1)      # mono_chrome
+    w.f(0, 1)      # color_description_present_flag
+    w.f(0, 1)      # color_range
+    w.f(0, 2)      # chroma_sample_position
+    w.f(0, 1)      # separate_uv_delta_q
+    w.f(0, 1)      # film_grain_params_present
+    w.trailing_bits()
+    return wrap_obu(OBU_SEQUENCE_HEADER, w.data())
+
+
+def parse_sequence_header(payload: bytes) -> SequenceParams:
+    r = BitReader(payload)
+    assert r.f(3) == 0, "profile"
+    r.f(1)
+    assert r.f(1) == 0, "reduced header unsupported"
+    assert r.f(1) == 0 and r.f(1) == 0
+    assert r.f(5) == 0
+    r.f(12)
+    lvl = r.f(5)
+    if lvl > 7:
+        r.f(1)
+    wbits = r.f(4) + 1
+    hbits = r.f(4) + 1
+    width = r.f(wbits) + 1
+    height = r.f(hbits) + 1
+    flags = [r.f(1) for _ in range(13)]
+    assert not any(flags), f"unsupported seq flags {flags}"
+    assert r.f(1) == 0  # seq_force_screen_content_tools value bit
+    for _ in range(3):
+        assert r.f(1) == 0  # superres/cdef/restoration
+    assert r.f(1) == 0  # high_bitdepth
+    assert r.f(1) == 0  # mono
+    assert r.f(1) == 0  # color desc
+    r.f(1)
+    r.f(2)
+    assert r.f(1) == 0  # separate_uv_delta_q
+    assert r.f(1) == 0  # film grain
+    return SequenceParams(width, height)
+
+
+@dataclass
+class FrameParams:
+    base_q_idx: int
+    disable_cdf_update: bool = False
+    reduced_tx_set: bool = True
+    tx_mode_select: int = 0         # 0 = TX_MODE_LARGEST
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+def _tile_info_bits(w: BitWriter, sp: SequenceParams, fp: FrameParams) -> None:
+    """spec tile_info(), uniform spacing only."""
+    sb_cols = (sp.mi_cols + 15) >> 4
+    sb_rows = (sp.mi_rows + 15) >> 4
+    max_tile_width_sb = 4096 >> 6
+    max_tile_area_sb = (4096 * 2304) >> 12
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    w.f(1, 1)  # uniform_tile_spacing_flag
+    assert fp.tile_cols_log2 >= min_log2_tile_cols
+    k = min_log2_tile_cols
+    while k < max_log2_tile_cols:
+        if k < fp.tile_cols_log2:
+            w.f(1, 1)
+            k += 1
+        else:
+            w.f(0, 1)
+            break
+    min_log2_tile_rows = max(min_log2_tiles - fp.tile_cols_log2, 0)
+    assert fp.tile_rows_log2 >= min_log2_tile_rows
+    k = min_log2_tile_rows
+    while k < max_log2_tile_rows:
+        if k < fp.tile_rows_log2:
+            w.f(1, 1)
+            k += 1
+        else:
+            w.f(0, 1)
+            break
+    if fp.tile_cols_log2 or fp.tile_rows_log2:
+        w.f(0, fp.tile_cols_log2 + fp.tile_rows_log2)  # context_update_tile_id
+        w.f(3, 2)  # tile_size_bytes_minus_1 = 3 (4-byte tile sizes)
+
+
+def _parse_tile_info(r: BitReader, sp: SequenceParams) -> tuple[int, int]:
+    sb_cols = (sp.mi_cols + 15) >> 4
+    sb_rows = (sp.mi_rows + 15) >> 4
+    min_log2_tile_cols = _tile_log2(64, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2((4096 * 2304) >> 12, sb_rows * sb_cols))
+    assert r.f(1) == 1, "only uniform tile spacing supported"
+    cols_log2 = min_log2_tile_cols
+    while cols_log2 < max_log2_tile_cols and r.f(1):
+        cols_log2 += 1
+    rows_log2 = max(min_log2_tiles - cols_log2, 0)
+    while rows_log2 < max_log2_tile_rows and r.f(1):
+        rows_log2 += 1
+    if cols_log2 or rows_log2:
+        r.f(cols_log2 + rows_log2)
+        assert r.f(2) == 3
+    return cols_log2, rows_log2
+
+
+def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
+    """uncompressed_header() for a shown intra keyframe."""
+    w = BitWriter()
+    w.f(0, 1)                    # show_existing_frame
+    w.f(0, 2)                    # frame_type = KEY_FRAME
+    w.f(1, 1)                    # show_frame
+    w.f(int(fp.disable_cdf_update), 1)
+    w.f(0, 1)                    # frame_size_override_flag
+    w.f(0, 1)                    # render_and_frame_size_different
+    if not fp.disable_cdf_update:
+        w.f(0, 1)                # disable_frame_end_update_cdf
+    _tile_info_bits(w, sp, fp)
+    # quantization_params
+    w.f(fp.base_q_idx, 8)
+    w.f(0, 1)                    # DeltaQYDc coded flag
+    w.f(0, 1)                    # DeltaQUDc
+    w.f(0, 1)                    # DeltaQUAc
+    w.f(0, 1)                    # using_qmatrix
+    w.f(0, 1)                    # segmentation_enabled
+    if fp.base_q_idx > 0:
+        w.f(0, 1)                # delta_q_present
+    # loop_filter_params (not lossless, no intrabc)
+    w.f(0, 6)                    # loop_filter_level[0]
+    w.f(0, 6)                    # loop_filter_level[1]
+    w.f(0, 3)                    # loop_filter_sharpness
+    w.f(0, 1)                    # loop_filter_delta_enabled
+    # cdef/lr: disabled in sequence -> no bits
+    w.f(fp.tx_mode_select, 1)    # read_tx_mode (0 = LARGEST)
+    w.f(int(fp.reduced_tx_set), 1)
+    return w
+
+
+def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
+    assert r.f(1) == 0, "show_existing_frame unsupported"
+    assert r.f(2) == 0, "only KEY_FRAME supported"
+    assert r.f(1) == 1, "show_frame"
+    disable_cdf_update = bool(r.f(1))
+    assert r.f(1) == 0  # frame_size_override
+    assert r.f(1) == 0  # render size
+    if not disable_cdf_update:
+        assert r.f(1) == 0  # disable_frame_end_update_cdf
+    cols_log2, rows_log2 = _parse_tile_info(r, sp)
+    base_q_idx = r.f(8)
+    assert r.f(1) == 0 and r.f(1) == 0 and r.f(1) == 0  # q deltas
+    assert r.f(1) == 0  # qmatrix
+    assert r.f(1) == 0  # segmentation
+    if base_q_idx > 0:
+        assert r.f(1) == 0  # delta_q_present
+    assert r.f(6) == 0 and r.f(6) == 0  # filter levels
+    r.f(3)
+    assert r.f(1) == 0  # lf delta enabled
+    tx_mode_select = r.f(1)
+    reduced_tx_set = bool(r.f(1))
+    return FrameParams(base_q_idx, disable_cdf_update, reduced_tx_set,
+                       tx_mode_select, cols_log2, rows_log2)
+
+
+def write_frame_obu(sp: SequenceParams, fp: FrameParams,
+                    tile_payload: bytes) -> bytes:
+    """OBU_FRAME = frame header + byte alignment + tile group."""
+    w = write_frame_header_bits(sp, fp)
+    w.byte_align()
+    header = w.data()
+    n_tiles = (1 << fp.tile_cols_log2) * (1 << fp.tile_rows_log2)
+    tg = BitWriter()
+    if n_tiles > 1:
+        tg.f(0, 1)  # tile_start_and_end_present_flag
+        tg.byte_align()
+        return wrap_obu(OBU_FRAME, header + tg.data() + tile_payload)
+    return wrap_obu(OBU_FRAME, header + tile_payload)
+
+
+def split_obus(data: bytes):
+    """Yield (obu_type, payload) from a byte stream of size-field OBUs."""
+    pos = 0
+    while pos < len(data):
+        byte0 = data[pos]
+        obu_type = (byte0 >> 3) & 0xF
+        has_ext = (byte0 >> 2) & 1
+        has_size = (byte0 >> 1) & 1
+        pos += 1 + has_ext
+        assert has_size, "size field required"
+        size, pos = read_leb128(data, pos)
+        yield obu_type, data[pos : pos + size]
+        pos += size

@@ -60,7 +60,8 @@ def quantize_batch(coeffs, qindex: int, tx_size: int, bd: int = 8):
         _dq_grid(h, w,
                  (((1 << (bd + 7)) - 1) << shift) // dc,
                  (((1 << (bd + 7)) - 1) << shift) // ac))
-    mag = jnp.abs(coeffs).astype(jnp.int64) << shift
+    # int32 is safe: |coeff| < 2^20 even for 64x64 and shift <= 2
+    mag = jnp.abs(coeffs).astype(jnp.int32) << shift
     lvl = ((mag + rnd).astype(jnp.float32) * (1.0 / q.astype(jnp.float32)))
     lvl = jnp.floor(lvl).astype(jnp.int32)
     lvl = jnp.minimum(lvl, lvl_max)

@@ -1,0 +1,177 @@
+"""Device-side intra frame encoder: wavefront sweeps of batched blocks.
+
+The reference's EncDec stage claims wavefront *segments* per thread
+(AssignEncDecSegments, EbEncDecProcess.c:388-520) to satisfy the intra
+reconstruction dependency (a block predicts from its reconstructed above/
+left neighbors).  The TPU formulation keeps the same dependency order but
+batches every block on an anti-diagonal into ONE tensor program step:
+
+    for d in 0..(nbh + nbw - 2):          # lax.fori_loop, on device
+        blocks (r, c) with r + c == d:    # up to min(nbh, nbw) at once
+            predict (all modes) -> select -> fwd txfm -> quant ->
+            dequant -> inv txfm -> reconstruct -> scatter
+
+Reconstruction state lives in block-grid layout [nbh, nbw, bs, bs] so all
+neighbor access is static-shape gathers (no dynamic slices).  Anti-diagonal
+order is consistent with the decoder's Z-order because any above/left
+neighbor precedes the block in both orders.
+
+v1 scope: uniform 8x8 luma partition (4x4 chroma), mode set
+{DC, V, H, SMOOTH, PAETH}, DC chroma, DCT only, CQP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svt_av1_tpu.ops import intra
+from svt_av1_tpu.ops import quant as Q
+from svt_av1_tpu.ops import transforms as T
+
+# mode-decision candidate list (indices into intra.predict_all_modes output)
+MODE_IDS = np.array(intra.V1_MODES, np.int32)  # [5] -> AV1 mode enums
+
+LUMA_BS = 8
+CHROMA_BS = 4
+
+
+def _encode_plane_batch(src, pred, qindex: int, tx_size: int):
+    """residual -> (levels, recon) for a [B, n, n] batch."""
+    resid = src - pred
+    coeff = T.fwd_txfm2d_batch_exact(resid, tx_size, T.DCT_DCT)
+    levels = Q.quantize_batch(coeff, qindex, tx_size)
+    dq = Q.dequantize_batch(levels, qindex, tx_size)
+    rec_resid = T.inv_txfm2d_batch(dq, tx_size, T.DCT_DCT)
+    recon = jnp.clip(pred + rec_resid, 0, 255)
+    return levels, recon
+
+
+@functools.lru_cache(maxsize=8)
+def build_frame_encoder(nbh: int, nbw: int, qindex: int):
+    """Compile the full-frame intra encode step for a block grid.
+
+    Returns jitted fn(src_y [nbh,nbw,8,8], src_u [nbh,nbw,4,4], src_v)
+    -> (modes [nbh,nbw], levels_y [nbh,nbw,8,8],
+        levels_u, levels_v [nbh,nbw,4,4],
+        recon_y [nbh,nbw,8,8], recon_u, recon_v)  (all int32)
+    """
+    B = min(nbh, nbw)
+    ndiag = nbh + nbw - 1
+
+    def step(sy, su, sv):
+        sy = sy.astype(jnp.int32)
+        su = su.astype(jnp.int32)
+        sv = sv.astype(jnp.int32)
+        # +1 dummy row/col absorbs out-of-range gathers and masked scatters
+        ry = jnp.zeros((nbh + 1, nbw + 1, LUMA_BS, LUMA_BS), jnp.int32)
+        ru = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
+        rv = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
+        modes = jnp.zeros((nbh + 1, nbw + 1), jnp.int32)
+        ly = jnp.zeros((nbh + 1, nbw + 1, LUMA_BS, LUMA_BS), jnp.int32)
+        lu = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
+        lv = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
+
+        def body(d, state):
+            ry, ru, rv, modes, ly, lu, lv = state
+            r = jnp.maximum(0, d - (nbw - 1)) + jnp.arange(B)
+            c = d - r
+            valid = (r < nbh) & (c >= 0) & (c < nbw)
+            rs = jnp.where(valid, r, nbh)
+            cs = jnp.where(valid, c, nbw)
+            ha = (r > 0) & valid
+            hl = (c > 0) & valid
+            r_up = jnp.where(ha, rs - 1, nbh)
+            c_lf = jnp.where(hl, cs - 1, nbw)
+            rc = jnp.minimum(rs, nbh - 1)   # clamped src gather
+            cc = jnp.minimum(cs, nbw - 1)
+
+            # ---- luma: mode decision over all candidates ----
+            above = ry[r_up, cs, LUMA_BS - 1, :]
+            left = ry[rs, c_lf, :, LUMA_BS - 1]
+            topleft = ry[r_up, c_lf, LUMA_BS - 1, LUMA_BS - 1]
+            preds = intra.predict_all_modes(above, left, topleft, ha, hl,
+                                            LUMA_BS, LUMA_BS)  # [B,5,8,8]
+            src = sy[rc, cc]
+            sse = ((preds - src[:, None]) ** 2).sum((-1, -2))
+            best = jnp.argmin(sse, axis=1)
+            pred = jnp.take_along_axis(
+                preds, best[:, None, None, None], axis=1)[:, 0]
+            lvls, recon = _encode_plane_batch(src, pred, qindex, T.TX_8X8)
+            ry = ry.at[rs, cs].set(recon)
+            ly = ly.at[rs, cs].set(lvls)
+            modes = modes.at[rs, cs].set(jnp.asarray(MODE_IDS)[best])
+
+            # ---- chroma: DC prediction ----
+            for plane, (rp, lp, sp) in enumerate(
+                    ((ru, lu, su), (rv, lv, sv))):
+                above_c = rp[r_up, cs, CHROMA_BS - 1, :]
+                left_c = rp[rs, c_lf, :, CHROMA_BS - 1]
+                tl_c = rp[r_up, c_lf, CHROMA_BS - 1, CHROMA_BS - 1]
+                pred_c = intra.predict_all_modes(
+                    above_c, left_c, tl_c, ha, hl,
+                    CHROMA_BS, CHROMA_BS)[:, 0]  # DC
+                lvl_c, rec_c = _encode_plane_batch(
+                    sp[rc, cc], pred_c, qindex, T.TX_4X4)
+                if plane == 0:
+                    ru = rp.at[rs, cs].set(rec_c)
+                    lu = lp.at[rs, cs].set(lvl_c)
+                else:
+                    rv = rp.at[rs, cs].set(rec_c)
+                    lv = lp.at[rs, cs].set(lvl_c)
+
+            return ry, ru, rv, modes, ly, lu, lv
+
+        ry, ru, rv, modes, ly, lu, lv = jax.lax.fori_loop(
+            0, ndiag, body, (ry, ru, rv, modes, ly, lu, lv))
+        trim = lambda a: a[:nbh, :nbw]
+        return (trim(modes), trim(ly), trim(lu), trim(lv),
+                trim(ry), trim(ru), trim(rv))
+
+    return jax.jit(step)
+
+
+def block_planes(plane: np.ndarray, bs: int) -> np.ndarray:
+    """[H, W] -> [H/bs, W/bs, bs, bs] block grid."""
+    h, w = plane.shape
+    assert h % bs == 0 and w % bs == 0, (h, w, bs)
+    return (plane.reshape(h // bs, bs, w // bs, bs)
+            .transpose(0, 2, 1, 3))
+
+
+def unblock_planes(blocks: np.ndarray) -> np.ndarray:
+    nbh, nbw, bs, _ = blocks.shape
+    return blocks.transpose(0, 2, 1, 3).reshape(nbh * bs, nbw * bs)
+
+
+def pad_plane(plane: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Edge-replicate pad (ref PadPictureToMultipleOfLcuDimensions)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, target_h - h), (0, target_w - w)), mode="edge")
+
+
+def encode_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                        qindex: int, mi_rows: int, mi_cols: int):
+    """Run the device encoder on one 8-bit 4:2:0 frame.
+
+    Returns numpy dict with per-block modes/levels/recon (padded geometry).
+    """
+    pw, ph = mi_cols * 4, mi_rows * 4
+    nbh, nbw = ph // LUMA_BS, pw // LUMA_BS
+    sy = block_planes(pad_plane(y.astype(np.int32), ph, pw), LUMA_BS)
+    su = block_planes(pad_plane(u.astype(np.int32), ph // 2, pw // 2),
+                      CHROMA_BS)
+    sv = block_planes(pad_plane(v.astype(np.int32), ph // 2, pw // 2),
+                      CHROMA_BS)
+    fn = build_frame_encoder(nbh, nbw, qindex)
+    out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
+    modes, ly, lu, lv, ry, ru, rv = (np.asarray(a) for a in out)
+    return {
+        "modes": modes, "levels_y": ly, "levels_u": lu, "levels_v": lv,
+        "recon_y": unblock_planes(ry), "recon_u": unblock_planes(ru),
+        "recon_v": unblock_planes(rv),
+        "nbh": nbh, "nbw": nbw,
+    }
