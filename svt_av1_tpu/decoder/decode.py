@@ -1,0 +1,151 @@
+"""IVF/OBU -> frames decoder (v1 subset: intra keyframes, single tile).
+
+Shares ALL context/symbol rules with the encoder via entropy.syntax and
+pipeline.tile helpers; prediction/dequant/inverse-transform use the numpy
+twins of the device ops — so decoded recon must equal encoder recon
+bit-for-bit (asserted in e2e tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_tpu.entropy import obu as O
+from svt_av1_tpu.entropy import syntax as S
+from svt_av1_tpu.entropy.cdf_model import FrameContext, update_icdf
+from svt_av1_tpu.entropy.range_coder import RangeDecoder
+from svt_av1_tpu.io.ivf import IvfReader
+from svt_av1_tpu.io.yuv import Frame
+from svt_av1_tpu.ops import intra
+from svt_av1_tpu.ops import quant as Q
+from svt_av1_tpu.ops import transforms as T
+from svt_av1_tpu.pipeline.tile import (LEAF_MI, SB_MI, read_partition_symbol)
+from svt_av1_tpu.utils.bits import BitReader
+
+
+class Decoder:
+    def __init__(self) -> None:
+        self.seq: O.SequenceParams | None = None
+
+    # -- containers -------------------------------------------------------------
+    def decode_ivf(self, fh) -> list[Frame]:
+        reader = IvfReader(fh)
+        return [self.decode_temporal_unit(payload)
+                for _, payload in reader.frames()]
+
+    def decode_temporal_unit(self, data: bytes) -> Frame:
+        frame = None
+        for obu_type, payload in O.split_obus(data):
+            if obu_type == O.OBU_TEMPORAL_DELIMITER:
+                continue
+            if obu_type == O.OBU_SEQUENCE_HEADER:
+                self.seq = O.parse_sequence_header(payload)
+            elif obu_type == O.OBU_FRAME:
+                assert self.seq is not None, "no sequence header seen"
+                frame = self._decode_frame(payload)
+        assert frame is not None, "no frame in temporal unit"
+        return frame
+
+    # -- frame ------------------------------------------------------------------
+    def _decode_frame(self, payload: bytes) -> Frame:
+        sp = self.seq
+        r = BitReader(payload)
+        fp = O.parse_frame_header_bits(r, sp)
+        r.byte_align()
+        n_tiles = (1 << fp.tile_cols_log2) * (1 << fp.tile_rows_log2)
+        assert n_tiles == 1, "multi-tile decode not yet supported"
+        tile_data = payload[r.byte_offset():]
+
+        mi_rows, mi_cols = sp.mi_rows, sp.mi_cols
+        ph, pw = mi_rows * 4, mi_cols * 4
+        self.rec = [np.zeros((ph, pw), np.int32),
+                    np.zeros((ph // 2, pw // 2), np.int32),
+                    np.zeros((ph // 2, pw // 2), np.int32)]
+        self.fc = FrameContext(fp.base_q_idx)
+        self.tc = S.TileContexts(mi_rows, mi_cols)
+        self.fp = fp
+        self.dec = RangeDecoder(tile_data)
+
+        for r4 in range(0, mi_rows, SB_MI):
+            for c4 in range(0, mi_cols, SB_MI):
+                self._partition(r4, c4, SB_MI)
+
+        y = self.rec[0][: sp.height, : sp.width].astype(np.uint8)
+        ch, cw = (sp.height + 1) // 2, (sp.width + 1) // 2
+        u = self.rec[1][:ch, :cw].astype(np.uint8)
+        v = self.rec[2][:ch, :cw].astype(np.uint8)
+        return Frame(y, u, v)
+
+    def _partition(self, r4: int, c4: int, n4: int) -> None:
+        tc = self.tc
+        if r4 >= tc.mi_rows or c4 >= tc.mi_cols:
+            return
+        if n4 == LEAF_MI:
+            p = read_partition_symbol(self.dec, self.fc, tc, r4, c4, n4)
+            assert p == S.PARTITION_NONE, f"unsupported partition {p} at 8x8"
+            self._block(r4, c4)
+            return
+        p = read_partition_symbol(self.dec, self.fc, tc, r4, c4, n4)
+        assert p == S.PARTITION_SPLIT, \
+            f"unsupported partition {p} at n4={n4} (uniform-8x8 streams only)"
+        half = n4 >> 1
+        self._partition(r4, c4, half)
+        self._partition(r4, c4 + half, half)
+        self._partition(r4 + half, c4, half)
+        self._partition(r4 + half, c4 + half, half)
+
+    def _block(self, r4: int, c4: int) -> None:
+        dec, fc, tc = self.dec, self.fc, self.tc
+
+        ctx = tc.skip_ctx(r4, c4)
+        cdf = fc.skip[ctx]
+        skip = dec.decode_symbol(cdf, 2)
+        update_icdf(cdf, skip, 2)
+
+        actx, lctx = tc.kf_y_ctx(r4, c4)
+        cdf = fc.kf_y_mode[actx][lctx]
+        y_mode = dec.decode_symbol(cdf, 13)
+        update_icdf(cdf, y_mode, 13)
+        if S.V_PRED <= y_mode <= S.D67_PRED:
+            cdf = fc.angle_delta[y_mode - S.V_PRED]
+            d = dec.decode_symbol(cdf, 7)
+            update_icdf(cdf, d, 7)
+            assert d == S.MAX_ANGLE_DELTA, "nonzero angle delta unsupported"
+
+        cdf = fc.uv_mode[1][y_mode]
+        uv_mode = dec.decode_symbol(cdf, 14)
+        update_icdf(cdf, uv_mode, 14)
+        assert uv_mode == S.DC_PRED, "only DC chroma supported"
+
+        tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, y_mode, skip)
+
+        for plane, tx_size in enumerate((T.TX_8X8, T.TX_4X4, T.TX_4X4)):
+            pr = r4 >> (plane > 0)
+            pc = c4 >> (plane > 0)
+            w4 = LEAF_MI >> (plane > 0)
+            bs = 8 if plane == 0 else 4
+            mode = y_mode if plane == 0 else uv_mode
+            if skip:
+                levels = np.zeros((bs, bs), np.int32)
+                tc.set_txb(plane, pr, pc, w4, w4, 0)
+            else:
+                txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
+                                             full_block_tx=True,
+                                             larger_block=False)
+                levels, cul, _ = S.read_coeffs_txb(
+                    dec, fc, tx_size, int(plane > 0), txb_ctx, dc_ctx,
+                    read_tx_type=True, y_mode=y_mode,
+                    reduced_tx_set=self.fp.reduced_tx_set,
+                    allow_tx_type=self.fp.base_q_idx > 0)
+                tc.set_txb(plane, pr, pc, w4, w4, cul)
+
+            rec = self.rec[plane]
+            py, px = pr * 4, pc * 4
+            ha, hl = py > 0, px > 0
+            above = rec[py - 1, px : px + bs] if ha else np.zeros(bs, np.int32)
+            left = rec[py : py + bs, px - 1] if hl else np.zeros(bs, np.int32)
+            tl = int(rec[py - 1, px - 1]) if (ha and hl) else 0
+            pred = intra.predict_block_np(mode, above, left, tl, ha, hl, bs, bs)
+            dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size)
+            resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)
+            rec[py : py + bs, px : px + bs] = np.clip(pred + resid, 0, 255)

@@ -116,16 +116,21 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     hbits = r.f(4) + 1
     width = r.f(wbits) + 1
     height = r.f(hbits) + 1
-    flags = [r.f(1) for _ in range(13)]
+    # frame_id_numbers, use_128x128_superblock, enable_filter_intra,
+    # enable_intra_edge_filter, enable_interintra_compound,
+    # enable_masked_compound, enable_warped_motion, enable_dual_filter,
+    # enable_order_hint
+    flags = [r.f(1) for _ in range(9)]
     assert not any(flags), f"unsupported seq flags {flags}"
-    assert r.f(1) == 0  # seq_force_screen_content_tools value bit
+    assert r.f(1) == 0  # seq_choose_screen_content_tools
+    assert r.f(1) == 0  # seq_force_screen_content_tools value
     for _ in range(3):
         assert r.f(1) == 0  # superres/cdef/restoration
     assert r.f(1) == 0  # high_bitdepth
     assert r.f(1) == 0  # mono
     assert r.f(1) == 0  # color desc
-    r.f(1)
-    r.f(2)
+    r.f(1)              # color_range
+    r.f(2)              # chroma_sample_position
     assert r.f(1) == 0  # separate_uv_delta_q
     assert r.f(1) == 0  # film grain
     return SequenceParams(width, height)

@@ -1,0 +1,131 @@
+"""Public encoder API.
+
+Mirrors the reference's 12-entry-point lifecycle (EbSvtAv1Enc.h:421-507):
+init handle -> set parameter -> init encoder -> send pictures -> get
+packets -> deinit.  The TPU build exposes the same lifecycle as an
+``Encoder`` class plus functional aliases with the reference's names.
+
+Dataflow per frame (replaces the reference's 15-thread pipeline):
+  host pad/block  ->  device wavefront encode (intra_encoder)  ->
+  host entropy tile (pipeline.tile)  ->  OBU packetization (entropy.obu)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import numpy as np
+
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.entropy import obu as O
+from svt_av1_tpu.entropy.cdf_model import FrameContext
+from svt_av1_tpu.io.yuv import Frame
+from svt_av1_tpu.pipeline import intra_encoder as IE
+from svt_av1_tpu.pipeline.tile import TileWriter
+
+
+@dataclasses.dataclass
+class Packet:
+    """Output bitstream buffer (ref EbBufferHeaderType)."""
+    payload: bytes
+    pts: int
+    is_keyframe: bool
+    recon: Optional[Frame] = None
+    psnr: Optional[tuple] = None
+
+
+class Encoder:
+    """ref eb_init_handle + eb_svt_enc_set_parameter + eb_init_encoder."""
+
+    def __init__(self, config: EncoderConfig) -> None:
+        config.validate()
+        if not config.intra_only:
+            raise NotImplementedError("round 1: intra-only coding")
+        self.cfg = config
+        self.seq = O.SequenceParams(config.width, config.height,
+                                    config.bit_depth, config.sb_size)
+        self._frame_idx = 0
+        self._packets: list[Packet] = []
+
+    # -- ref eb_svt_enc_stream_header ------------------------------------------
+    def stream_header(self) -> bytes:
+        return O.write_sequence_header(self.seq)
+
+    # -- ref eb_svt_enc_send_picture ---------------------------------------------
+    def send_picture(self, frame: Frame) -> None:
+        cfg = self.cfg
+        qindex = _qp_to_qindex(cfg.qp)
+        dev = IE.encode_frame_device(frame.y, frame.u, frame.v, qindex,
+                                     self.seq.mi_rows, self.seq.mi_cols)
+        fc = FrameContext(qindex)
+        tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
+        tile = tw.encode(dev["modes"], dev["levels_y"], dev["levels_u"],
+                         dev["levels_v"])
+        fp = O.FrameParams(base_q_idx=qindex,
+                           tile_cols_log2=cfg.tile_columns_log2,
+                           tile_rows_log2=cfg.tile_rows_log2)
+        payload = (O.temporal_delimiter()
+                   + O.write_sequence_header(self.seq)
+                   + O.write_frame_obu(self.seq, fp, tile))
+
+        recon = Frame(
+            dev["recon_y"][: self.seq.height, : self.seq.width]
+            .astype(np.uint8),
+            dev["recon_u"][: (self.seq.height + 1) // 2,
+                           : (self.seq.width + 1) // 2].astype(np.uint8),
+            dev["recon_v"][: (self.seq.height + 1) // 2,
+                           : (self.seq.width + 1) // 2].astype(np.uint8))
+        psnr = _psnr(frame, recon) if cfg.stat_report else None
+        self._packets.append(Packet(payload, self._frame_idx, True,
+                                    recon, psnr))
+        self._frame_idx += 1
+
+    # -- ref eb_svt_get_packet ----------------------------------------------------
+    def get_packet(self) -> Optional[Packet]:
+        return self._packets.pop(0) if self._packets else None
+
+    # -- ref eb_svt_get_recon ------------------------------------------------------
+    def get_recon(self) -> Optional[Frame]:
+        return self._packets[0].recon if self._packets else None
+
+    def encode_all(self, frames) -> Iterator[Packet]:
+        """Convenience: push frames, yield packets in order."""
+        for f in frames:
+            self.send_picture(f)
+            yield self.get_packet()
+
+
+def _qp_to_qindex(qp: int) -> int:
+    """Map 0..63 QP to 0..255 qindex (ref qp_scale semantics: ~4x)."""
+    return min(255, max(1, qp * 4))
+
+
+def _psnr(src: Frame, rec: Frame) -> tuple:
+    def p(a, b):
+        mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    return (p(src.y, rec.y), p(src.u, rec.u), p(src.v, rec.v))
+
+
+# --- functional aliases matching the reference API names ---------------------
+
+def eb_init_handle(config: EncoderConfig) -> Encoder:
+    return Encoder(config)
+
+
+def eb_svt_enc_set_parameter(handle: Encoder, **kw) -> None:
+    handle.cfg = handle.cfg.replace(**kw)
+
+
+def eb_svt_enc_send_picture(handle: Encoder, frame: Frame) -> None:
+    handle.send_picture(frame)
+
+
+def eb_svt_get_packet(handle: Encoder) -> Optional[Packet]:
+    return handle.get_packet()
+
+
+def eb_svt_get_recon(handle: Encoder) -> Optional[Frame]:
+    return handle.get_recon()

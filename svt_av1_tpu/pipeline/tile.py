@@ -1,0 +1,186 @@
+"""Host entropy stage: tile writer (and its exact mirror lives in
+decoder/decode.py, sharing every context rule via entropy.syntax).
+
+Walks superblocks in raster order, the partition tree in Z-order (spec
+decode_partition order), writing for each 8x8 leaf: skip, y mode, angle
+delta (directional), uv mode, then per-plane coefficients.
+
+Reference parity: EntropyCodingKernel per-SB write_sb loop
+(EbEntropyCodingProcess.c:561, EbEntropyCoding.c:5294 write_sb,
+EncodePartitionAv1 :934).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_tpu.entropy import syntax as S
+from svt_av1_tpu.entropy.cdf_model import FrameContext, update_icdf
+from svt_av1_tpu.entropy.range_coder import RangeEncoder
+from svt_av1_tpu.ops import transforms as T
+
+SB_MI = 16          # 64x64 superblock in 4x4 units
+LEAF_MI = 2         # 8x8 leaf
+
+
+def _partition_nsyms(n4: int) -> int:
+    """Symbol count of the partition cdf at this square size."""
+    if n4 == 2:       # 8x8
+        return 4
+    if n4 == 32:      # 128x128
+        return 8
+    return 10
+
+
+def write_partition_symbol(enc, fc: FrameContext, tc: S.TileContexts,
+                           r4: int, c4: int, n4: int, p: int) -> None:
+    """ref EncodePartitionAv1 (incl. edge-forced binary forms)."""
+    half = n4 >> 1
+    has_rows = (r4 + half) < tc.mi_rows
+    has_cols = (c4 + half) < tc.mi_cols
+    bsl = (n4 >> 1).bit_length() - 1   # log2(n4) - 1: 8x8 -> 0 ... 128 -> 4
+    ctx = tc.partition_ctx(r4, c4, bsl)
+    cdf = fc.partition[ctx]
+    nsym = _partition_nsyms(n4)
+    if not has_rows and not has_cols:
+        assert p == S.PARTITION_SPLIT
+        return
+    if has_rows and has_cols:
+        enc.encode_symbol(p, cdf, nsym)
+        update_icdf(cdf, p, nsym)
+        return
+    # derived binary cdf (does not adapt)
+    bin_icdf = _split_binary_icdf(cdf, nsym, vertical=not has_rows)
+    enc.encode_symbol(int(p == S.PARTITION_SPLIT), bin_icdf, 2)
+
+
+def _split_binary_icdf(cdf: np.ndarray, nsym: int, vertical: bool
+                       ) -> np.ndarray:
+    """ref partition_gather_{vert,horz}_alike on icdf-stored tables."""
+    def prob(e):
+        if e >= nsym:
+            return 0
+        hi = 32768 if e == 0 else int(cdf[e - 1])
+        return hi - int(cdf[e])
+
+    if vertical:
+        elems = [S.PARTITION_VERT, S.PARTITION_SPLIT, S.PARTITION_HORZ_A,
+                 S.PARTITION_VERT_A, S.PARTITION_VERT_B, S.PARTITION_VERT_4]
+    else:
+        elems = [S.PARTITION_HORZ, S.PARTITION_SPLIT, S.PARTITION_HORZ_A,
+                 S.PARTITION_HORZ_B, S.PARTITION_VERT_A, S.PARTITION_HORZ_4]
+    psum = sum(prob(e) for e in elems)
+    # icdf form: [32768 - P(sym0), 0, counter]
+    return np.array([psum, 0, 0], np.int32)
+
+
+def read_partition_symbol(dec, fc: FrameContext, tc: S.TileContexts,
+                          r4: int, c4: int, n4: int) -> int:
+    half = n4 >> 1
+    has_rows = (r4 + half) < tc.mi_rows
+    has_cols = (c4 + half) < tc.mi_cols
+    bsl = (n4 >> 1).bit_length() - 1
+    ctx = tc.partition_ctx(r4, c4, bsl)
+    cdf = fc.partition[ctx]
+    nsym = _partition_nsyms(n4)
+    if not has_rows and not has_cols:
+        return S.PARTITION_SPLIT
+    if has_rows and has_cols:
+        p = dec.decode_symbol(cdf, nsym)
+        update_icdf(cdf, p, nsym)
+        return p
+    bin_icdf = _split_binary_icdf(cdf, nsym, vertical=not has_rows)
+    is_split = dec.decode_symbol(bin_icdf, 2)
+    if is_split:
+        return S.PARTITION_SPLIT
+    return S.PARTITION_HORZ if not has_rows else S.PARTITION_VERT
+
+
+# ---------------------------------------------------------------------------
+
+class TileWriter:
+    """Encodes one tile from device-produced per-block data (P=8 uniform)."""
+
+    def __init__(self, fc: FrameContext, mi_rows: int, mi_cols: int,
+                 qindex: int, reduced_tx_set: bool = True) -> None:
+        self.fc = fc
+        self.tc = S.TileContexts(mi_rows, mi_cols)
+        self.enc = RangeEncoder()
+        self.qindex = qindex
+        self.reduced_tx_set = reduced_tx_set
+
+    def encode(self, modes: np.ndarray, levels_y: np.ndarray,
+               levels_u: np.ndarray, levels_v: np.ndarray) -> bytes:
+        tc = self.tc
+        self.data = (modes, levels_y, levels_u, levels_v)
+        for r4 in range(0, tc.mi_rows, SB_MI):
+            for c4 in range(0, tc.mi_cols, SB_MI):
+                self._partition(r4, c4, SB_MI)
+        return self.enc.done()
+
+    def _partition(self, r4: int, c4: int, n4: int) -> None:
+        tc = self.tc
+        if r4 >= tc.mi_rows or c4 >= tc.mi_cols:
+            return
+        if n4 == LEAF_MI:
+            write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4,
+                                   S.PARTITION_NONE)
+            self._block(r4, c4)
+            return
+        write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4,
+                               S.PARTITION_SPLIT)
+        half = n4 >> 1
+        self._partition(r4, c4, half)
+        self._partition(r4, c4 + half, half)
+        self._partition(r4 + half, c4, half)
+        self._partition(r4 + half, c4 + half, half)
+
+    def _block(self, r4: int, c4: int) -> None:
+        modes, ly, lu, lv = self.data
+        enc, fc, tc = self.enc, self.fc, self.tc
+        br, bc = r4 // LEAF_MI, c4 // LEAF_MI
+        y_mode = int(modes[br, bc])
+        lvls = (ly[br, bc], lu[br, bc], lv[br, bc])
+        skip = int(all((l == 0).all() for l in lvls))
+
+        # skip flag
+        ctx = tc.skip_ctx(r4, c4)
+        cdf = fc.skip[ctx]
+        enc.encode_symbol(skip, cdf, 2)
+        update_icdf(cdf, skip, 2)
+
+        # y mode (keyframe cdf)
+        actx, lctx = tc.kf_y_ctx(r4, c4)
+        cdf = fc.kf_y_mode[actx][lctx]
+        enc.encode_symbol(y_mode, cdf, 13)
+        update_icdf(cdf, y_mode, 13)
+        if S.V_PRED <= y_mode <= S.D67_PRED:  # directional: angle delta 0
+            cdf = fc.angle_delta[y_mode - S.V_PRED]
+            enc.encode_symbol(S.MAX_ANGLE_DELTA, cdf, 7)
+            update_icdf(cdf, S.MAX_ANGLE_DELTA, 7)
+
+        # uv mode: DC, cfl allowed at 8x8
+        cdf = fc.uv_mode[1][y_mode]
+        enc.encode_symbol(S.DC_PRED, cdf, 14)
+        update_icdf(cdf, S.DC_PRED, 14)
+
+        tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, y_mode, skip)
+
+        # residuals
+        for plane, (lvl, tx_size) in enumerate(
+                zip(lvls, (T.TX_8X8, T.TX_4X4, T.TX_4X4))):
+            pr = r4 >> (plane > 0)
+            pc = c4 >> (plane > 0)
+            w4 = LEAF_MI >> (plane > 0)
+            if skip:
+                self.tc.set_txb(plane, pr, pc, w4, w4, 0)
+                continue
+            txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
+                                         full_block_tx=True,
+                                         larger_block=False)
+            cul = S.write_coeffs_txb(
+                enc, fc, lvl, tx_size, int(plane > 0), 0, txb_ctx, dc_ctx,
+                write_tx_type=True, y_mode=y_mode,
+                reduced_tx_set=self.reduced_tx_set,
+                allow_tx_type=self.qindex > 0)
+            tc.set_txb(plane, pr, pc, w4, w4, cul)
