@@ -50,14 +50,16 @@ def _encode_plane_batch(src, pred, qindex: int, tx_size: int):
     return levels, recon
 
 
-@functools.lru_cache(maxsize=8)
-def build_frame_encoder(nbh: int, nbw: int, qindex: int):
-    """Compile the full-frame intra encode step for a block grid.
+def frame_step(nbh: int, nbw: int, qindex: int):
+    """The (unjitted) full-frame intra encode step for a block grid.
 
-    Returns jitted fn(src_y [nbh,nbw,8,8], src_u [nbh,nbw,4,4], src_v)
+    fn(src_y [nbh,nbw,8,8], src_u [nbh,nbw,4,4], src_v)
     -> (modes [nbh,nbw], levels_y [nbh,nbw,8,8],
         levels_u, levels_v [nbh,nbw,4,4],
         recon_y [nbh,nbw,8,8], recon_u, recon_v)  (all int32)
+
+    Exposed unjitted so parallel/ can vmap it over GOP-sharded frame
+    batches; use build_frame_encoder for the single-frame jitted form.
     """
     B = min(nbh, nbw)
     ndiag = nbh + nbw - 1
@@ -131,7 +133,13 @@ def build_frame_encoder(nbh: int, nbw: int, qindex: int):
         return (trim(modes), trim(ly), trim(lu), trim(lv),
                 trim(ry), trim(ru), trim(rv))
 
-    return jax.jit(step)
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def build_frame_encoder(nbh: int, nbw: int, qindex: int):
+    """Jit-compiled single-frame encode step (see frame_step)."""
+    return jax.jit(frame_step(nbh, nbw, qindex))
 
 
 def block_planes(plane: np.ndarray, bs: int) -> np.ndarray:
