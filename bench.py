@@ -36,8 +36,9 @@ def main() -> int:
 
     t0 = time.perf_counter()
     total_bytes = 0
-    for f in frames:
+    for f in frames:          # async: device queues up
         enc.send_picture(f)
+    for _ in frames:          # host entropy overlaps device work
         total_bytes += len(enc.get_packet().payload)
     dt = time.perf_counter() - t0
     fps = NFRAMES / dt

@@ -1,0 +1,643 @@
+// Host entropy backend: daala range coder + AV1 symbol layer in C++.
+//
+// Exact native twin of the Python reference implementation
+// (svt_av1_tpu/entropy/range_coder.py + syntax.py + pipeline/tile.py):
+// tests require byte-identical tile output.  The serial range coder is
+// the one part of the codec that cannot run on the TPU (SURVEY.md §7
+// "hard parts"); the reference runs it in the EntropyCoding pipeline
+// stage (EbEntropyCodingProcess.c) — here it is a per-tile C function
+// called once per frame, tile-parallel across host threads later.
+//
+// Build: g++ -O3 -shared -fPIC -o libsvtav1tpu_entropy.so entropy.cpp
+// ABI: plain C functions (ctypes); CDF tables are passed as one int32
+// blob whose layout is defined by TABLE_DIMS below and mirrored in
+// svt_av1_tpu/entropy/backend.py (single source of truth test-pinned).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Range encoder (od_ec semantics; twin of range_coder.RangeEncoder)
+// ---------------------------------------------------------------------------
+struct RangeEncoder {
+  uint32_t low = 0;
+  uint32_t rng = 0x8000;
+  int cnt = -9;
+  std::vector<uint16_t> precarry;
+
+  void normalize(uint32_t l, uint32_t r) {
+    int d = 16 - (32 - __builtin_clz(r));  // 16 - bit_length(r)
+    int c = cnt;
+    int s = c + d;
+    if (s >= 0) {
+      c += 16;
+      uint32_t m = (1u << c) - 1;
+      if (s >= 8) {
+        precarry.push_back(static_cast<uint16_t>(l >> c));
+        l &= m;
+        c -= 8;
+        m >>= 8;
+      }
+      precarry.push_back(static_cast<uint16_t>(l >> c));
+      s = c + d - 24;
+      l &= m;
+    }
+    low = l << d;
+    rng = (r << d) & 0xFFFF;
+    cnt = s;
+  }
+
+  void encode_symbol(int s, const int32_t* icdf, int nsyms) {
+    uint32_t l = low;
+    uint32_t r = rng;
+    uint32_t fl = s == 0 ? 32768u : static_cast<uint32_t>(icdf[s - 1]);
+    uint32_t fh = static_cast<uint32_t>(icdf[s]);
+    if (fl < 32768u) {
+      uint32_t u = (((r >> 8) * (fl >> 6)) >> 1) + 4u * (nsyms - s);
+      uint32_t v = (((r >> 8) * (fh >> 6)) >> 1) + 4u * (nsyms - s - 1);
+      l += r - u;
+      r = u - v;
+    } else {
+      r -= (((r >> 8) * (fh >> 6)) >> 1) + 4u * (nsyms - s - 1);
+    }
+    normalize(l, r);
+  }
+
+  void encode_bool(int val, uint32_t f) {
+    uint32_t l = low;
+    uint32_t r = rng;
+    uint32_t v = (((r >> 8) * (f >> 6)) >> 1) + 4u;
+    if (val) {
+      l += r - v;
+      r = v;
+    } else {
+      r -= v;
+    }
+    normalize(l, r);
+  }
+
+  long done(uint8_t* out, long cap) {
+    uint32_t l = low;
+    int c = cnt;
+    int s = 10 + c;
+    uint32_t m = 0x3FFF;
+    uint64_t e = ((static_cast<uint64_t>(l) + m) & ~static_cast<uint64_t>(m) &
+                  0xFFFFFFFFull) | (m + 1);
+    std::vector<uint16_t> pre = precarry;
+    if (s > 0) {
+      uint64_t n = (1ull << (c + 16)) - 1;
+      do {
+        pre.push_back(static_cast<uint16_t>((e >> (c + 16)) & 0xFFFF));
+        e &= n;
+        s -= 8;
+        c -= 8;
+        n >>= 8;
+      } while (s > 0);
+    }
+    if (static_cast<long>(pre.size()) > cap) return -1;
+    uint32_t carry = 0;
+    for (long i = static_cast<long>(pre.size()) - 1; i >= 0; --i) {
+      uint32_t v = pre[i] + carry;
+      out[i] = static_cast<uint8_t>(v & 0xFF);
+      carry = v >> 8;
+    }
+    return static_cast<long>(pre.size());
+  }
+};
+
+// spec §8.4 CDF update (twin of cdf_model.update_icdf)
+inline void update_icdf(int32_t* icdf, int val, int nsyms) {
+  static const int speed[17] = {0, 0, 1, 1, 2, 2, 2, 2, 2,
+                                2, 2, 2, 2, 2, 2, 2, 2};
+  int count = icdf[nsyms];
+  int rate = 3 + (count > 15) + (count > 31) + speed[nsyms];
+  int32_t tmp = 32768;
+  for (int i = 0; i < nsyms - 1; ++i) {
+    if (i == val) tmp = 0;
+    int32_t c = icdf[i];
+    icdf[i] = tmp < c ? c - ((c - tmp) >> rate) : c + ((tmp - c) >> rate);
+  }
+  icdf[nsyms] = count + (count < 32);
+}
+
+// ---------------------------------------------------------------------------
+// CDF table blob layout (mirrored in entropy/backend.py TABLE_DIMS)
+// ---------------------------------------------------------------------------
+struct Tables {
+  int32_t* kf_y_mode;     // [5][5][14]
+  int32_t* angle_delta;   // [8][8]
+  int32_t* uv_mode;       // [2][13][15]
+  int32_t* partition;     // [20][11]
+  int32_t* skip;          // [3][3]
+  int32_t* intra_ext_tx;  // [3][4][13][17]
+  int32_t* txb_skip;      // [5][13][3]
+  int32_t* dc_sign;       // [2][3][3]
+  int32_t* eob_extra;     // [5][2][22][3]
+  int32_t* coeff_br;      // [5][2][21][5]
+  int32_t* coeff_base;    // [5][2][42][5]
+  int32_t* coeff_base_eob;  // [5][2][4][4]
+  int32_t* eob_pt[7];     // 16..1024: [2][2][nsym+1], nsym = 5..11
+};
+
+constexpr long TABLE_SIZES[] = {
+    5 * 5 * 14, 8 * 8, 2 * 13 * 15, 20 * 11, 3 * 3, 3 * 4 * 13 * 17,
+    5 * 13 * 3, 2 * 3 * 3, 5 * 2 * 22 * 3, 5 * 2 * 21 * 5, 5 * 2 * 42 * 5,
+    5 * 2 * 4 * 4,
+    2 * 2 * 6, 2 * 2 * 7, 2 * 2 * 8, 2 * 2 * 9, 2 * 2 * 10, 2 * 2 * 11,
+    2 * 2 * 12,
+};
+constexpr int N_TABLES = sizeof(TABLE_SIZES) / sizeof(long);
+
+long total_table_size() {
+  long t = 0;
+  for (int i = 0; i < N_TABLES; ++i) t += TABLE_SIZES[i];
+  return t;
+}
+
+void bind_tables(Tables* t, int32_t* blob) {
+  int32_t* p = blob;
+  int32_t** slots[] = {
+      &t->kf_y_mode, &t->angle_delta, &t->uv_mode, &t->partition, &t->skip,
+      &t->intra_ext_tx, &t->txb_skip, &t->dc_sign, &t->eob_extra,
+      &t->coeff_br, &t->coeff_base, &t->coeff_base_eob,
+      &t->eob_pt[0], &t->eob_pt[1], &t->eob_pt[2], &t->eob_pt[3],
+      &t->eob_pt[4], &t->eob_pt[5], &t->eob_pt[6]};
+  for (int i = 0; i < N_TABLES; ++i) {
+    *slots[i] = p;
+    p += TABLE_SIZES[i];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Syntax constants (twins of entropy/syntax.py)
+// ---------------------------------------------------------------------------
+constexpr int PARTITION_NONE = 0, PARTITION_HORZ = 1, PARTITION_VERT = 2,
+              PARTITION_SPLIT = 3, PARTITION_HORZ_A = 4, PARTITION_HORZ_B = 5,
+              PARTITION_VERT_A = 6, PARTITION_VERT_B = 7, PARTITION_HORZ_4 = 8,
+              PARTITION_VERT_4 = 9;
+constexpr int V_PRED = 1, D67_PRED = 8, MAX_ANGLE_DELTA = 3;
+const int EOB_GROUP_START[12] = {0, 1, 2, 3, 5, 9, 17, 33, 65, 129, 257, 513};
+const int EOB_OFFSET_BITS[12] = {0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9};
+const uint8_t SKIP_CTX_TABLE[5][5] = {{1, 2, 2, 2, 3},
+                                      {1, 4, 4, 4, 5},
+                                      {1, 4, 4, 4, 5},
+                                      {1, 4, 4, 4, 5},
+                                      {1, 4, 4, 4, 6}};
+
+// ext-tx: intra set DTT4_IDTX (reduced) has 5 syms; DCT_DCT -> symbol 1
+// (EXT_TX_IND[2][0]); DTT4_IDTX_1DDCT (non-reduced) 7 syms, DCT_DCT -> 1.
+
+inline int bit_length(uint32_t x) { return x ? 32 - __builtin_clz(x) : 0; }
+
+void eob_pos_token(int eob, int* pt, int* extra) {
+  int t = eob < 3 ? eob : bit_length(static_cast<uint32_t>(eob - 1)) + 1;
+  *pt = t;
+  *extra = eob - EOB_GROUP_START[t];
+}
+
+void write_golomb(RangeEncoder* enc, int level) {
+  int x = level + 1;
+  int len = bit_length(static_cast<uint32_t>(x));
+  for (int i = 0; i < len - 1; ++i) enc->encode_bool(0, 16384);
+  for (int i = len - 1; i >= 0; --i)
+    enc->encode_bool((x >> i) & 1, 16384);
+}
+
+// zig-zag / diagonal scan generation (twin of tables.default_scan)
+void build_scan(int rows, int cols, int tx_class, int16_t* scan) {
+  if (tx_class == 2) {  // VERT -> mrow (raster)
+    for (int i = 0; i < rows * cols; ++i) scan[i] = static_cast<int16_t>(i);
+    return;
+  }
+  if (tx_class == 1) {  // HORIZ -> mcol (column-major)
+    int k = 0;
+    for (int c = 0; c < cols; ++c)
+      for (int r = 0; r < rows; ++r) scan[k++] = static_cast<int16_t>(r * cols + c);
+    return;
+  }
+  int k = 0;
+  for (int d = 0; d < rows + cols - 1; ++d) {
+    bool up = (rows == cols && d % 2 == 0) || rows < cols;
+    if (up) {
+      for (int r = std::min(d, rows - 1); r >= 0; --r) {
+        int c = d - r;
+        if (c >= 0 && c < cols) scan[k++] = static_cast<int16_t>(r * cols + c);
+      }
+    } else {
+      for (int r = 0; r < rows; ++r) {
+        int c = d - r;
+        if (c >= 0 && c < cols) scan[k++] = static_cast<int16_t>(r * cols + c);
+      }
+    }
+  }
+}
+
+// 2D-class base ctx offset rule (twin of syntax.nz_map_ctx_offset)
+inline int nz_offset_2d(int r, int c, int w, int h) {
+  if (r == 0 && c == 0) return 0;
+  if (w < h) return r < 2 ? 11 : (r + c < 4 ? 6 : 21);
+  if (w > h) return c < 2 ? 16 : (r + c < 4 ? 6 : 21);
+  return r + c < 2 ? 1 : (r + c < 4 ? 6 : 21);
+}
+
+constexpr int TX_PAD_HOR = 4, TX_PAD_TOP = 2, TX_PAD_BOTTOM = 4;
+
+struct LevelsBuf {  // padded |level| halo buffer
+  uint8_t buf[(32 + TX_PAD_TOP + TX_PAD_BOTTOM) * (32 + TX_PAD_HOR)];
+  int w, h, stride;
+  void init(const int32_t* lv, int width, int height) {
+    w = width;
+    h = height;
+    stride = width + TX_PAD_HOR;
+    std::memset(buf, 0, sizeof(buf[0]) * (h + TX_PAD_TOP + TX_PAD_BOTTOM) * stride);
+    uint8_t* p = buf + TX_PAD_TOP * stride;
+    for (int r = 0; r < h; ++r)
+      for (int c = 0; c < w; ++c) {
+        int32_t v = lv[r * w + c];
+        v = v < 0 ? -v : v;
+        p[r * stride + c] = static_cast<uint8_t>(std::min(v, 127));
+      }
+  }
+  inline uint8_t at(int r, int c) const {
+    return buf[(r + TX_PAD_TOP) * stride + c];
+  }
+};
+
+int base_ctx_at(const LevelsBuf& lb, int r, int c, int tx_class) {
+  int mag;
+  if (tx_class == 0) {
+    mag = std::min<int>(lb.at(r, c + 1), 3) + std::min<int>(lb.at(r + 1, c), 3) +
+          std::min<int>(lb.at(r, c + 2), 3) + std::min<int>(lb.at(r + 1, c + 1), 3) +
+          std::min<int>(lb.at(r + 2, c), 3);
+  } else if (tx_class == 1) {
+    mag = std::min<int>(lb.at(r, c + 1), 3) + std::min<int>(lb.at(r + 1, c), 3) +
+          std::min<int>(lb.at(r, c + 2), 3) + std::min<int>(lb.at(r, c + 3), 3) +
+          std::min<int>(lb.at(r, c + 4), 3);
+  } else {
+    mag = std::min<int>(lb.at(r, c + 1), 3) + std::min<int>(lb.at(r + 1, c), 3) +
+          std::min<int>(lb.at(r + 2, c), 3) + std::min<int>(lb.at(r + 3, c), 3) +
+          std::min<int>(lb.at(r + 4, c), 3);
+  }
+  int count = std::min((mag + 1) >> 1, 4);
+  if (tx_class == 0) return count + nz_offset_2d(r, c, lb.w, lb.h);
+  int band = std::min(tx_class == 1 ? c : r, 2);
+  return count + 26 + 5 * band;
+}
+
+int br_ctx_at(const LevelsBuf& lb, int r, int c, int tx_class) {
+  int mag = lb.at(r, c + 1) + lb.at(r + 1, c);
+  bool near;
+  if (tx_class == 0) {
+    mag += lb.at(r + 1, c + 1);
+    near = r < 2 && c < 2;
+  } else if (tx_class == 1) {
+    mag += lb.at(r, c + 2);
+    near = c == 0;
+  } else {
+    mag += lb.at(r + 2, c);
+    near = r == 0;
+  }
+  mag = std::min((mag + 1) >> 1, 6);
+  if (r == 0 && c == 0) return mag;
+  return mag + (near ? 7 : 14);
+}
+
+// ---------------------------------------------------------------------------
+// Tile writer (twin of pipeline/tile.py for P=8 uniform partition)
+// ---------------------------------------------------------------------------
+struct TileWriter {
+  int mi_rows, mi_cols, qindex;
+  bool reduced_tx_set;
+  Tables t;
+  std::vector<int32_t> blob;  // private CDF copy (adapts per tile)
+  RangeEncoder enc;
+  // neighbor state
+  std::vector<uint8_t> part_above, part_left;
+  std::vector<int8_t> y_modes, skips;        // mi grids
+  std::vector<uint8_t> lvl_above[3], lvl_left[3];
+  // per-frame data
+  const uint8_t* modes;
+  const int32_t *ly, *lu, *lvv;
+  int nbw;
+
+  void init(int mr, int mc, int q, int reduced, const int32_t* cdf_blob) {
+    mi_rows = mr;
+    mi_cols = mc;
+    qindex = q;
+    reduced_tx_set = reduced != 0;
+    blob.assign(cdf_blob, cdf_blob + total_table_size());
+    bind_tables(&t, blob.data());
+    part_above.assign(mc, 0);
+    part_left.assign(mr, 0);
+    y_modes.assign(static_cast<size_t>(mr) * mc, 0);
+    skips.assign(static_cast<size_t>(mr) * mc, 0);
+    int cr = (mr + 1) >> 1, cc = (mc + 1) >> 1;
+    lvl_above[0].assign(mc, 0);
+    lvl_left[0].assign(mr, 0);
+    for (int p = 1; p < 3; ++p) {
+      lvl_above[p].assign(cc, 0);
+      lvl_left[p].assign(cr, 0);
+    }
+  }
+
+  // --- contexts ---
+  int partition_ctx(int r4, int c4, int bsl) const {
+    int above = (part_above[c4] >> bsl) & 1;
+    int left = (part_left[r4] >> bsl) & 1;
+    return (left * 2 + above) + bsl * 4;
+  }
+
+  static const int INTRA_MODE_CTX[13];
+
+  void txb_ctx(int plane, int pr, int pc, int w4, int h4, int* skip_ctx,
+               int* dc_ctx) const {
+    const std::vector<uint8_t>& above = lvl_above[plane];
+    const std::vector<uint8_t>& left = lvl_left[plane];
+    bool have_above = pr > 0, have_left = pc > 0;
+    static const int signs[3] = {0, -1, 1};
+    int dc = 0;
+    if (have_above)
+      for (int i = 0; i < w4; ++i) dc += signs[above[pc + i] >> 6];
+    if (have_left)
+      for (int i = 0; i < h4; ++i) dc += signs[left[pr + i] >> 6];
+    *dc_ctx = dc > 0 ? 2 : (dc < 0 ? 1 : 0);
+    if (plane == 0) {
+      *skip_ctx = 0;  // full-block tx
+    } else {
+      int tnz = 0, lnz = 0;
+      if (have_above)
+        for (int i = 0; i < w4; ++i) tnz += above[pc + i] != 0;
+      if (have_left)
+        for (int i = 0; i < h4; ++i) lnz += left[pr + i] != 0;
+      *skip_ctx = (tnz != 0) + (lnz != 0) + 7;
+    }
+  }
+
+  void set_txb(int plane, int pr, int pc, int w4, int h4, int cul) {
+    for (int i = 0; i < w4; ++i) lvl_above[plane][pc + i] = static_cast<uint8_t>(cul);
+    for (int i = 0; i < h4; ++i) lvl_left[plane][pr + i] = static_cast<uint8_t>(cul);
+  }
+
+  // --- partition symbols ---
+  void write_partition(int r4, int c4, int n4, int p) {
+    int half = n4 >> 1;
+    bool has_rows = (r4 + half) < mi_rows;
+    bool has_cols = (c4 + half) < mi_cols;
+    int bsl = bit_length(static_cast<uint32_t>(n4 >> 1)) - 1;
+    int32_t* cdf = t.partition + partition_ctx(r4, c4, bsl) * 11;
+    int nsym = n4 == 2 ? 4 : (n4 == 32 ? 8 : 10);
+    if (!has_rows && !has_cols) return;
+    if (has_rows && has_cols) {
+      enc.encode_symbol(p, cdf, nsym);
+      update_icdf(cdf, p, nsym);
+      return;
+    }
+    auto prob = [&](int e) {
+      if (e >= nsym) return 0;
+      int hi = e == 0 ? 32768 : cdf[e - 1];
+      return hi - cdf[e];
+    };
+    int psum;
+    if (!has_rows) {
+      psum = prob(PARTITION_VERT) + prob(PARTITION_SPLIT) +
+             prob(PARTITION_HORZ_A) + prob(PARTITION_VERT_A) +
+             prob(PARTITION_VERT_B) + prob(PARTITION_VERT_4);
+    } else {
+      psum = prob(PARTITION_HORZ) + prob(PARTITION_SPLIT) +
+             prob(PARTITION_HORZ_A) + prob(PARTITION_HORZ_B) +
+             prob(PARTITION_VERT_A) + prob(PARTITION_HORZ_4);
+    }
+    int32_t bin[3] = {psum, 0, 0};
+    enc.encode_symbol(p == PARTITION_SPLIT ? 1 : 0, bin, 2);
+  }
+
+  // --- coefficients (twin of syntax.write_coeffs_txb) ---
+  int write_coeffs(const int32_t* lv, int w, int h, int txs_ctx, int plane_type,
+                   int tx_type, int skip_ctx, int dc_ctx, bool tx_type_flag,
+                   int y_mode) {
+    int tx_class = (tx_type == 10 || tx_type == 12 || tx_type == 14) ? 2
+                   : (tx_type == 11 || tx_type == 13 || tx_type == 15) ? 1 : 0;
+    int16_t scan[1024];
+    build_scan(h, w, tx_class, scan);
+    int n = w * h;
+    int eob = 0;
+    for (int i = n - 1; i >= 0; --i)
+      if (lv[scan[i]] != 0) {
+        eob = i + 1;
+        break;
+      }
+    int32_t* cdf = t.txb_skip + (txs_ctx * 13 + skip_ctx) * 3;
+    enc.encode_symbol(eob == 0 ? 1 : 0, cdf, 2);
+    update_icdf(cdf, eob == 0 ? 1 : 0, 2);
+    if (eob == 0) return 0;
+
+    if (tx_type_flag && plane_type == 0 && qindex > 0) {
+      // intra ext-tx (8x8/4x4: sqr_up <= 16): set DTT4_IDTX (reduced) or
+      // DTT4_IDTX_1DDCT; symbol for DCT_DCT is 1 in both.
+      int nsym = reduced_tx_set ? 5 : 7;
+      int eset = reduced_tx_set ? 2 : 1;
+      int sq = w >= 8 ? 1 : 0;  // txsize_sqr idx for 8x8/4x4
+      int32_t* c2 = t.intra_ext_tx + ((eset * 4 + sq) * 13 + y_mode) * 17;
+      static const int IND_DTT4_IDTX[16] = {1, 3, 4, 2, 0, 0, 0, 0,
+                                            0, 0, 0, 0, 0, 0, 0, 0};
+      static const int IND_DTT4_IDTX_1D[16] = {1, 5, 6, 4, 0, 0, 0, 0,
+                                               0, 0, 2, 3, 0, 0, 0, 0};
+      int s = reduced_tx_set ? IND_DTT4_IDTX[tx_type] : IND_DTT4_IDTX_1D[tx_type];
+      enc.encode_symbol(s, c2, nsym);
+      update_icdf(c2, s, nsym);
+    }
+
+    int pt, extra;
+    eob_pos_token(eob, &pt, &extra);
+    int ms = bit_length(static_cast<uint32_t>(n)) - 5;
+    int nsym = 5 + ms;
+    int32_t* ecdf = t.eob_pt[ms] +
+                    (plane_type * 2 + (tx_class == 0 ? 0 : 1)) * (nsym + 1);
+    enc.encode_symbol(pt - 1, ecdf, nsym);
+    update_icdf(ecdf, pt - 1, nsym);
+    int nbits = EOB_OFFSET_BITS[pt];
+    if (nbits > 0) {
+      int bit = (extra >> (nbits - 1)) & 1;
+      int32_t* xcdf = t.eob_extra + ((txs_ctx * 2 + plane_type) * 22 + pt) * 3;
+      enc.encode_symbol(bit, xcdf, 2);
+      update_icdf(xcdf, bit, 2);
+      for (int i = 1; i < nbits; ++i)
+        enc.encode_bool((extra >> (nbits - 1 - i)) & 1, 16384);
+    }
+
+    LevelsBuf lb;
+    lb.init(lv, w, h);
+
+    for (int ci = eob - 1; ci >= 0; --ci) {
+      int pos = scan[ci];
+      int row = pos / w, col = pos % w;
+      int32_t v = lv[pos];
+      int level = v < 0 ? -v : v;
+      if (ci == eob - 1) {
+        int ctx = ci == 0 ? 0 : (ci <= n / 8 ? 1 : (ci <= n / 4 ? 2 : 3));
+        int32_t* c2 = t.coeff_base_eob + ((txs_ctx * 2 + plane_type) * 4 + ctx) * 4;
+        int s = std::min(level, 3) - 1;
+        enc.encode_symbol(s, c2, 3);
+        update_icdf(c2, s, 3);
+      } else {
+        int ctx = base_ctx_at(lb, row, col, tx_class);
+        int32_t* c2 = t.coeff_base + ((txs_ctx * 2 + plane_type) * 42 + ctx) * 5;
+        int s = std::min(level, 3);
+        enc.encode_symbol(s, c2, 4);
+        update_icdf(c2, s, 4);
+      }
+      if (level > 2) {
+        int base_range = level - 3;
+        int ctx = br_ctx_at(lb, row, col, tx_class);
+        int32_t* c2 = t.coeff_br +
+                      ((std::min(txs_ctx, 3) * 2 + plane_type) * 21 + ctx) * 5;
+        for (int idx = 0; idx < 12; idx += 3) {
+          int k = std::min(base_range - idx, 3);
+          enc.encode_symbol(k, c2, 4);
+          update_icdf(c2, k, 4);
+          if (k < 3) break;
+        }
+      }
+    }
+
+    int cul = 0;
+    for (int ci = 0; ci < eob; ++ci) {
+      int pos = scan[ci];
+      int32_t v = lv[pos];
+      if (v == 0) continue;
+      int level = v < 0 ? -v : v;
+      cul += level;
+      int sign = v < 0 ? 1 : 0;
+      if (ci == 0) {
+        int32_t* c2 = t.dc_sign + (plane_type * 3 + dc_ctx) * 3;
+        enc.encode_symbol(sign, c2, 2);
+        update_icdf(c2, sign, 2);
+      } else {
+        enc.encode_bool(sign, 16384);
+      }
+      if (level > 14) write_golomb(&enc, level - 15);
+    }
+    cul = std::min(cul, 63);
+    if (lv[0] < 0)
+      cul |= 1 << 6;
+    else if (lv[0] > 0)
+      cul += 2 << 6;
+    return cul;
+  }
+
+  // --- block (8x8 leaf) ---
+  void write_block(int r4, int c4) {
+    int br = r4 >> 1, bc = c4 >> 1;
+    int y_mode = modes[br * nbw + bc];
+    const int32_t* l0 = ly + (static_cast<long>(br) * nbw + bc) * 64;
+    const int32_t* l1 = lu + (static_cast<long>(br) * nbw + bc) * 16;
+    const int32_t* l2 = lvv + (static_cast<long>(br) * nbw + bc) * 16;
+    bool skip = true;
+    for (int i = 0; i < 64 && skip; ++i) skip = l0[i] == 0;
+    for (int i = 0; i < 16 && skip; ++i) skip = l1[i] == 0 && l2[i] == 0;
+
+    // skip flag
+    int above = r4 > 0 ? skips[(r4 - 1) * mi_cols + c4] : 0;
+    int left = c4 > 0 ? skips[r4 * mi_cols + c4 - 1] : 0;
+    int32_t* cdf = t.skip + (above + left) * 3;
+    enc.encode_symbol(skip ? 1 : 0, cdf, 2);
+    update_icdf(cdf, skip ? 1 : 0, 2);
+
+    // y mode
+    int am = r4 > 0 ? y_modes[(r4 - 1) * mi_cols + c4] : 0;
+    int lm = c4 > 0 ? y_modes[r4 * mi_cols + c4 - 1] : 0;
+    cdf = t.kf_y_mode + (INTRA_MODE_CTX[am] * 5 + INTRA_MODE_CTX[lm]) * 14;
+    enc.encode_symbol(y_mode, cdf, 13);
+    update_icdf(cdf, y_mode, 13);
+    if (y_mode >= V_PRED && y_mode <= D67_PRED) {
+      cdf = t.angle_delta + (y_mode - V_PRED) * 8;
+      enc.encode_symbol(MAX_ANGLE_DELTA, cdf, 7);
+      update_icdf(cdf, MAX_ANGLE_DELTA, 7);
+    }
+    // uv mode (DC, cfl allowed)
+    cdf = t.uv_mode + (1 * 13 + y_mode) * 15;
+    enc.encode_symbol(0, cdf, 14);
+    update_icdf(cdf, 0, 14);
+
+    // grids + partition neighbor bytes
+    for (int i = 0; i < 2; ++i) {
+      for (int j = 0; j < 2; ++j) {
+        y_modes[(r4 + i) * mi_cols + c4 + j] = static_cast<int8_t>(y_mode);
+        skips[(r4 + i) * mi_cols + c4 + j] = skip ? 1 : 0;
+      }
+    }
+    part_above[c4] = part_above[c4 + 1] = 32 - 2;
+    part_left[r4] = part_left[r4 + 1] = 32 - 2;
+
+    // residuals
+    const int32_t* lvs[3] = {l0, l1, l2};
+    for (int plane = 0; plane < 3; ++plane) {
+      int pr = plane ? r4 >> 1 : r4;
+      int pc = plane ? c4 >> 1 : c4;
+      int w4 = plane ? 1 : 2;
+      if (skip) {
+        set_txb(plane, pr, pc, w4, w4, 0);
+        continue;
+      }
+      int sctx, dctx;
+      txb_ctx(plane, pr, pc, w4, w4, &sctx, &dctx);
+      int bs = plane ? 4 : 8;
+      int txs_ctx = plane ? 0 : 1;
+      int cul = write_coeffs(lvs[plane], bs, bs, txs_ctx, plane ? 1 : 0, 0,
+                             sctx, dctx, plane == 0, y_mode);
+      set_txb(plane, pr, pc, w4, w4, cul);
+    }
+  }
+
+  void partition(int r4, int c4, int n4) {
+    if (r4 >= mi_rows || c4 >= mi_cols) return;
+    if (n4 == 2) {
+      write_partition(r4, c4, n4, PARTITION_NONE);
+      write_block(r4, c4);
+      return;
+    }
+    write_partition(r4, c4, n4, PARTITION_SPLIT);
+    int half = n4 >> 1;
+    partition(r4, c4, half);
+    partition(r4, c4 + half, half);
+    partition(r4 + half, c4, half);
+    partition(r4 + half, c4 + half, half);
+  }
+
+  long encode(const uint8_t* m, const int32_t* y, const int32_t* u,
+              const int32_t* v, int bh, int bw, uint8_t* out, long cap) {
+    modes = m;
+    ly = y;
+    lu = u;
+    lvv = v;
+    nbw = bw;
+    (void)bh;
+    for (int r4 = 0; r4 < mi_rows; r4 += 16)
+      for (int c4 = 0; c4 < mi_cols; c4 += 16) partition(r4, c4, 16);
+    return enc.done(out, cap);
+  }
+};
+
+const int TileWriter::INTRA_MODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+
+}  // namespace
+
+extern "C" {
+
+long svt_tile_blob_size() { return total_table_size(); }
+
+long svt_encode_tile(int mi_rows, int mi_cols, int qindex, int reduced_tx_set,
+                     const int32_t* cdf_blob, const uint8_t* modes,
+                     const int32_t* ly, const int32_t* lu, const int32_t* lv,
+                     int nbh, int nbw, uint8_t* out, long out_cap) {
+  TileWriter tw;
+  tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
+  return tw.encode(modes, ly, lu, lv, nbh, nbw, out, out_cap);
+}
+
+}  // extern "C"

@@ -1,0 +1,95 @@
+"""Native entropy backend loader: builds/loads csrc/entropy.cpp via ctypes.
+
+The CDF blob layout here and csrc/entropy.cpp TABLE_SIZES are the two
+copies of one contract; test_entropy_backend pins them against each other
+(and pins C++ tile output byte-identical to the Python TileWriter).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from svt_av1_tpu.entropy.cdf_model import FrameContext
+
+_CSRC = Path(__file__).parents[2] / "csrc" / "entropy.cpp"
+_SO = Path(__file__).parent / "libsvtav1tpu_entropy.so"
+
+# (FrameContext attribute, indexer) in blob order — must match C++ Tables
+_TABLE_ORDER = [
+    "kf_y_mode", "angle_delta", "uv_mode", "partition", "skip",
+    "intra_ext_tx", "txb_skip", "dc_sign", "eob_extra", "coeff_br",
+    "coeff_base", "coeff_base_eob",
+    ("eob_pt", 16), ("eob_pt", 32), ("eob_pt", 64), ("eob_pt", 128),
+    ("eob_pt", 256), ("eob_pt", 512), ("eob_pt", 1024),
+]
+
+
+def build_blob(fc: FrameContext) -> np.ndarray:
+    parts = []
+    for entry in _TABLE_ORDER:
+        arr = fc.eob_pt[entry[1]] if isinstance(entry, tuple) \
+            else getattr(fc, entry)
+        parts.append(np.ascontiguousarray(arr, np.int32).ravel())
+    return np.concatenate(parts)
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    if not _SO.exists() or _SO.stat().st_mtime < _CSRC.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", str(_SO), str(_CSRC)],
+            check=True, capture_output=True)
+    lib = ctypes.CDLL(str(_SO))
+    lib.svt_tile_blob_size.restype = ctypes.c_long
+    lib.svt_encode_tile.restype = ctypes.c_long
+    lib.svt_encode_tile.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+    ]
+    return lib
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except Exception:
+        return False
+
+
+def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
+                    modes: np.ndarray, levels_y: np.ndarray,
+                    levels_u: np.ndarray, levels_v: np.ndarray,
+                    reduced_tx_set: bool = True) -> bytes:
+    lib = _lib()
+    blob = build_blob(fc)
+    assert blob.size == lib.svt_tile_blob_size(), \
+        (blob.size, lib.svt_tile_blob_size())
+    nbh, nbw = levels_y.shape[:2]
+    m = np.ascontiguousarray(modes, np.uint8)
+    ly = np.ascontiguousarray(levels_y, np.int32)
+    lu = np.ascontiguousarray(levels_u, np.int32)
+    lv = np.ascontiguousarray(levels_v, np.int32)
+    cap = mi_rows * mi_cols * 256 + (1 << 16)  # ~16 bytes per pixel worst case
+    out = np.empty(cap, np.uint8)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = lib.svt_encode_tile(
+        mi_rows, mi_cols, qindex, int(reduced_tx_set),
+        p(blob, ctypes.c_int32), p(m, ctypes.c_uint8),
+        p(ly, ctypes.c_int32), p(lu, ctypes.c_int32), p(lv, ctypes.c_int32),
+        nbh, nbw, p(out, ctypes.c_uint8), cap)
+    if n < 0:
+        raise RuntimeError("tile buffer overflow")
+    return bytes(out[:n])

@@ -47,6 +47,7 @@ class Encoder:
                                     config.bit_depth, config.sb_size)
         self._frame_idx = 0
         self._packets: list[Packet] = []
+        self._pending: list = []
 
     # -- ref eb_svt_enc_stream_header ------------------------------------------
     def stream_header(self) -> bytes:
@@ -54,14 +55,36 @@ class Encoder:
 
     # -- ref eb_svt_enc_send_picture ---------------------------------------------
     def send_picture(self, frame: Frame) -> None:
+        """Queues the picture: device work is dispatched asynchronously and
+        completes while the host entropy-codes earlier frames (the
+        reference's pipelined-stages behavior; packets come from
+        get_packet, which may block — EbSvtAv1Enc.h eb_svt_get_packet)."""
         cfg = self.cfg
         qindex = _qp_to_qindex(cfg.qp)
-        dev = IE.encode_frame_device(frame.y, frame.u, frame.v, qindex,
-                                     self.seq.mi_rows, self.seq.mi_cols)
+        out, nbh, nbw = IE.dispatch_frame_device(
+            frame.y, frame.u, frame.v, qindex,
+            self.seq.mi_rows, self.seq.mi_cols)
+        self._pending.append((frame, out, nbh, nbw, qindex))
+
+    def _finish_one(self) -> None:
+        cfg = self.cfg
+        frame, out, nbh, nbw, qindex = self._pending.pop(0)
+        dev = IE.materialize_frame(out, nbh, nbw)
         fc = FrameContext(qindex)
-        tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
-        tile = tw.encode(dev["modes"], dev["levels_y"], dev["levels_u"],
-                         dev["levels_v"])
+        tile = None
+        if cfg.entropy_backend in ("auto", "cpp"):
+            from svt_av1_tpu.entropy import backend as native
+            if native.available():
+                tile = native.encode_tile_cpp(
+                    fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
+                    dev["modes"].astype(np.uint8), dev["levels_y"],
+                    dev["levels_u"], dev["levels_v"])
+            elif cfg.entropy_backend == "cpp":
+                raise RuntimeError("C++ entropy backend unavailable")
+        if tile is None:
+            tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
+            tile = tw.encode(dev["modes"], dev["levels_y"], dev["levels_u"],
+                             dev["levels_v"])
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2)
@@ -83,10 +106,14 @@ class Encoder:
 
     # -- ref eb_svt_get_packet ----------------------------------------------------
     def get_packet(self) -> Optional[Packet]:
+        if not self._packets and self._pending:
+            self._finish_one()
         return self._packets.pop(0) if self._packets else None
 
     # -- ref eb_svt_get_recon ------------------------------------------------------
     def get_recon(self) -> Optional[Frame]:
+        if not self._packets and self._pending:
+            self._finish_one()
         return self._packets[0].recon if self._packets else None
 
     def encode_all(self, frames) -> Iterator[Packet]:

@@ -130,8 +130,13 @@ def frame_step(nbh: int, nbw: int, qindex: int):
         ry, ru, rv, modes, ly, lu, lv = jax.lax.fori_loop(
             0, ndiag, body, (ry, ru, rv, modes, ly, lu, lv))
         trim = lambda a: a[:nbh, :nbw]
-        return (trim(modes), trim(ly), trim(lu), trim(lv),
-                trim(ry), trim(ru), trim(rv))
+        # narrow dtypes before leaving the device: levels fit int16,
+        # recon/modes fit uint8 — 2-4x less host<->device traffic
+        return (trim(modes).astype(jnp.uint8),
+                trim(ly).astype(jnp.int16), trim(lu).astype(jnp.int16),
+                trim(lv).astype(jnp.int16),
+                trim(ry).astype(jnp.uint8), trim(ru).astype(jnp.uint8),
+                trim(rv).astype(jnp.uint8))
 
     return step
 
@@ -161,21 +166,27 @@ def pad_plane(plane: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
     return np.pad(plane, ((0, target_h - h), (0, target_w - w)), mode="edge")
 
 
-def encode_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                        qindex: int, mi_rows: int, mi_cols: int):
-    """Run the device encoder on one 8-bit 4:2:0 frame.
+def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                          qindex: int, mi_rows: int, mi_cols: int):
+    """Asynchronously dispatch the device encode; returns (jax outputs,
+    nbh, nbw).  JAX's async dispatch keeps the device busy while the host
+    runs the entropy stage of earlier frames — the TPU equivalent of the
+    reference's pipelined process stages."""
+    import jax.numpy as jnp
 
-    Returns numpy dict with per-block modes/levels/recon (padded geometry).
-    """
     pw, ph = mi_cols * 4, mi_rows * 4
     nbh, nbw = ph // LUMA_BS, pw // LUMA_BS
-    sy = block_planes(pad_plane(y.astype(np.int32), ph, pw), LUMA_BS)
-    su = block_planes(pad_plane(u.astype(np.int32), ph // 2, pw // 2),
+    sy = block_planes(pad_plane(y.astype(np.uint8), ph, pw), LUMA_BS)
+    su = block_planes(pad_plane(u.astype(np.uint8), ph // 2, pw // 2),
                       CHROMA_BS)
-    sv = block_planes(pad_plane(v.astype(np.int32), ph // 2, pw // 2),
+    sv = block_planes(pad_plane(v.astype(np.uint8), ph // 2, pw // 2),
                       CHROMA_BS)
     fn = build_frame_encoder(nbh, nbw, qindex)
     out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
+    return out, nbh, nbw
+
+
+def materialize_frame(out, nbh: int, nbw: int):
     modes, ly, lu, lv, ry, ru, rv = (np.asarray(a) for a in out)
     return {
         "modes": modes, "levels_y": ly, "levels_u": lu, "levels_v": lv,
@@ -183,3 +194,10 @@ def encode_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         "recon_v": unblock_planes(rv),
         "nbh": nbh, "nbw": nbw,
     }
+
+
+def encode_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                        qindex: int, mi_rows: int, mi_cols: int):
+    """Synchronous convenience wrapper: dispatch + materialize."""
+    out, nbh, nbw = dispatch_frame_device(y, u, v, qindex, mi_rows, mi_cols)
+    return materialize_frame(out, nbh, nbw)
