@@ -26,13 +26,15 @@ def main() -> int:
     from svt_av1_tpu.io.yuv import synthetic_frame
     from svt_av1_tpu.pipeline.encoder import Encoder
 
-    W, H, QP, NFRAMES = 854, 480, 40, 8
-    enc = Encoder(EncoderConfig(width=W, height=H, qp=QP))
+    W, H, QP, NFRAMES = 854, 480, 40, 32
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=QP, device_batch=16))
     frames = [synthetic_frame(W, H, seed=i) for i in range(NFRAMES)]
 
-    # warmup (compile)
-    enc.send_picture(frames[0])
-    enc.get_packet()
+    # warmup (compile the batched step at the same batch size)
+    for f in frames[:16]:
+        enc.send_picture(f)
+    for _ in range(16):
+        enc.get_packet()
 
     t0 = time.perf_counter()
     total_bytes = 0

@@ -73,6 +73,8 @@ class EncoderConfig:
     intra_modes: Tuple[str, ...] = ("DC", "V", "H", "SMOOTH", "PAETH")
     use_pallas: bool = True           # Pallas kernels where available
     entropy_backend: str = "auto"     # "auto" | "cpp" | "python"
+    device_batch: int = 1             # frames encoded per device dispatch
+                                      # (multi-stream/lookahead batching)
 
     # --- observability (ref stat_report EbSvtAv1Enc.h:343) ---
     stat_report: bool = False

@@ -13,6 +13,7 @@ Dataflow per frame (replaces the reference's 15-thread pipeline):
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -47,7 +48,8 @@ class Encoder:
                                     config.bit_depth, config.sb_size)
         self._frame_idx = 0
         self._packets: list[Packet] = []
-        self._pending: list = []
+        self._pending: list = []   # dispatched device batches
+        self._inbox: list[Frame] = []  # frames awaiting dispatch
 
     # -- ref eb_svt_enc_stream_header ------------------------------------------
     def stream_header(self) -> bytes:
@@ -59,17 +61,39 @@ class Encoder:
         completes while the host entropy-codes earlier frames (the
         reference's pipelined-stages behavior; packets come from
         get_packet, which may block — EbSvtAv1Enc.h eb_svt_get_packet)."""
-        cfg = self.cfg
-        qindex = _qp_to_qindex(cfg.qp)
-        out, nbh, nbw = IE.dispatch_frame_device(
-            frame.y, frame.u, frame.v, qindex,
-            self.seq.mi_rows, self.seq.mi_cols)
-        self._pending.append((frame, out, nbh, nbw, qindex))
+        self._inbox.append(frame)
+        if len(self._inbox) >= max(1, self.cfg.device_batch):
+            self._dispatch_inbox()
+
+    def _dispatch_inbox(self) -> None:
+        if not self._inbox:
+            return
+        qindex = _qp_to_qindex(self.cfg.qp)
+        frames, self._inbox = self._inbox, []
+        out, nbh, nbw = IE.dispatch_batch_device(
+            frames, qindex, self.seq.mi_rows, self.seq.mi_cols)
+        self._pending.append((frames, out, nbh, nbw, qindex))
 
     def _finish_one(self) -> None:
+        frames, out, nbh, nbw, qindex = self._pending.pop(0)
+        devs = IE.materialize_batch(out, nbh, nbw)
+        if len(frames) > 1:
+            # frames are entropy-independent: tile-code them across host
+            # threads (the C coder releases the GIL) — the TPU analog of
+            # the reference's pooled EntropyCoding processes
+            with ThreadPoolExecutor(max_workers=min(8, len(frames))) as ex:
+                pkts = list(ex.map(
+                    lambda fd: self._make_packet(fd[0], fd[1], qindex),
+                    zip(frames, devs)))
+        else:
+            pkts = [self._make_packet(frames[0], devs[0], qindex)]
+        for p in pkts:
+            p.pts = self._frame_idx
+            self._frame_idx += 1
+            self._packets.append(p)
+
+    def _make_packet(self, frame: Frame, dev: dict, qindex: int) -> Packet:
         cfg = self.cfg
-        frame, out, nbh, nbw, qindex = self._pending.pop(0)
-        dev = IE.materialize_frame(out, nbh, nbw)
         fc = FrameContext(qindex)
         tile = None
         if cfg.entropy_backend in ("auto", "cpp"):
@@ -100,20 +124,23 @@ class Encoder:
             dev["recon_v"][: (self.seq.height + 1) // 2,
                            : (self.seq.width + 1) // 2].astype(np.uint8))
         psnr = _psnr(frame, recon) if cfg.stat_report else None
-        self._packets.append(Packet(payload, self._frame_idx, True,
-                                    recon, psnr))
-        self._frame_idx += 1
+        return Packet(payload, -1, True, recon, psnr)
+
+    def _refill(self) -> None:
+        if not self._packets:
+            if not self._pending and self._inbox:
+                self._dispatch_inbox()  # flush a partial batch
+            if self._pending:
+                self._finish_one()
 
     # -- ref eb_svt_get_packet ----------------------------------------------------
     def get_packet(self) -> Optional[Packet]:
-        if not self._packets and self._pending:
-            self._finish_one()
+        self._refill()
         return self._packets.pop(0) if self._packets else None
 
     # -- ref eb_svt_get_recon ------------------------------------------------------
     def get_recon(self) -> Optional[Frame]:
-        if not self._packets and self._pending:
-            self._finish_one()
+        self._refill()
         return self._packets[0].recon if self._packets else None
 
     def encode_all(self, frames) -> Iterator[Packet]:

@@ -147,6 +147,50 @@ def build_frame_encoder(nbh: int, nbw: int, qindex: int):
     return jax.jit(frame_step(nbh, nbw, qindex))
 
 
+@functools.lru_cache(maxsize=8)
+def build_batch_frame_encoder(nbh: int, nbw: int, qindex: int):
+    """Jit-compiled multi-frame encode step: vmap over a leading frame
+    axis.  Amortizes per-step fixed cost across independent frames —
+    the TPU counterpart of the reference's multi-picture-in-flight
+    pooled stages / multi-channel batching (EbAppMain.c:196-215)."""
+    return jax.jit(jax.vmap(frame_step(nbh, nbw, qindex)))
+
+
+def dispatch_batch_device(frames, qindex: int, mi_rows: int, mi_cols: int):
+    """Asynchronously dispatch a batch of same-geometry frames."""
+    import jax.numpy as jnp
+
+    pw, ph = mi_cols * 4, mi_rows * 4
+    nbh, nbw = ph // LUMA_BS, pw // LUMA_BS
+    sy = np.stack([block_planes(pad_plane(f.y.astype(np.uint8), ph, pw),
+                                LUMA_BS) for f in frames])
+    su = np.stack([block_planes(
+        pad_plane(f.u.astype(np.uint8), ph // 2, pw // 2), CHROMA_BS)
+        for f in frames])
+    sv = np.stack([block_planes(
+        pad_plane(f.v.astype(np.uint8), ph // 2, pw // 2), CHROMA_BS)
+        for f in frames])
+    fn = build_batch_frame_encoder(nbh, nbw, qindex)
+    out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
+    return out, nbh, nbw
+
+
+def materialize_batch(out, nbh: int, nbw: int):
+    arrs = [np.asarray(a) for a in out]
+    g = arrs[0].shape[0]
+    return [
+        {
+            "modes": arrs[0][i], "levels_y": arrs[1][i],
+            "levels_u": arrs[2][i], "levels_v": arrs[3][i],
+            "recon_y": unblock_planes(arrs[4][i]),
+            "recon_u": unblock_planes(arrs[5][i]),
+            "recon_v": unblock_planes(arrs[6][i]),
+            "nbh": nbh, "nbw": nbw,
+        }
+        for i in range(g)
+    ]
+
+
 def block_planes(plane: np.ndarray, bs: int) -> np.ndarray:
     """[H, W] -> [H/bs, W/bs, bs, bs] block grid."""
     h, w = plane.shape
