@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from svt_av1_tpu.entropy import mvp as MVP
 from svt_av1_tpu.entropy import obu as O
 from svt_av1_tpu.entropy import syntax as S
 from svt_av1_tpu.entropy.cdf_model import FrameContext, update_icdf
@@ -17,8 +18,10 @@ from svt_av1_tpu.entropy.range_coder import RangeDecoder
 from svt_av1_tpu.io.ivf import IvfReader
 from svt_av1_tpu.io.yuv import Frame
 from svt_av1_tpu.ops import intra
+from svt_av1_tpu.ops import mc as MC
 from svt_av1_tpu.ops import quant as Q
 from svt_av1_tpu.ops import transforms as T
+from svt_av1_tpu.pipeline.inter_encoder import SEARCH_RANGE
 from svt_av1_tpu.pipeline.tile import (LEAF_MI, SB_MI, read_partition_symbol)
 from svt_av1_tpu.utils.bits import BitReader
 
@@ -26,6 +29,8 @@ from svt_av1_tpu.utils.bits import BitReader
 class Decoder:
     def __init__(self) -> None:
         self.seq: O.SequenceParams | None = None
+        # 8 reference slots of decoded padded planes (spec ref frame store)
+        self.ref_slots: list = [None] * 8
 
     # -- containers -------------------------------------------------------------
     def decode_ivf(self, fh) -> list[Frame]:
@@ -65,10 +70,29 @@ class Decoder:
         self.tc = S.TileContexts(mi_rows, mi_cols)
         self.fp = fp
         self.dec = RangeDecoder(tile_data)
+        self.is_inter_frame = not fp.is_intra
+        if self.is_inter_frame:
+            self.mi = MVP.MiInter(mi_rows, mi_cols)
+            # LAST..ALTREF all map through ref_frame_idx to ref slots
+            ref = self.ref_slots[fp.ref_frame_idx[0]]
+            assert ref is not None, "missing reference frame"
+            # padded luma + half-pel-phase chroma planes (must mirror the
+            # encoder's MC exactly: pipeline.inter_encoder)
+            cpad = SEARCH_RANGE // 2 + 1
+            self.ref_y_pad = np.pad(ref[0], SEARCH_RANGE, mode="edge")
+            self.ref_uv_phases = [
+                MC.halfpel_planes(np, MC.pad_for_filter(np, ref[p], cpad))
+                for p in (1, 2)]
 
         for r4 in range(0, mi_rows, SB_MI):
             for c4 in range(0, mi_cols, SB_MI):
                 self._partition(r4, c4, SB_MI)
+
+        # reference update (spec decode_frame_wrapup refresh)
+        planes = tuple(p.copy() for p in self.rec)
+        for slot in range(8):
+            if (fp.refresh_frame_flags >> slot) & 1:
+                self.ref_slots[slot] = planes
 
         y = self.rec[0][: sp.height, : sp.width].astype(np.uint8)
         ch, cw = (sp.height + 1) // 2, (sp.width + 1) // 2
@@ -83,7 +107,10 @@ class Decoder:
         if n4 == LEAF_MI:
             p = read_partition_symbol(self.dec, self.fc, tc, r4, c4, n4)
             assert p == S.PARTITION_NONE, f"unsupported partition {p} at 8x8"
-            self._block(r4, c4)
+            if self.is_inter_frame:
+                self._inter_block(r4, c4)
+            else:
+                self._block(r4, c4)
             return
         p = read_partition_symbol(self.dec, self.fc, tc, r4, c4, n4)
         assert p == S.PARTITION_SPLIT, \
@@ -93,6 +120,78 @@ class Decoder:
         self._partition(r4, c4 + half, half)
         self._partition(r4 + half, c4, half)
         self._partition(r4 + half, c4 + half, half)
+
+    def _inter_block(self, r4: int, c4: int) -> None:
+        dec, fc, tc, mi = self.dec, self.fc, self.tc, self.mi
+
+        ctx = tc.skip_ctx(r4, c4)
+        cdf = fc.skip[ctx]
+        skip = dec.decode_symbol(cdf, 2)
+        update_icdf(cdf, skip, 2)
+
+        is_inter = S.code_is_inter(None, dec, fc, mi, tc, r4, c4)
+        assert is_inter, "intra blocks in inter frames not yet supported"
+        counts = S.neighbor_ref_counts(mi, tc, r4, c4)
+        ref = S.code_single_ref(None, dec, fc, counts)
+        assert ref == MVP.LAST_FRAME, f"only LAST supported, got {ref}"
+
+        res = MVP.find_mv_stack(mi, r4, c4, LEAF_MI, LEAF_MI)
+        mode = S.code_inter_mode(None, dec, fc, res)
+        if mode in (S.NEWMV, S.NEARMV):
+            ref_mv_idx = S.code_drl_idx(None, dec, fc, res, mode)
+        else:
+            ref_mv_idx = 0
+        if mode == S.NEWMV:
+            pred_mv = MVP.lower_mv_precision(res.stack[ref_mv_idx][0])
+            mv8 = S.code_mv(None, dec, fc, pred_mv)
+        elif mode == S.NEARESTMV:
+            mv8 = MVP.lower_mv_precision(res.stack[0][0])
+        elif mode == S.NEARMV:
+            mv8 = MVP.lower_mv_precision(res.stack[ref_mv_idx + 1][0])
+        else:
+            mv8 = res.global_mv
+
+        tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, S.DC_PRED, skip)
+        mi.set_block(r4, c4, LEAF_MI, LEAF_MI, is_inter=True, ref_frame=ref,
+                     mode=mode, mv=mv8)
+
+        assert mv8[0] % 8 == 0 and mv8[1] % 8 == 0, \
+            "subpel luma MVs not yet supported"
+        fr, fcol = mv8[0] // 8, mv8[1] // 8
+        for plane, tx_size in enumerate((T.TX_8X8, T.TX_4X4, T.TX_4X4)):
+            pr = r4 >> (plane > 0)
+            pc = c4 >> (plane > 0)
+            w4 = LEAF_MI >> (plane > 0)
+            bs = 8 if plane == 0 else 4
+            if skip:
+                levels = np.zeros((bs, bs), np.int32)
+                tc.set_txb(plane, pr, pc, w4, w4, 0)
+            else:
+                txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
+                                             full_block_tx=True,
+                                             larger_block=False)
+                levels, cul, _ = S.read_coeffs_txb(
+                    dec, fc, tx_size, int(plane > 0), txb_ctx, dc_ctx,
+                    read_tx_type=True, reduced_tx_set=self.fp.reduced_tx_set,
+                    allow_tx_type=self.fp.base_q_idx > 0, is_inter=True)
+                tc.set_txb(plane, pr, pc, w4, w4, cul)
+
+            py, px = pr * 4, pc * 4
+            if plane == 0:
+                r0 = py + SEARCH_RANGE + fr
+                c0 = px + SEARCH_RANGE + fcol
+                pred = self.ref_y_pad[r0 : r0 + bs, c0 : c0 + bs]
+            else:
+                cpad = SEARCH_RANGE // 2 + 1
+                phase = (fr & 1) * 2 + (fcol & 1)
+                r0 = py + cpad + (fr >> 1)
+                c0 = px + cpad + (fcol >> 1)
+                pred = self.ref_uv_phases[plane - 1][phase][
+                    r0 : r0 + bs, c0 : c0 + bs]
+            dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size)
+            resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)
+            self.rec[plane][py : py + bs, px : px + bs] = np.clip(
+                pred + resid, 0, 255)
 
     def _block(self, r4: int, c4: int) -> None:
         dec, fc, tc = self.dec, self.fc, self.tc

@@ -84,6 +84,29 @@ class FrameContext:
         self.intra_ext_tx = conv(t["default_intra_ext_tx_cdf"])    # [3][4][13][17]
         self.tx_size = conv(t["default_tx_size_cdf"])              # [4][3][4]
 
+        # inter mode info (ref init_mode_probs, EbCabacContextModel.c:964+)
+        self.y_mode = conv(t["default_if_y_mode_cdf"])             # [4][14]
+        self.newmv = conv(t["default_newmv_cdf"])                  # [6][3]
+        self.zeromv = conv(t["default_zeromv_cdf"])                # [2][3]
+        self.refmv = conv(t["default_refmv_cdf"])                  # [6][3]
+        self.drl = conv(t["default_drl_cdf"])                      # [3][3]
+        self.intra_inter = conv(t["default_intra_inter_cdf"])      # [4][3]
+        self.single_ref = conv(t["default_single_ref_cdf"])        # [3][6][3]
+        self.comp_inter = conv(t["default_comp_inter_cdf"])        # [5][3]
+        self.skip_mode = conv(t["default_skip_mode_cdfs"])         # [3][3]
+        self.switchable_interp = conv(t["default_switchable_interp_cdf"])
+        self.inter_ext_tx = conv(t["default_inter_ext_tx_cdf"])    # [4][4][17]
+        # MV coding (nmv_context; ref EbCabacContextModel.c:899)
+        self.nmv_joints = conv(t["nmv_joints"][None])[0]           # [5]
+        self.nmv_classes = conv(t["nmv_classes"])                  # [2][12]
+        self.nmv_class0_fp = conv(t["nmv_class0_fp"])              # [2][2][5]
+        self.nmv_fp = conv(t["nmv_fp"])                            # [2][5]
+        self.nmv_sign = conv(t["nmv_sign"])                        # [2][3]
+        self.nmv_class0_hp = conv(t["nmv_class0_hp"])              # [2][3]
+        self.nmv_hp = conv(t["nmv_hp"])                            # [2][3]
+        self.nmv_class0 = conv(t["nmv_class0"])                    # [2][3]
+        self.nmv_bits = conv(t["nmv_bits"])                        # [2][10][3]
+
         # coefficient coding (q-dependent defaults)
         self.txb_skip = conv(t["av1_default_txb_skip_cdfs"][qctx])       # [5][13][3]
         self.dc_sign = conv(t["av1_default_dc_sign_cdfs"][qctx])         # [2][3][3]

@@ -136,6 +136,10 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     return SequenceParams(width, height)
 
 
+KEY_FRAME, INTER_FRAME = 0, 1
+PRIMARY_REF_NONE = 7
+
+
 @dataclass
 class FrameParams:
     base_q_idx: int
@@ -144,6 +148,13 @@ class FrameParams:
     tx_mode_select: int = 0         # 0 = TX_MODE_LARGEST
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
+    frame_type: int = KEY_FRAME
+    refresh_frame_flags: int = 0xFF   # inter frames refresh slot0 only
+    ref_frame_idx: tuple = (0,) * 7   # all LAST..ALTREF -> slot 0
+
+    @property
+    def is_intra(self) -> bool:
+        return self.frame_type == KEY_FRAME
 
 
 def _tile_log2(blk_size: int, target: int) -> int:
@@ -211,14 +222,28 @@ def _parse_tile_info(r: BitReader, sp: SequenceParams) -> tuple[int, int]:
 
 
 def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
-    """uncompressed_header() for a shown intra keyframe."""
+    """uncompressed_header() for a shown keyframe or single-ref inter frame
+    (spec 5.9.2; ref WriteFrameHeaderObu EbEntropyCoding.c:4214)."""
     w = BitWriter()
     w.f(0, 1)                    # show_existing_frame
-    w.f(0, 2)                    # frame_type = KEY_FRAME
+    w.f(fp.frame_type, 2)
     w.f(1, 1)                    # show_frame
+    if not fp.is_intra:
+        w.f(0, 1)                # error_resilient_mode
     w.f(int(fp.disable_cdf_update), 1)
     w.f(0, 1)                    # frame_size_override_flag
-    w.f(0, 1)                    # render_and_frame_size_different
+    if not fp.is_intra:
+        w.f(PRIMARY_REF_NONE, 3)  # primary_ref_frame (CDF reset per frame)
+        w.f(fp.refresh_frame_flags, 8)
+        for i in range(7):
+            w.f(fp.ref_frame_idx[i], 3)
+        w.f(0, 1)                # render_and_frame_size_different
+        w.f(0, 1)                # allow_high_precision_mv
+        w.f(0, 1)                # is_filter_switchable
+        w.f(0, 2)                # interpolation_filter = EIGHTTAP_REGULAR
+        w.f(0, 1)                # is_motion_mode_switchable
+    else:
+        w.f(0, 1)                # render_and_frame_size_different
     if not fp.disable_cdf_update:
         w.f(0, 1)                # disable_frame_end_update_cdf
     _tile_info_bits(w, sp, fp)
@@ -238,17 +263,40 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     w.f(0, 1)                    # loop_filter_delta_enabled
     # cdef/lr: disabled in sequence -> no bits
     w.f(fp.tx_mode_select, 1)    # read_tx_mode (0 = LARGEST)
+    if not fp.is_intra:
+        w.f(0, 1)                # reference_select (single ref only)
+    # skip_mode_params: skip mode never allowed (no order hints) -> no bits
+    # allow_warped_motion: seq disabled -> no bit
     w.f(int(fp.reduced_tx_set), 1)
+    if not fp.is_intra:
+        for _ in range(7):
+            w.f(0, 1)            # global_motion_params: is_global = 0
     return w
 
 
 def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
     assert r.f(1) == 0, "show_existing_frame unsupported"
-    assert r.f(2) == 0, "only KEY_FRAME supported"
+    frame_type = r.f(2)
+    assert frame_type in (KEY_FRAME, INTER_FRAME), frame_type
+    is_intra = frame_type == KEY_FRAME
     assert r.f(1) == 1, "show_frame"
+    if not is_intra:
+        assert r.f(1) == 0, "error_resilient_mode"
     disable_cdf_update = bool(r.f(1))
     assert r.f(1) == 0  # frame_size_override
-    assert r.f(1) == 0  # render size
+    refresh = 0xFF
+    ref_idx = (0,) * 7
+    if not is_intra:
+        assert r.f(3) == PRIMARY_REF_NONE, "primary_ref_frame"
+        refresh = r.f(8)
+        ref_idx = tuple(r.f(3) for _ in range(7))
+        assert r.f(1) == 0  # render size
+        assert r.f(1) == 0  # allow_high_precision_mv
+        assert r.f(1) == 0  # is_filter_switchable
+        assert r.f(2) == 0  # interpolation_filter
+        assert r.f(1) == 0  # is_motion_mode_switchable
+    else:
+        assert r.f(1) == 0  # render size
     if not disable_cdf_update:
         assert r.f(1) == 0  # disable_frame_end_update_cdf
     cols_log2, rows_log2 = _parse_tile_info(r, sp)
@@ -262,9 +310,15 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
     r.f(3)
     assert r.f(1) == 0  # lf delta enabled
     tx_mode_select = r.f(1)
+    if not is_intra:
+        assert r.f(1) == 0  # reference_select
     reduced_tx_set = bool(r.f(1))
+    if not is_intra:
+        for _ in range(7):
+            assert r.f(1) == 0  # is_global
     return FrameParams(base_q_idx, disable_cdf_update, reduced_tx_set,
-                       tx_mode_select, cols_log2, rows_log2)
+                       tx_mode_select, cols_log2, rows_log2, frame_type,
+                       refresh, ref_idx)
 
 
 def write_frame_obu(sp: SequenceParams, fp: FrameParams,

@@ -415,7 +415,7 @@ def write_coeffs_txb(enc, fc: FrameContext, levels2d: np.ndarray, tx_size: int,
                      plane_type: int, tx_type: int, txb_skip_ctx: int,
                      dc_sign_ctx: int, *, write_tx_type: bool = False,
                      y_mode: int = 0, reduced_tx_set: bool = True,
-                     allow_tx_type: bool = True) -> int:
+                     allow_tx_type: bool = True, is_inter: bool = False) -> int:
     """Write one transform block's coefficients; returns cul_level word."""
     w, h = adjusted_dims(tx_size)
     txs_ctx = tx_size_ctx(tx_size)
@@ -433,7 +433,7 @@ def write_coeffs_txb(enc, fc: FrameContext, levels2d: np.ndarray, tx_size: int,
 
     if write_tx_type and plane_type == 0:
         _code_tx_type(enc, None, fc, tx_size, tx_type, y_mode, reduced_tx_set,
-                      allow_tx_type)
+                      allow_tx_type, is_inter)
 
     # eob position token
     eob_pt, extra = eob_pos_token(eob)
@@ -503,8 +503,8 @@ def write_coeffs_txb(enc, fc: FrameContext, levels2d: np.ndarray, tx_size: int,
 def read_coeffs_txb(dec, fc: FrameContext, tx_size: int, plane_type: int,
                     txb_skip_ctx: int, dc_sign_ctx: int, *,
                     read_tx_type: bool = False, y_mode: int = 0,
-                    reduced_tx_set: bool = True, allow_tx_type: bool = True
-                    ) -> tuple[np.ndarray, int, int]:
+                    reduced_tx_set: bool = True, allow_tx_type: bool = True,
+                    is_inter: bool = False) -> tuple[np.ndarray, int, int]:
     """Mirror of write_coeffs_txb: returns (levels2d, cul_level, tx_type)."""
     # tx type is DCT_DCT unless signaled
     tx_type = 0
@@ -519,7 +519,7 @@ def read_coeffs_txb(dec, fc: FrameContext, tx_size: int, plane_type: int,
 
     if read_tx_type and plane_type == 0:
         tx_type = _code_tx_type(None, dec, fc, tx_size, 0, y_mode,
-                                reduced_tx_set, allow_tx_type)
+                                reduced_tx_set, allow_tx_type, is_inter)
     tx_class = tx_class_of(tx_type)
     scan = scan_for(w, h, tx_class)
 
@@ -589,15 +589,25 @@ def read_coeffs_txb(dec, fc: FrameContext, tx_size: int, plane_type: int,
 
 
 def _code_tx_type(enc, dec, fc: FrameContext, tx_size: int, tx_type: int,
-                  y_mode: int, reduced_tx_set: bool, allow: bool) -> int:
+                  y_mode: int, reduced_tx_set: bool, allow: bool,
+                  is_inter: bool = False) -> int:
     """Paired tx-type write/read (ref Av1WriteTxType)."""
-    set_type = intra_tx_set_type(tx_size, reduced_tx_set)
+    if is_inter:
+        set_type = inter_tx_set_type(tx_size, reduced_tx_set)
+    else:
+        set_type = intra_tx_set_type(tx_size, reduced_tx_set)
     if NUM_EXT_TX_SET[set_type] <= 1 or not allow:
         return 0
-    eset = EXT_TX_SET_TO_INTRA_ESET[set_type]
     sq = txsize_sqr(tx_size)
     nsym = NUM_EXT_TX_SET[set_type]
-    cdf = fc.intra_ext_tx[eset][sq][y_mode]
+    if is_inter:
+        # ext_tx_set_index[inter] (ref EbDefinitions.h:1507-1512)
+        eset = {EXT_TX_SET_ALL16: 1, EXT_TX_SET_DTT9_IDTX_1DDCT: 2,
+                EXT_TX_SET_DCT_IDTX: 3}[set_type]
+        cdf = fc.inter_ext_tx[eset][sq]
+    else:
+        eset = EXT_TX_SET_TO_INTRA_ESET[set_type]
+        cdf = fc.intra_ext_tx[eset][sq][y_mode]
     if enc is not None:
         s = EXT_TX_IND[set_type][tx_type]
         enc.encode_symbol(s, cdf, nsym)
@@ -606,6 +616,17 @@ def _code_tx_type(enc, dec, fc: FrameContext, tx_size: int, tx_type: int,
     s = dec.decode_symbol(cdf, nsym)
     update_icdf(cdf, s, nsym)
     return EXT_TX_INV[set_type][s]
+
+
+def inter_tx_set_type(tx_size: int, reduced_tx_set: bool) -> int:
+    """ref get_ext_tx_set_type, inter branch (EbDefinitions.h:1481)."""
+    squp = txsize_sqr_up(tx_size)
+    if squp > 3:
+        return EXT_TX_SET_DCTONLY
+    if squp == 3 or reduced_tx_set:
+        return EXT_TX_SET_DCT_IDTX
+    return (EXT_TX_SET_DTT9_IDTX_1DDCT if txsize_sqr(tx_size) == 2
+            else EXT_TX_SET_ALL16)
 
 
 def _write_golomb(enc, level: int) -> None:
@@ -627,3 +648,229 @@ def _read_golomb(dec) -> int:
     for _ in range(length):
         x = (x << 1) | dec.decode_bool(16384)
     return x - 1
+
+
+# =============================================================================
+# Inter block syntax (paired write/read; ref EbEntropyCoding.c inter path:
+# EncodePredModeAv1 :1231, WriteRefFrames :2420, WriteInterMode :1610,
+# WriteDrlIdx :1641, av1_encode_mv :1747, Av1CollectNeighborsRefCounts :2154)
+# =============================================================================
+
+from svt_av1_tpu.entropy import mvp as _mvp  # noqa: E402 (cycle-free)
+
+NEARESTMV, NEARMV, GLOBALMV, NEWMV = (
+    _mvp.NEARESTMV, _mvp.NEARMV, _mvp.GLOBALMV, _mvp.NEWMV)
+
+MV_CLASSES = 11
+CLASS0_BITS = 1
+CLASS0_SIZE = 1 << CLASS0_BITS
+
+
+def _code_bin(enc, dec, cdf, val=None) -> int:
+    if enc is not None:
+        enc.encode_symbol(int(val), cdf, 2)
+        update_icdf(cdf, int(val), 2)
+        return int(val)
+    v = dec.decode_symbol(cdf, 2)
+    update_icdf(cdf, v, 2)
+    return v
+
+
+def _code_sym(enc, dec, cdf, nsym, val=None) -> int:
+    if enc is not None:
+        enc.encode_symbol(int(val), cdf, nsym)
+        update_icdf(cdf, int(val), nsym)
+        return int(val)
+    v = dec.decode_symbol(cdf, nsym)
+    update_icdf(cdf, v, nsym)
+    return v
+
+
+def intra_inter_ctx(mi: "_mvp.MiInter", tc: TileContexts, r: int, c: int) -> int:
+    """ref EncodePredModeAv1 context (EbEntropyCoding.c:1247-1263)."""
+    has_above = r > 0 and tc.mi_sizes[r - 1, c] >= 0
+    has_left = c > 0 and tc.mi_sizes[r, c - 1] >= 0
+    above_intra = has_above and not mi.is_inter[r - 1, c]
+    left_intra = has_left and not mi.is_inter[r, c - 1]
+    if has_above and has_left:
+        return 3 if (above_intra and left_intra) else int(above_intra or left_intra)
+    if has_above:
+        return 2 * int(above_intra)
+    if has_left:
+        return 2 * int(left_intra)
+    return 0
+
+
+def code_is_inter(enc, dec, fc: FrameContext, mi, tc: TileContexts,
+                  r: int, c: int, is_inter=None) -> int:
+    cdf = fc.intra_inter[intra_inter_ctx(mi, tc, r, c)]
+    return _code_bin(enc, dec, cdf, is_inter)
+
+
+def neighbor_ref_counts(mi: "_mvp.MiInter", tc: TileContexts,
+                        r: int, c: int) -> np.ndarray:
+    """ref Av1CollectNeighborsRefCounts: top/left single-mi refs."""
+    counts = np.zeros(8, np.int32)
+    if r > 0 and tc.mi_sizes[r - 1, c] >= 0 and mi.is_inter[r - 1, c]:
+        counts[int(mi.ref_frame[r - 1, c])] += 1
+    if c > 0 and tc.mi_sizes[r, c - 1] >= 0 and mi.is_inter[r, c - 1]:
+        counts[int(mi.ref_frame[r, c - 1])] += 1
+    return counts
+
+
+def _ref_ctx(a: int, b: int) -> int:
+    return 1 if a == b else (0 if a < b else 2)
+
+
+def code_single_ref(enc, dec, fc: FrameContext, counts: np.ndarray,
+                    ref: int | None = None) -> int:
+    """Single-ref tree, LAST..ALTREF (ref WriteRefFrames single path).
+    counts = neighbor_ref_counts.  ref frames: 1..7 (LAST..ALTREF)."""
+    LA, L2, L3, GD, BW, A2, AL = 1, 2, 3, 4, 5, 6, 7
+    fwd = int(counts[LA] + counts[L2] + counts[L3] + counts[GD])
+    bwd = int(counts[BW] + counts[A2] + counts[AL])
+    p1 = _ref_ctx(fwd, bwd)
+    bit0 = _code_bin(enc, dec, fc.single_ref[p1][0],
+                     None if ref is None else int(ref >= BW))
+    if bit0:
+        p2 = _ref_ctx(int(counts[BW] + counts[A2]), int(counts[AL]))
+        bit1 = _code_bin(enc, dec, fc.single_ref[p2][1],
+                         None if ref is None else int(ref == AL))
+        if bit1:
+            return AL
+        p6 = _ref_ctx(int(counts[BW]), int(counts[A2]))
+        bit5 = _code_bin(enc, dec, fc.single_ref[p6][5],
+                         None if ref is None else int(ref == A2))
+        return A2 if bit5 else BW
+    p3 = _ref_ctx(int(counts[LA] + counts[L2]), int(counts[L3] + counts[GD]))
+    bit2 = _code_bin(enc, dec, fc.single_ref[p3][2],
+                     None if ref is None else int(ref in (L3, GD)))
+    if not bit2:
+        p4 = _ref_ctx(int(counts[LA]), int(counts[L2]))
+        bit3 = _code_bin(enc, dec, fc.single_ref[p4][3],
+                         None if ref is None else int(ref != LA))
+        return L2 if bit3 else LA
+    p5 = _ref_ctx(int(counts[L3]), int(counts[GD]))
+    bit4 = _code_bin(enc, dec, fc.single_ref[p5][4],
+                     None if ref is None else int(ref != L3))
+    return GD if bit4 else L3
+
+
+def code_inter_mode(enc, dec, fc: FrameContext, res, mode=None) -> int:
+    """Single-ref inter mode bins (ref WriteInterMode)."""
+    b0 = _code_bin(enc, dec, fc.newmv[res.newmv_ctx],
+                   None if mode is None else int(mode != NEWMV))
+    if not b0:
+        return NEWMV
+    b1 = _code_bin(enc, dec, fc.zeromv[res.zeromv_ctx],
+                   None if mode is None else int(mode != GLOBALMV))
+    if not b1:
+        return GLOBALMV
+    b2 = _code_bin(enc, dec, fc.refmv[res.refmv_ctx],
+                   None if mode is None else int(mode != NEARESTMV))
+    return NEARMV if b2 else NEARESTMV
+
+
+def code_drl_idx(enc, dec, fc: FrameContext, res, mode: int,
+                 drl_idx=None) -> int:
+    """ref WriteDrlIdx; returns ref_mv_idx."""
+    out = 0 if drl_idx is None else drl_idx
+    if mode == NEWMV:
+        for idx in range(2):
+            if res.num_mv_found > idx + 1:
+                bit = _code_bin(enc, dec, fc.drl[res.drl_ctx(idx)],
+                                None if drl_idx is None else int(drl_idx != idx))
+                if not bit:
+                    return idx
+                out = idx + 1
+        return out
+    if mode == NEARMV:
+        for idx in range(1, 3):
+            if res.num_mv_found > idx + 1:
+                bit = _code_bin(
+                    enc, dec, fc.drl[res.drl_ctx(idx)],
+                    None if drl_idx is None else int(drl_idx != idx - 1))
+                if not bit:
+                    return idx - 1
+                out = idx
+        return out
+    return 0
+
+
+def _mv_class_of(z: int) -> int:
+    """ref av1_get_mv_class: z = |comp| - 1."""
+    if z >= CLASS0_SIZE * 4096:
+        return 10
+    return max(0, (z >> 3).bit_length() - 1)
+
+
+def _mv_class_base(c: int) -> int:
+    return 0 if c == 0 else CLASS0_SIZE << (c + 2)
+
+
+def _code_mv_component(enc, dec, fc: FrameContext, comp_idx: int,
+                       precision: int, comp=None) -> int:
+    """ref encode_mv_component / decoder mirror.  precision: 0 none
+    (integer), 1 low (1/4 pel), 2 high (1/8 pel)."""
+    if enc is not None:
+        sign = int(comp < 0)
+        mag = -comp if sign else comp
+        z = mag - 1
+        mv_class = _mv_class_of(z)
+        offset = z - _mv_class_base(mv_class)
+        d = offset >> 3
+        fr = (offset >> 1) & 3
+        hp = offset & 1
+    else:
+        sign = mv_class = d = fr = hp = None
+    sign = _code_bin(enc, dec, fc.nmv_sign[comp_idx], sign)
+    mv_class = _code_sym(enc, dec, fc.nmv_classes[comp_idx], MV_CLASSES,
+                         mv_class)
+    if mv_class == 0:
+        d = _code_sym(enc, dec, fc.nmv_class0[comp_idx], CLASS0_SIZE, d)
+    else:
+        n = mv_class + CLASS0_BITS - 1
+        if enc is not None:
+            for i in range(n):
+                _code_bin(enc, dec, fc.nmv_bits[comp_idx][i], (d >> i) & 1)
+        else:
+            d = 0
+            for i in range(n):
+                d |= _code_bin(enc, dec, fc.nmv_bits[comp_idx][i]) << i
+    if precision > 0:
+        cdf = (fc.nmv_class0_fp[comp_idx][d] if mv_class == 0
+               else fc.nmv_fp[comp_idx])
+        fr = _code_sym(enc, dec, cdf, 4, fr)
+    else:
+        fr = 3
+    if precision > 1:
+        cdf = (fc.nmv_class0_hp[comp_idx] if mv_class == 0
+               else fc.nmv_hp[comp_idx])
+        hp = _code_bin(enc, dec, cdf, hp)
+    else:
+        hp = 1
+    if enc is not None:
+        return comp
+    mag = _mv_class_base(mv_class) + (d << 3) + (fr << 1) + hp + 1
+    return -mag if sign else mag
+
+
+def code_mv(enc, dec, fc: FrameContext, ref_mv, mv=None, *,
+            allow_hp: bool = False, force_integer: bool = False
+            ) -> tuple[int, int]:
+    """Paired av1_encode_mv / read_mv.  mv/ref_mv are (row, col) 1/8 pel."""
+    precision = 0 if force_integer else (2 if allow_hp else 1)
+    if enc is not None:
+        diff = (mv[0] - ref_mv[0], mv[1] - ref_mv[1])
+        j = (2 if diff[0] else 0) | (1 if diff[1] else 0)
+        # joint: 0 zero, 1 h-only, 2 v-only, 3 both (ref av1_get_mv_joint_diff)
+        _code_sym(enc, None, fc.nmv_joints, 4, j)
+        if j & 2:
+            _code_mv_component(enc, None, fc, 0, precision, diff[0])
+        if j & 1:
+            _code_mv_component(enc, None, fc, 1, precision, diff[1])
+        return tuple(mv)
+    j = _code_sym(None, dec, fc.nmv_joints, 4)
+    dr = _code_mv_component(None, dec, fc, 0, precision) if j & 2 else 0
+    dc_ = _code_mv_component(None, dec, fc, 1, precision) if j & 1 else 0
+    return (ref_mv[0] + dr, ref_mv[1] + dc_)

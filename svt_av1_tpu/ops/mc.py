@@ -1,0 +1,125 @@
+"""Inter prediction / motion compensation (AV1 convolve semantics).
+
+Implements the normative single-reference convolve paths
+(ref av1_convolve_2d_sr_c / av1_convolve_x_sr_c / av1_convolve_y_sr_c /
+av1_convolve_2d_copy_sr_c, EbInterPrediction.c:131-260) with
+EIGHTTAP_REGULAR kernels (sub_pel_filters_8, EbInterPrediction.c:107) and
+8-bit conv params round_0=3, round_1=11.
+
+TPU-first formulation: instead of per-block subpel filtering (the
+reference filters each block at its own phase), we pre-filter the WHOLE
+reference plane once per needed subpel phase and then motion compensation
+becomes a pure gather — ideal for XLA (dense convs + static-shape
+gathers, no per-block control flow).  With full-pel luma MVs the luma
+needs only phase 0 (copy); chroma needs phases {0, 8}^2 (half-pel), i.e.
+4 filtered planes.
+
+All functions are written against a generic array module ``xp`` (numpy
+for the mirror decoder, jax.numpy for the device encoder) so encoder and
+decoder share one arithmetic definition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from svt_av1_tpu import tables
+
+FILTER_BITS = 7
+ROUND0, ROUND1 = 3, 11  # 8-bit conv params (ref get_conv_params)
+BD = 8
+
+
+@functools.lru_cache(maxsize=None)
+def regular_kernel(phase: int) -> tuple:
+    """8-tap EIGHTTAP_REGULAR kernel for subpel phase 0..15."""
+    k = tables.spec_tables()["subpel_filters_regular"][phase]
+    return tuple(int(v) for v in k)
+
+
+def _conv_h(xp, src, kernel):
+    """Horizontal 8-tap over an int32 plane; taps span [x-3, x+4]."""
+    out = None
+    for k, c in enumerate(kernel):
+        term = c * src[:, k : src.shape[1] - 7 + k]
+        out = term if out is None else out + term
+    return out
+
+
+def _conv_v(xp, src, kernel):
+    out = None
+    for k, c in enumerate(kernel):
+        term = c * src[k : src.shape[0] - 7 + k, :]
+        out = term if out is None else out + term
+    return out
+
+
+def _round_shift(x, n: int):
+    return (x + (1 << (n - 1))) >> n
+
+
+def filter_plane(xp, plane, phase_x: int, phase_y: int):
+    """Filter a whole (already padded) plane at one subpel phase.
+
+    ``plane`` is int32 [H+7, W+7]: the caller pads with a 3-pixel
+    top/left and 4-pixel bottom/right halo (filter taps span [-3, 4]).
+    Returns uint8-range int32 [H, W] matching the reference convolve
+    output pixel-for-pixel for every aligned position.
+    """
+    if phase_x == 0 and phase_y == 0:
+        return plane[3 : plane.shape[0] - 4, 3 : plane.shape[1] - 4]
+    if phase_y == 0:
+        # ref av1_convolve_x_sr_c: res>>round_0 then >>(FILTER_BITS-round_0)
+        src = plane[3 : plane.shape[0] - 4, :]
+        res = _conv_h(xp, src, regular_kernel(phase_x))
+        res = _round_shift(res, ROUND0)
+        res = _round_shift(res, FILTER_BITS - ROUND0)
+        return xp.clip(res, 0, 255)
+    if phase_x == 0:
+        # ref av1_convolve_y_sr_c: single >>FILTER_BITS
+        src = plane[:, 3 : plane.shape[1] - 4]
+        res = _conv_v(xp, src, regular_kernel(phase_y))
+        res = _round_shift(res, FILTER_BITS)
+        return xp.clip(res, 0, 255)
+    # ref av1_convolve_2d_sr_c
+    offset0 = 1 << (BD + FILTER_BITS - 1)
+    im = _round_shift(_conv_h(xp, plane, regular_kernel(phase_x)) + offset0,
+                      ROUND0)
+    offset_bits = BD + 2 * FILTER_BITS - ROUND0
+    res = _round_shift(_conv_v(xp, im, regular_kernel(phase_y))
+                       + (1 << offset_bits), ROUND1)
+    res = res - ((1 << (BD - 1)) + (1 << (BD - 2)))  # offset removal
+    # bits = 2*FILTER_BITS - ROUND0 - ROUND1 == 0: no final shift
+    return xp.clip(res, 0, 255)
+
+
+def halfpel_planes(xp, plane_padded):
+    """The 4 {0,8}x{0,8}-phase filtered planes of one padded plane.
+
+    Returns [4, H, W] indexed by (phase_y//8)*2 + (phase_x//8) — all the
+    phases reachable by chroma when luma MVs are full-pel.
+    """
+    return xp.stack([
+        filter_plane(xp, plane_padded, 0, 0),
+        filter_plane(xp, plane_padded, 8, 0),
+        filter_plane(xp, plane_padded, 0, 8),
+        filter_plane(xp, plane_padded, 8, 8),
+    ])
+
+
+def pad_for_filter(xp, plane, pad: int):
+    """Edge-replicate pad by (pad+3) left/top and (pad+4) right/bottom.
+
+    ``pad`` is the motion search range in pixels; +3/+4 is the 8-tap
+    halo.  Gathers into the result at [y+pad+3, x+pad+3] + mv stay in
+    bounds for |mv| <= pad.  Mirrors the reference's reference-picture
+    border extension (ref EbPictureBufferDesc padding + clamp_mv_ref).
+    """
+    if xp is np:
+        return np.pad(plane.astype(np.int32),
+                      ((pad + 3, pad + 4), (pad + 3, pad + 4)), mode="edge")
+    import jax.numpy as jnp
+    return jnp.pad(plane.astype(jnp.int32),
+                   ((pad + 3, pad + 4), (pad + 3, pad + 4)), mode="edge")

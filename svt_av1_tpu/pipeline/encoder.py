@@ -22,6 +22,7 @@ from svt_av1_tpu.config import EncoderConfig
 from svt_av1_tpu.entropy import obu as O
 from svt_av1_tpu.entropy.cdf_model import FrameContext
 from svt_av1_tpu.io.yuv import Frame
+from svt_av1_tpu.pipeline import inter_encoder as PE
 from svt_av1_tpu.pipeline import intra_encoder as IE
 from svt_av1_tpu.pipeline.tile import TileWriter
 
@@ -41,15 +42,23 @@ class Encoder:
 
     def __init__(self, config: EncoderConfig) -> None:
         config.validate()
-        if not config.intra_only:
-            raise NotImplementedError("round 1: intra-only coding")
         self.cfg = config
         self.seq = O.SequenceParams(config.width, config.height,
                                     config.bit_depth, config.sb_size)
         self._frame_idx = 0
+        self._send_idx = 0
         self._packets: list[Packet] = []
         self._pending: list = []   # dispatched device batches
         self._inbox: list[Frame] = []  # frames awaiting dispatch
+        self._ref_dev = None       # device recon planes of the last frame
+
+    def _is_key(self, idx: int) -> bool:
+        p = self.cfg.intra_period
+        if p == -2:
+            return True
+        if p == -1:
+            return idx == 0
+        return idx % (p + 1) == 0
 
     # -- ref eb_svt_enc_stream_header ------------------------------------------
     def stream_header(self) -> bytes:
@@ -61,9 +70,12 @@ class Encoder:
         completes while the host entropy-codes earlier frames (the
         reference's pipelined-stages behavior; packets come from
         get_packet, which may block — EbSvtAv1Enc.h eb_svt_get_packet)."""
-        self._inbox.append(frame)
-        if len(self._inbox) >= max(1, self.cfg.device_batch):
-            self._dispatch_inbox()
+        if self.cfg.intra_only:
+            self._inbox.append(frame)
+            if len(self._inbox) >= max(1, self.cfg.device_batch):
+                self._dispatch_inbox()
+        else:
+            self._dispatch_one(frame)
 
     def _dispatch_inbox(self) -> None:
         if not self._inbox:
@@ -72,25 +84,81 @@ class Encoder:
         frames, self._inbox = self._inbox, []
         out, nbh, nbw = IE.dispatch_batch_device(
             frames, qindex, self.seq.mi_rows, self.seq.mi_cols)
-        self._pending.append((frames, out, nbh, nbw, qindex))
+        self._pending.append(("batch", frames, out, nbh, nbw, qindex))
+
+    def _dispatch_one(self, frame: Frame) -> None:
+        """IPPP chain: keyframes via the wavefront intra path, P frames via
+        the bulk-parallel inter path; recon planes stay device-resident
+        between frames (no host round-trip along the reference chain)."""
+        import jax.numpy as jnp
+
+        qindex = _qp_to_qindex(self.cfg.qp)
+        key = self._is_key(self._send_idx)
+        self._send_idx += 1
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        if key or self._ref_dev is None:
+            out, nbh, nbw = IE.dispatch_frame_device(
+                frame.y, frame.u, frame.v, qindex,
+                self.seq.mi_rows, self.seq.mi_cols)
+            self._ref_dev = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
+            self._pending.append(("key", [frame], out, nbh, nbw, qindex))
+        else:
+            sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8), ph, pw))
+            su = jnp.asarray(IE.pad_plane(
+                frame.u.astype(np.uint8), ph // 2, pw // 2))
+            sv = jnp.asarray(IE.pad_plane(
+                frame.v.astype(np.uint8), ph // 2, pw // 2))
+            fn = PE.build_p_frame_encoder(ph, pw, qindex)
+            out = fn(sy, su, sv, *self._ref_dev)
+            self._ref_dev = (out[4], out[5], out[6])
+            self._pending.append(("p", [frame], out, None, None, qindex))
 
     def _finish_one(self) -> None:
-        frames, out, nbh, nbw, qindex = self._pending.pop(0)
-        devs = IE.materialize_batch(out, nbh, nbw)
-        if len(frames) > 1:
-            # frames are entropy-independent: tile-code them across host
-            # threads (the C coder releases the GIL) — the TPU analog of
-            # the reference's pooled EntropyCoding processes
-            with ThreadPoolExecutor(max_workers=min(8, len(frames))) as ex:
-                pkts = list(ex.map(
-                    lambda fd: self._make_packet(fd[0], fd[1], qindex),
-                    zip(frames, devs)))
+        kind, frames, out, nbh, nbw, qindex = self._pending.pop(0)
+        if kind == "p":
+            pkts = [self._make_inter_packet(frames[0], out, qindex)]
         else:
-            pkts = [self._make_packet(frames[0], devs[0], qindex)]
+            if kind == "key":
+                devs = [IE.materialize_frame(out, nbh, nbw)]
+            else:
+                devs = IE.materialize_batch(out, nbh, nbw)
+            if len(frames) > 1:
+                # frames are entropy-independent: tile-code them across host
+                # threads (the C coder releases the GIL) — the TPU analog of
+                # the reference's pooled EntropyCoding processes
+                with ThreadPoolExecutor(max_workers=min(8, len(frames))) as ex:
+                    pkts = list(ex.map(
+                        lambda fd: self._make_packet(fd[0], fd[1], qindex),
+                        zip(frames, devs)))
+            else:
+                pkts = [self._make_packet(frames[0], devs[0], qindex)]
         for p in pkts:
             p.pts = self._frame_idx
             self._frame_idx += 1
             self._packets.append(p)
+
+    def _make_inter_packet(self, frame: Frame, out, qindex: int) -> Packet:
+        cfg = self.cfg
+        mv, ly, lu, lv, ry, ru, rv = (np.asarray(a) for a in out)
+        fc = FrameContext(qindex)
+        tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
+        tile = tw.encode_inter(mv.astype(np.int32), ly.astype(np.int32),
+                               lu.astype(np.int32), lv.astype(np.int32))
+        fp = O.FrameParams(base_q_idx=qindex,
+                           tile_cols_log2=cfg.tile_columns_log2,
+                           tile_rows_log2=cfg.tile_rows_log2,
+                           frame_type=O.INTER_FRAME,
+                           refresh_frame_flags=0x01)
+        payload = (O.temporal_delimiter()
+                   + O.write_frame_obu(self.seq, fp, tile))
+        recon = Frame(
+            ry[: self.seq.height, : self.seq.width].astype(np.uint8),
+            ru[: (self.seq.height + 1) // 2,
+               : (self.seq.width + 1) // 2].astype(np.uint8),
+            rv[: (self.seq.height + 1) // 2,
+               : (self.seq.width + 1) // 2].astype(np.uint8))
+        psnr = _psnr(frame, recon) if cfg.stat_report else None
+        return Packet(payload, -1, False, recon, psnr)
 
     def _make_packet(self, frame: Frame, dev: dict, qindex: int) -> Packet:
         cfg = self.cfg
@@ -148,6 +216,12 @@ class Encoder:
         for f in frames:
             self.send_picture(f)
             yield self.get_packet()
+
+
+def _unblock_dev(blocks):
+    """[nbh, nbw, bs, bs] device block grid -> [H, W] device plane."""
+    nbh, nbw, bs, _ = blocks.shape
+    return blocks.transpose(0, 2, 1, 3).reshape(nbh * bs, nbw * bs)
 
 
 def _qp_to_qindex(qp: int) -> int:

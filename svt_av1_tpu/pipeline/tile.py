@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from svt_av1_tpu.entropy import mvp as MVP
 from svt_av1_tpu.entropy import syntax as S
 from svt_av1_tpu.entropy.cdf_model import FrameContext, update_icdf
 from svt_av1_tpu.entropy.range_coder import RangeEncoder
@@ -108,11 +109,28 @@ class TileWriter:
         self.enc = RangeEncoder()
         self.qindex = qindex
         self.reduced_tx_set = reduced_tx_set
+        self.inter = False
 
     def encode(self, modes: np.ndarray, levels_y: np.ndarray,
                levels_u: np.ndarray, levels_v: np.ndarray) -> bytes:
         tc = self.tc
         self.data = (modes, levels_y, levels_u, levels_v)
+        self.inter = False
+        for r4 in range(0, tc.mi_rows, SB_MI):
+            for c4 in range(0, tc.mi_cols, SB_MI):
+                self._partition(r4, c4, SB_MI)
+        return self.enc.done()
+
+    def encode_inter(self, mvs: np.ndarray, levels_y: np.ndarray,
+                     levels_u: np.ndarray, levels_v: np.ndarray) -> bytes:
+        """P-frame tile: uniform 8x8 NEWMV/LAST blocks, full-pel MVs.
+
+        mvs: [nbh, nbw, 2] full-pel (row, col).  Mirrors the reference
+        inter write_modes_b path (EbEntropyCoding.c:5000-5290)."""
+        tc = self.tc
+        self.data = (mvs, levels_y, levels_u, levels_v)
+        self.inter = True
+        self.mi = MVP.MiInter(tc.mi_rows, tc.mi_cols)
         for r4 in range(0, tc.mi_rows, SB_MI):
             for c4 in range(0, tc.mi_cols, SB_MI):
                 self._partition(r4, c4, SB_MI)
@@ -125,7 +143,10 @@ class TileWriter:
         if n4 == LEAF_MI:
             write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4,
                                    S.PARTITION_NONE)
-            self._block(r4, c4)
+            if self.inter:
+                self._inter_block(r4, c4)
+            else:
+                self._block(r4, c4)
             return
         write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4,
                                S.PARTITION_SPLIT)
@@ -134,6 +155,53 @@ class TileWriter:
         self._partition(r4, c4 + half, half)
         self._partition(r4 + half, c4, half)
         self._partition(r4 + half, c4 + half, half)
+
+    def _inter_block(self, r4: int, c4: int) -> None:
+        mvs, ly, lu, lv = self.data
+        enc, fc, tc, mi = self.enc, self.fc, self.tc, self.mi
+        br, bc = r4 // LEAF_MI, c4 // LEAF_MI
+        lvls = (ly[br, bc], lu[br, bc], lv[br, bc])
+        skip = int(all((l == 0).all() for l in lvls))
+        mv8 = (int(mvs[br, bc, 0]) * 8, int(mvs[br, bc, 1]) * 8)
+
+        # skip coeff flag (skip_mode never allowed: no order hints)
+        ctx = tc.skip_ctx(r4, c4)
+        cdf = fc.skip[ctx]
+        enc.encode_symbol(skip, cdf, 2)
+        update_icdf(cdf, skip, 2)
+
+        # is_inter + ref frame
+        S.code_is_inter(enc, None, fc, mi, tc, r4, c4, True)
+        counts = S.neighbor_ref_counts(mi, tc, r4, c4)
+        S.code_single_ref(enc, None, fc, counts, MVP.LAST_FRAME)
+
+        # mode + drl + MV (predictor from the shared ref-MV stack)
+        res = MVP.find_mv_stack(mi, r4, c4, LEAF_MI, LEAF_MI)
+        S.code_inter_mode(enc, None, fc, res, S.NEWMV)
+        S.code_drl_idx(enc, None, fc, res, S.NEWMV, 0)
+        pred_mv = MVP.lower_mv_precision(res.stack[0][0])
+        S.code_mv(enc, None, fc, pred_mv, mv8)
+
+        tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, S.DC_PRED, skip)
+        mi.set_block(r4, c4, LEAF_MI, LEAF_MI, is_inter=True,
+                     ref_frame=MVP.LAST_FRAME, mode=S.NEWMV, mv=mv8)
+
+        for plane, (lvl, tx_size) in enumerate(
+                zip(lvls, (T.TX_8X8, T.TX_4X4, T.TX_4X4))):
+            pr = r4 >> (plane > 0)
+            pc = c4 >> (plane > 0)
+            w4 = LEAF_MI >> (plane > 0)
+            if skip:
+                self.tc.set_txb(plane, pr, pc, w4, w4, 0)
+                continue
+            txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
+                                         full_block_tx=True,
+                                         larger_block=False)
+            cul = S.write_coeffs_txb(
+                enc, fc, lvl, tx_size, int(plane > 0), 0, txb_ctx, dc_ctx,
+                write_tx_type=True, reduced_tx_set=self.reduced_tx_set,
+                allow_tx_type=self.qindex > 0, is_inter=True)
+            tc.set_txb(plane, pr, pc, w4, w4, cul)
 
     def _block(self, r4: int, c4: int) -> None:
         modes, ly, lu, lv = self.data

@@ -61,7 +61,86 @@ CDF_MANIFEST = [
     ("av1_default_coeff_lps_multi_cdfs", (4, 5, 2, 21), 4),
     ("av1_default_coeff_base_multi_cdfs", (4, 5, 2, 42), 4),
     ("av1_default_coeff_base_eob_multi_cdfs", (4, 5, 2, 4), 3),
+    # inter symbol families (spec Default CDF tables)
+    ("default_if_y_mode_cdf", (4,), 13),
+    ("default_newmv_cdf", (6,), 2),
+    ("default_zeromv_cdf", (2,), 2),
+    ("default_refmv_cdf", (6,), 2),
+    ("default_drl_cdf", (3,), 2),
+    ("default_intra_inter_cdf", (4,), 2),
+    ("default_comp_inter_cdf", (5,), 2),
+    ("default_single_ref_cdf", (3, 6), 2),
+    ("default_comp_ref_cdf", (3, 3), 2),
+    ("default_comp_bwdref_cdf", (3, 2), 2),
+    ("default_comp_ref_type_cdf", (5,), 2),
+    ("default_uni_comp_ref_cdf", (3, 3), 2),
+    ("default_skip_mode_cdfs", (3,), 2),
+    ("default_switchable_interp_cdf", (16,), 3),
+    ("default_inter_compound_mode_cdf", (8,), 8),
+    ("default_motion_mode_cdf", (22,), 3),
+    ("default_obmc_cdf", (22,), 2),
+    ("default_compound_idx_cdfs", (6,), 2),
+    ("default_comp_group_idx_cdfs", (6,), 2),
+    ("default_txfm_partition_cdf", (21,), 2),
 ]
+
+# nmv_context struct members, in declaration-order of their AOM_CDF macros
+# within `default_nmv_context` (EbCabacContextModel.c:899): per component —
+# classes(11), class0_fp 2x(4), fp(4), sign(2), class0_hp(2), hp(2),
+# class0(2), bits 10x(2); preceded by joints(4).
+NMV_MEMBERS = [
+    ("nmv_classes", 1, 11),
+    ("nmv_class0_fp", 2, 4),
+    ("nmv_fp", 1, 4),
+    ("nmv_sign", 1, 2),
+    ("nmv_class0_hp", 1, 2),
+    ("nmv_hp", 1, 2),
+    ("nmv_class0", 1, 2),
+    ("nmv_bits", 10, 2),
+]
+
+
+def parse_nmv_context(text: str) -> dict:
+    """Extract default_nmv_context struct into nmv_* arrays ([2, ...] comps)."""
+    m = re.search(r"default_nmv_context\s*=\s*\{", text)
+    start = text.index("{", m.start())
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                block = text[start : i + 1]
+                break
+    cdfs = []
+    for mm in re.finditer(r"AOM_CDF(\d+)\s*\(([^)]*)\)", block):
+        k = int(mm.group(1))
+        vals = [eval(v.strip(), {}, {})
+                for v in mm.group(2).replace("\n", " ").split(",") if v.strip()]
+        assert len(vals) == k - 1
+        cdfs.append((k, vals))
+    per_comp = sum(n for _, n, _ in NMV_MEMBERS)
+    assert len(cdfs) == 1 + 2 * per_comp, len(cdfs)
+    out = {}
+    k, vals = cdfs[0]
+    assert k == 4
+    out["nmv_joints"] = np.array([vals + [32768]], np.uint16).reshape(4)
+    idx = 1
+    comp_data = {name: [] for name, _, _ in NMV_MEMBERS}
+    for _comp in range(2):
+        for name, count, nsym in NMV_MEMBERS:
+            rows = []
+            for _ in range(count):
+                k, vals = cdfs[idx]
+                idx += 1
+                assert k == nsym, (name, k, nsym)
+                rows.append(vals + [32768])
+            comp_data[name].append(rows)
+    for name, count, nsym in NMV_MEMBERS:
+        arr = np.array(comp_data[name], np.uint16)  # [2, count, nsym]
+        out[name] = arr[:, 0] if count == 1 else arr
+    return out
 
 # plain int16 tables: (c_name, out_name, length)
 QLOOKUP_MANIFEST = [
@@ -144,6 +223,7 @@ def main() -> int:
     mdconf = (
         ref / "Source/Lib/Common/Codec/EbModeDecisionConfigurationProcess.c"
     ).read_text()
+    interp = (ref / "Source/Lib/Common/Codec/EbInterPrediction.c").read_text()
 
     out = {}
     for name, shape, nsym in CDF_MANIFEST:
@@ -151,6 +231,14 @@ def main() -> int:
         print(f"  {name}: {out[name].shape}")
     for cname, oname, length in QLOOKUP_MANIFEST:
         out[oname] = parse_int_table(mdconf, cname, length)
+        print(f"  {oname}: {out[oname].shape}")
+    for name, arr in parse_nmv_context(cabac).items():
+        out[name] = arr
+        print(f"  {name}: {arr.shape}")
+    # normative interpolation-filter kernels (spec Subpel_Filters; 16 phases x 8 taps)
+    for cname, oname in (("sub_pel_filters_8", "subpel_filters_regular"),
+                         ("sub_pel_filters_4", "subpel_filters_regular_4")):
+        out[oname] = parse_int_table(interp, cname, 16 * 8).reshape(16, 8)
         print(f"  {oname}: {out[oname].shape}")
 
     outp = Path(args.out)
