@@ -142,6 +142,23 @@ struct Tables {
   int32_t* coeff_base;    // [5][2][42][5]
   int32_t* coeff_base_eob;  // [5][2][4][4]
   int32_t* eob_pt[7];     // 16..1024: [2][2][nsym+1], nsym = 5..11
+  // inter (appended; twin of FrameContext inter members)
+  int32_t* newmv;         // [6][3]
+  int32_t* zeromv;        // [2][3]
+  int32_t* refmv;         // [6][3]
+  int32_t* drl;           // [3][3]
+  int32_t* intra_inter;   // [4][3]
+  int32_t* single_ref;    // [3][6][3]
+  int32_t* inter_ext_tx;  // [4][4][17]
+  int32_t* nmv_joints;    // [5]
+  int32_t* nmv_classes;   // [2][12]
+  int32_t* nmv_class0_fp; // [2][2][5]
+  int32_t* nmv_fp;        // [2][5]
+  int32_t* nmv_sign;      // [2][3]
+  int32_t* nmv_class0_hp; // [2][3]
+  int32_t* nmv_hp;        // [2][3]
+  int32_t* nmv_class0;    // [2][3]
+  int32_t* nmv_bits;      // [2][10][3]
 };
 
 constexpr long TABLE_SIZES[] = {
@@ -150,6 +167,8 @@ constexpr long TABLE_SIZES[] = {
     5 * 2 * 4 * 4,
     2 * 2 * 6, 2 * 2 * 7, 2 * 2 * 8, 2 * 2 * 9, 2 * 2 * 10, 2 * 2 * 11,
     2 * 2 * 12,
+    6 * 3, 2 * 3, 6 * 3, 3 * 3, 4 * 3, 3 * 6 * 3, 4 * 4 * 17,
+    5, 2 * 12, 2 * 2 * 5, 2 * 5, 2 * 3, 2 * 3, 2 * 3, 2 * 3, 2 * 10 * 3,
 };
 constexpr int N_TABLES = sizeof(TABLE_SIZES) / sizeof(long);
 
@@ -166,7 +185,12 @@ void bind_tables(Tables* t, int32_t* blob) {
       &t->intra_ext_tx, &t->txb_skip, &t->dc_sign, &t->eob_extra,
       &t->coeff_br, &t->coeff_base, &t->coeff_base_eob,
       &t->eob_pt[0], &t->eob_pt[1], &t->eob_pt[2], &t->eob_pt[3],
-      &t->eob_pt[4], &t->eob_pt[5], &t->eob_pt[6]};
+      &t->eob_pt[4], &t->eob_pt[5], &t->eob_pt[6],
+      &t->newmv, &t->zeromv, &t->refmv, &t->drl, &t->intra_inter,
+      &t->single_ref, &t->inter_ext_tx,
+      &t->nmv_joints, &t->nmv_classes, &t->nmv_class0_fp, &t->nmv_fp,
+      &t->nmv_sign, &t->nmv_class0_hp, &t->nmv_hp, &t->nmv_class0,
+      &t->nmv_bits};
   for (int i = 0; i < N_TABLES; ++i) {
     *slots[i] = p;
     p += TABLE_SIZES[i];
@@ -343,6 +367,14 @@ struct TileWriter {
       lvl_above[p].assign(cc, 0);
       lvl_left[p].assign(cr, 0);
     }
+    size_t n = static_cast<size_t>(mr) * mc;
+    mi_inter.assign(n, 0);
+    mi_mode.assign(n, 0);
+    mi_w4.assign(n, 0);
+    mi_h4.assign(n, 0);
+    mi_ref.assign(n, 0);
+    mi_mv.assign(n * 2, 0);
+    mi_valid.assign(n, 0);
   }
 
   // --- contexts ---
@@ -420,6 +452,13 @@ struct TileWriter {
   int write_coeffs(const int32_t* lv, int w, int h, int txs_ctx, int plane_type,
                    int tx_type, int skip_ctx, int dc_ctx, bool tx_type_flag,
                    int y_mode) {
+    return write_coeffs_impl(lv, w, h, txs_ctx, plane_type, tx_type, skip_ctx,
+                             dc_ctx, tx_type_flag, y_mode, false);
+  }
+
+  int write_coeffs_impl(const int32_t* lv, int w, int h, int txs_ctx,
+                        int plane_type, int tx_type, int skip_ctx, int dc_ctx,
+                        bool tx_type_flag, int y_mode, bool is_inter) {
     int tx_class = (tx_type == 10 || tx_type == 12 || tx_type == 14) ? 2
                    : (tx_type == 11 || tx_type == 13 || tx_type == 15) ? 1 : 0;
     int16_t scan[1024];
@@ -437,19 +476,31 @@ struct TileWriter {
     if (eob == 0) return 0;
 
     if (tx_type_flag && plane_type == 0 && qindex > 0) {
-      // intra ext-tx (8x8/4x4: sqr_up <= 16): set DTT4_IDTX (reduced) or
-      // DTT4_IDTX_1DDCT; symbol for DCT_DCT is 1 in both.
-      int nsym = reduced_tx_set ? 5 : 7;
-      int eset = reduced_tx_set ? 2 : 1;
-      int sq = w >= 8 ? 1 : 0;  // txsize_sqr idx for 8x8/4x4
-      int32_t* c2 = t.intra_ext_tx + ((eset * 4 + sq) * 13 + y_mode) * 17;
-      static const int IND_DTT4_IDTX[16] = {1, 3, 4, 2, 0, 0, 0, 0,
-                                            0, 0, 0, 0, 0, 0, 0, 0};
-      static const int IND_DTT4_IDTX_1D[16] = {1, 5, 6, 4, 0, 0, 0, 0,
-                                               0, 0, 2, 3, 0, 0, 0, 0};
-      int s = reduced_tx_set ? IND_DTT4_IDTX[tx_type] : IND_DTT4_IDTX_1D[tx_type];
-      enc.encode_symbol(s, c2, nsym);
-      update_icdf(c2, s, nsym);
+      if (is_inter) {
+        // inter ext-tx, reduced set: DCT_IDTX (2 syms, eset 3); DCT -> 1
+        int sq = w >= 8 ? 1 : 0;
+        int32_t* c2 = t.inter_ext_tx + (3 * 4 + sq) * 17;
+        static const int IND_DCT_IDTX[16] = {1, 0, 0, 0, 0, 0, 0, 0,
+                                             0, 0, 0, 0, 0, 0, 0, 0};
+        int s = IND_DCT_IDTX[tx_type];
+        enc.encode_symbol(s, c2, 2);
+        update_icdf(c2, s, 2);
+      } else {
+        // intra ext-tx (8x8/4x4: sqr_up <= 16): set DTT4_IDTX (reduced) or
+        // DTT4_IDTX_1DDCT; symbol for DCT_DCT is 1 in both.
+        int nsym = reduced_tx_set ? 5 : 7;
+        int eset = reduced_tx_set ? 2 : 1;
+        int sq = w >= 8 ? 1 : 0;  // txsize_sqr idx for 8x8/4x4
+        int32_t* c2 = t.intra_ext_tx + ((eset * 4 + sq) * 13 + y_mode) * 17;
+        static const int IND_DTT4_IDTX[16] = {1, 3, 4, 2, 0, 0, 0, 0,
+                                              0, 0, 0, 0, 0, 0, 0, 0};
+        static const int IND_DTT4_IDTX_1D[16] = {1, 5, 6, 4, 0, 0, 0, 0,
+                                                 0, 0, 2, 3, 0, 0, 0, 0};
+        int s = reduced_tx_set ? IND_DTT4_IDTX[tx_type]
+                               : IND_DTT4_IDTX_1D[tx_type];
+        enc.encode_symbol(s, c2, nsym);
+        update_icdf(c2, s, nsym);
+      }
     }
 
     int pt, extra;
@@ -594,11 +645,424 @@ struct TileWriter {
     }
   }
 
+  // =========================================================================
+  // Inter frame path (twin of pipeline/tile.py encode_inter + entropy/mvp.py)
+  // =========================================================================
+  bool inter_frame = false;
+  const int32_t* mvs = nullptr;  // [nbh][nbw][2] full-pel
+  // per-mi inter grids (twin of MiInter)
+  std::vector<uint8_t> mi_inter, mi_mode, mi_w4, mi_h4;
+  std::vector<int8_t> mi_ref;
+  std::vector<int16_t> mi_mv;            // [mr*mc*2] (row, col) 1/8 pel
+  std::vector<int8_t> mi_valid;          // coded yet (tc.mi_sizes >= 0)
+
+  static constexpr int NEWMV = 16, NEARESTMV = 13, NEARMV = 14, GLOBALMV = 15;
+  static constexpr int REF_CAT_LEVEL = 640, MAX_STACK = 8;
+  static constexpr int LAST_FRAME = 1;
+
+  struct Cand { int16_t mv[2]; int32_t weight; };
+
+  struct StackResult {
+    Cand stack[MAX_STACK + 2];
+    int num_found = 0;      // real count (drl gating)
+    int num_nearest = 0;
+    int mode_context = 0;
+    int newmv_ctx() const { return mode_context & 7; }
+    int zeromv_ctx() const { return (mode_context >> 3) & 1; }
+    int refmv_ctx() const { return (mode_context >> 4) & 15; }
+    int drl_ctx(int idx) const {
+      int w0 = stack[idx].weight, w1 = stack[idx + 1].weight;
+      if (w0 >= REF_CAT_LEVEL && w1 >= REF_CAT_LEVEL) return 0;
+      if (w0 >= REF_CAT_LEVEL && w1 < REF_CAT_LEVEL) return 1;
+      if (w0 < REF_CAT_LEVEL && w1 < REF_CAT_LEVEL) return 2;
+      return 0;
+    }
+  };
+
+  static int has_top_right(int sb_mi, int mi_row, int mi_col, int w4, int h4) {
+    int bs = std::max(w4, h4);
+    if (bs > 16) return 0;
+    int mask_row = mi_row & (sb_mi - 1);
+    int mask_col = mi_col & (sb_mi - 1);
+    int has_tr = !((mask_row & bs) && (mask_col & bs));
+    for (int b = bs; b < sb_mi; b <<= 1) {
+      if (mask_col & b) {
+        if ((mask_col & (2 * b)) && (mask_row & (2 * b))) { has_tr = 0; break; }
+      } else {
+        break;
+      }
+    }
+    if (w4 < h4) has_tr = 1;
+    if (w4 > h4) has_tr = 0;
+    return has_tr;
+  }
+
+  void find_mv_stack(int mi_row, int mi_col, int w4, int h4,
+                     StackResult* out) const {
+    const int ref_frame = LAST_FRAME;
+    Cand stack[MAX_STACK];
+    int n_stack = 0;
+    int newmv_count = 0, row_match = 0, col_match = 0;
+
+    auto add_cand = [&](int r, int c, int len, int weight,
+                        bool count_newmv) -> bool {
+      size_t p = static_cast<size_t>(r) * mi_cols + c;
+      if (!mi_inter[p] || mi_ref[p] != ref_frame) return false;
+      int16_t mr = mi_mv[p * 2], mc2 = mi_mv[p * 2 + 1];
+      int i = 0;
+      for (; i < n_stack; ++i)
+        if (stack[i].mv[0] == mr && stack[i].mv[1] == mc2) {
+          stack[i].weight += weight * len;
+          break;
+        }
+      if (i == n_stack && n_stack < MAX_STACK) {
+        stack[n_stack].mv[0] = mr;
+        stack[n_stack].mv[1] = mc2;
+        stack[n_stack].weight = weight * len;
+        ++n_stack;
+      }
+      if (count_newmv && mi_mode[p] == NEWMV) ++newmv_count;
+      return true;
+    };
+
+    bool row_adj = (h4 < 2) && (mi_row & 1);
+    bool col_adj = (w4 < 2) && (mi_col & 1);
+    int max_row_offset = 0, max_col_offset = 0;
+    if (mi_row > 0) {
+      max_row_offset = h4 < 2 ? -4 + row_adj : -6 + row_adj;
+      max_row_offset = std::max(max_row_offset, -mi_row);
+    }
+    if (mi_col > 0) {
+      max_col_offset = w4 < 2 ? -4 + col_adj : -6 + col_adj;
+      max_col_offset = std::max(max_col_offset, -mi_col);
+    }
+    int processed_rows = 0, processed_cols = 0;
+
+    auto scan_row = [&](int row_offset, bool count_newmv) {
+      int end_mi = std::min(std::min(w4, mi_cols - mi_col), 16);
+      int col_off = 0;
+      if (std::abs(row_offset) > 1) {
+        col_off = 1;
+        if ((mi_col & 1) && w4 < 2) --col_off;
+      }
+      bool use_step_16 = w4 >= 16;
+      for (int i = 0; i < end_mi;) {
+        int r = mi_row + row_offset, c = mi_col + col_off + i;
+        if (c >= mi_cols) break;
+        size_t p = static_cast<size_t>(r) * mi_cols + c;
+        int cw4 = std::max<int>(1, mi_w4[p]);
+        int len = std::min(w4, cw4);
+        if (use_step_16) len = std::max(4, len);
+        else if (std::abs(row_offset) > 1) len = std::max(2, len);
+        int weight = 2;
+        if (2 <= w4 && w4 <= cw4) {
+          int inc = std::min(-max_row_offset + row_offset + 1,
+                             std::max<int>(1, mi_h4[p]));
+          weight = std::max(weight, inc);
+          processed_rows = inc - row_offset - 1;
+        }
+        if (add_cand(r, c, len, weight, count_newmv)) ++row_match;
+        i += len;
+      }
+    };
+    auto scan_col = [&](int col_offset, bool count_newmv) {
+      int end_mi = std::min(std::min(h4, mi_rows - mi_row), 16);
+      int row_off = 0;
+      if (std::abs(col_offset) > 1) {
+        row_off = 1;
+        if ((mi_row & 1) && h4 < 2) --row_off;
+      }
+      bool use_step_16 = h4 >= 16;
+      for (int i = 0; i < end_mi;) {
+        int r = mi_row + row_off + i, c = mi_col + col_offset;
+        if (r >= mi_rows) break;
+        size_t p = static_cast<size_t>(r) * mi_cols + c;
+        int ch4 = std::max<int>(1, mi_h4[p]);
+        int len = std::min(h4, ch4);
+        if (use_step_16) len = std::max(4, len);
+        else if (std::abs(col_offset) > 1) len = std::max(2, len);
+        int weight = 2;
+        if (2 <= h4 && h4 <= ch4) {
+          int inc = std::min(-max_col_offset + col_offset + 1,
+                             std::max<int>(1, mi_w4[p]));
+          weight = std::max(weight, inc);
+          processed_cols = inc - col_offset - 1;
+        }
+        if (add_cand(r, c, len, weight, count_newmv)) ++col_match;
+        i += len;
+      }
+    };
+    auto scan_point = [&](int ro, int co, bool count_newmv) {
+      int r = mi_row + ro, c = mi_col + co;
+      if (r >= 0 && r < mi_rows && c >= 0 && c < mi_cols)
+        if (add_cand(r, c, 2, 2, count_newmv)) ++row_match;
+    };
+
+    if (std::abs(max_row_offset) >= 1) scan_row(-1, true);
+    if (std::abs(max_col_offset) >= 1) scan_col(-1, true);
+    if (has_top_right(16, mi_row, mi_col, w4, h4)) scan_point(-1, w4, true);
+
+    int nearest_match = (row_match > 0) + (col_match > 0);
+    int num_nearest = n_stack;
+    for (int i = 0; i < n_stack; ++i) stack[i].weight += REF_CAT_LEVEL;
+
+    scan_point(-1, -1, false);
+    for (int idx = 2; idx <= 3; ++idx) {
+      int row_offset = -(idx << 1) + 1 + row_adj;
+      int col_offset = -(idx << 1) + 1 + col_adj;
+      if (std::abs(row_offset) <= std::abs(max_row_offset) &&
+          std::abs(row_offset) > processed_rows)
+        scan_row(row_offset, false);
+      if (std::abs(col_offset) <= std::abs(max_col_offset) &&
+          std::abs(col_offset) > processed_cols)
+        scan_col(col_offset, false);
+    }
+
+    int total_matches = (row_match > 0) + (col_match > 0);
+    int mode_context;
+    if (nearest_match == 0) {
+      mode_context = std::min(total_matches, 1);
+      if (total_matches == 1) mode_context |= 1 << 4;
+      else if (total_matches >= 2) mode_context |= 2 << 4;
+    } else if (nearest_match == 1) {
+      mode_context = newmv_count > 0 ? 2 : 3;
+      if (total_matches == 1) mode_context |= 3 << 4;
+      else if (total_matches >= 2) mode_context |= 4 << 4;
+    } else {
+      mode_context = newmv_count >= 1 ? 4 : 5;
+      mode_context |= 5 << 4;
+    }
+
+    auto bubble = [&](int lo, int hi) {
+      int len = hi;
+      while (len > lo) {
+        int nr_len = lo;
+        for (int i = lo + 1; i < len; ++i)
+          if (stack[i - 1].weight < stack[i].weight) {
+            std::swap(stack[i - 1], stack[i]);
+            nr_len = i;
+          }
+        len = nr_len;
+      }
+    };
+    bubble(0, num_nearest);
+    bubble(num_nearest, n_stack);
+
+    if (n_stack < 2) {
+      int mi_w = std::min(std::min(16, w4), mi_cols - mi_col);
+      int mi_h = std::min(std::min(16, h4), mi_rows - mi_row);
+      int mi_size = std::min(mi_w, mi_h);
+      auto relaxed = [&](bool row_scan) {
+        for (int idx = 0; idx < mi_size && n_stack < 2;) {
+          int r, c, step;
+          if (row_scan) {
+            r = mi_row - 1;
+            c = mi_col + idx;
+            step = std::max<int>(1, mi_w4[static_cast<size_t>(r) * mi_cols + c]);
+          } else {
+            r = mi_row + idx;
+            c = mi_col - 1;
+            step = std::max<int>(1, mi_h4[static_cast<size_t>(r) * mi_cols + c]);
+          }
+          size_t p = static_cast<size_t>(r) * mi_cols + c;
+          if (mi_inter[p] && mi_ref[p] > 0) {
+            int16_t mr = mi_mv[p * 2], mc2 = mi_mv[p * 2 + 1];
+            bool dup = false;
+            for (int i = 0; i < n_stack; ++i)
+              if (stack[i].mv[0] == mr && stack[i].mv[1] == mc2) dup = true;
+            if (!dup) {
+              stack[n_stack].mv[0] = mr;
+              stack[n_stack].mv[1] = mc2;
+              stack[n_stack].weight = 2;
+              ++n_stack;
+            }
+          }
+          idx += step;
+        }
+      };
+      if (std::abs(max_row_offset) >= 1) relaxed(true);
+      if (std::abs(max_col_offset) >= 1) relaxed(false);
+    }
+
+    out->num_found = n_stack;
+    out->num_nearest = num_nearest;
+    out->mode_context = mode_context;
+    // clamp + pad with global (zero) mv
+    int bw8 = w4 * 32, bh8 = h4 * 32;
+    int lo_row = -(mi_row * 32) - bh8 - 128;
+    int hi_row = (mi_rows - h4 - mi_row) * 32 + bh8 + 128;
+    int lo_col = -(mi_col * 32) - bw8 - 128;
+    int hi_col = (mi_cols - w4 - mi_col) * 32 + bw8 + 128;
+    int n_out = std::max(n_stack, 2);
+    for (int i = 0; i < n_out; ++i) {
+      if (i < n_stack) {
+        int r = std::min(std::max<int>(stack[i].mv[0], lo_row), hi_row);
+        int c = std::min(std::max<int>(stack[i].mv[1], lo_col), hi_col);
+        out->stack[i].mv[0] = static_cast<int16_t>(r);
+        out->stack[i].mv[1] = static_cast<int16_t>(c);
+        out->stack[i].weight = stack[i].weight;
+      } else {
+        out->stack[i].mv[0] = 0;
+        out->stack[i].mv[1] = 0;
+        out->stack[i].weight = 2;
+      }
+    }
+  }
+
+  inline void code_bin(int32_t* cdf, int val) {
+    enc.encode_symbol(val, cdf, 2);
+    update_icdf(cdf, val, 2);
+  }
+  inline void code_sym(int32_t* cdf, int val, int nsym) {
+    enc.encode_symbol(val, cdf, nsym);
+    update_icdf(cdf, val, nsym);
+  }
+
+  void encode_mv_component(int comp, int comp_idx, int precision) {
+    int sign = comp < 0;
+    int mag = sign ? -comp : comp;
+    int z = mag - 1;
+    int mv_class = z >= 2 * 4096 ? 10
+                   : std::max(0, bit_length(static_cast<uint32_t>(z >> 3)) - 1);
+    int base = mv_class == 0 ? 0 : (2 << (mv_class + 2));
+    int offset = z - base;
+    int d = offset >> 3;
+    int fr = (offset >> 1) & 3;
+    int hp = offset & 1;
+    code_bin(t.nmv_sign + comp_idx * 3, sign);
+    code_sym(t.nmv_classes + comp_idx * 12, mv_class, 11);
+    if (mv_class == 0) {
+      code_sym(t.nmv_class0 + comp_idx * 3, d, 2);
+    } else {
+      int n = mv_class;  // + CLASS0_BITS - 1 == mv_class
+      for (int i = 0; i < n; ++i)
+        code_bin(t.nmv_bits + (comp_idx * 10 + i) * 3, (d >> i) & 1);
+    }
+    if (precision > 0) {
+      int32_t* cdf = mv_class == 0 ? t.nmv_class0_fp + (comp_idx * 2 + d) * 5
+                                   : t.nmv_fp + comp_idx * 5;
+      code_sym(cdf, fr, 4);
+    }
+    if (precision > 1) {
+      int32_t* cdf = mv_class == 0 ? t.nmv_class0_hp + comp_idx * 3
+                                   : t.nmv_hp + comp_idx * 3;
+      code_bin(cdf, hp);
+    }
+  }
+
+  void write_inter_block(int r4, int c4) {
+    int br = r4 >> 1, bc = c4 >> 1;
+    const int32_t* mv_fp = mvs + (static_cast<long>(br) * nbw + bc) * 2;
+    const int32_t* l0 = ly + (static_cast<long>(br) * nbw + bc) * 64;
+    const int32_t* l1 = lu + (static_cast<long>(br) * nbw + bc) * 16;
+    const int32_t* l2 = lvv + (static_cast<long>(br) * nbw + bc) * 16;
+    bool skip = true;
+    for (int i = 0; i < 64 && skip; ++i) skip = l0[i] == 0;
+    for (int i = 0; i < 16 && skip; ++i) skip = l1[i] == 0 && l2[i] == 0;
+    int mv8_r = mv_fp[0] * 8, mv8_c = mv_fp[1] * 8;
+
+    // skip coeff flag
+    int above = r4 > 0 ? skips[(r4 - 1) * mi_cols + c4] : 0;
+    int left = c4 > 0 ? skips[r4 * mi_cols + c4 - 1] : 0;
+    code_bin(t.skip + (above + left) * 3, skip ? 1 : 0);
+
+    // is_inter (ctx from coded top/left intra-vs-inter state)
+    bool ha = r4 > 0 && mi_valid[(r4 - 1) * mi_cols + c4];
+    bool hl = c4 > 0 && mi_valid[r4 * mi_cols + c4 - 1];
+    bool ai = ha && !mi_inter[(r4 - 1) * mi_cols + c4];
+    bool li = hl && !mi_inter[r4 * mi_cols + c4 - 1];
+    int ctx;
+    if (ha && hl) ctx = (ai && li) ? 3 : (ai || li) ? 1 : 0;
+    else if (ha) ctx = 2 * ai;
+    else if (hl) ctx = 2 * li;
+    else ctx = 0;
+    code_bin(t.intra_inter + ctx * 3, 1);
+
+    // single ref: LAST (p1=0, p3=0, p4=0) with neighbor-count contexts
+    int counts[8] = {0};
+    if (ha && mi_inter[(r4 - 1) * mi_cols + c4])
+      ++counts[static_cast<int>(mi_ref[(r4 - 1) * mi_cols + c4])];
+    if (hl && mi_inter[r4 * mi_cols + c4 - 1])
+      ++counts[static_cast<int>(mi_ref[r4 * mi_cols + c4 - 1])];
+    auto rctx = [](int a, int b) { return a == b ? 1 : (a < b ? 0 : 2); };
+    int fwd = counts[1] + counts[2] + counts[3] + counts[4];
+    int bwd = counts[5] + counts[6] + counts[7];
+    code_bin(t.single_ref + (rctx(fwd, bwd) * 6 + 0) * 3, 0);
+    code_bin(t.single_ref +
+                 (rctx(counts[1] + counts[2], counts[3] + counts[4]) * 6 + 2) * 3,
+             0);
+    code_bin(t.single_ref + (rctx(counts[1], counts[2]) * 6 + 3) * 3, 0);
+
+    // mode (NEWMV) + drl + mv
+    StackResult res;
+    find_mv_stack(r4, c4, 2, 2, &res);
+    code_bin(t.newmv + res.newmv_ctx() * 3, 0);   // mode != NEWMV -> 0
+    if (res.num_found > 1) {
+      code_bin(t.drl + res.drl_ctx(0) * 3, 0);    // drl_idx == 0
+    }
+    // predictor: stack[0], lowered to 1/4-pel precision (allow_hp=0)
+    int pr_r = res.stack[0].mv[0], pr_c = res.stack[0].mv[1];
+    if (pr_r & 1) pr_r += pr_r > 0 ? -1 : 1;
+    if (pr_c & 1) pr_c += pr_c > 0 ? -1 : 1;
+    int dr = mv8_r - pr_r, dc = mv8_c - pr_c;
+    int j = (dr ? 2 : 0) | (dc ? 1 : 0);
+    code_sym(t.nmv_joints, j, 4);
+    if (j & 2) encode_mv_component(dr, 0, 1);
+    if (j & 1) encode_mv_component(dc, 1, 1);
+
+    // state update
+    for (int i = 0; i < 2; ++i)
+      for (int jj = 0; jj < 2; ++jj) {
+        size_t p = static_cast<size_t>(r4 + i) * mi_cols + c4 + jj;
+        skips[p] = skip ? 1 : 0;
+        y_modes[p] = 0;
+        mi_valid[p] = 1;
+        mi_inter[p] = 1;
+        mi_ref[p] = LAST_FRAME;
+        mi_mode[p] = NEWMV;
+        mi_mv[p * 2] = static_cast<int16_t>(mv8_r);
+        mi_mv[p * 2 + 1] = static_cast<int16_t>(mv8_c);
+        mi_w4[p] = 2;
+        mi_h4[p] = 2;
+      }
+    part_above[c4] = part_above[c4 + 1] = 32 - 2;
+    part_left[r4] = part_left[r4 + 1] = 32 - 2;
+
+    // residuals (inter tx set DCT_IDTX: 2 syms, eset 3, DCT symbol = 1)
+    const int32_t* lvs[3] = {l0, l1, l2};
+    for (int plane = 0; plane < 3; ++plane) {
+      int pr = plane ? r4 >> 1 : r4;
+      int pc = plane ? c4 >> 1 : c4;
+      int w4 = plane ? 1 : 2;
+      if (skip) {
+        set_txb(plane, pr, pc, w4, w4, 0);
+        continue;
+      }
+      int sctx, dctx;
+      txb_ctx(plane, pr, pc, w4, w4, &sctx, &dctx);
+      int bs = plane ? 4 : 8;
+      int txs_ctx = plane ? 0 : 1;
+      int cul = write_coeffs_inter(lvs[plane], bs, bs, txs_ctx, plane ? 1 : 0,
+                                   sctx, dctx, plane == 0);
+      set_txb(plane, pr, pc, w4, w4, cul);
+    }
+  }
+
+  // inter tx-type branch wrapper around write_coeffs
+  int write_coeffs_inter(const int32_t* lv, int w, int h, int txs_ctx,
+                         int plane_type, int sctx, int dctx,
+                         bool tx_type_flag) {
+    // identical to write_coeffs except the tx-type symbol source
+    return write_coeffs_impl(lv, w, h, txs_ctx, plane_type, 0, sctx, dctx,
+                             tx_type_flag, 0, true);
+  }
+
   void partition(int r4, int c4, int n4) {
     if (r4 >= mi_rows || c4 >= mi_cols) return;
     if (n4 == 2) {
       write_partition(r4, c4, n4, PARTITION_NONE);
-      write_block(r4, c4);
+      if (inter_frame) write_inter_block(r4, c4);
+      else write_block(r4, c4);
       return;
     }
     write_partition(r4, c4, n4, PARTITION_SPLIT);
@@ -638,6 +1102,25 @@ long svt_encode_tile(int mi_rows, int mi_cols, int qindex, int reduced_tx_set,
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   return tw.encode(modes, ly, lu, lv, nbh, nbw, out, out_cap);
+}
+
+long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
+                           int reduced_tx_set, const int32_t* cdf_blob,
+                           const int32_t* mvs, const int32_t* ly,
+                           const int32_t* lu, const int32_t* lv, int nbh,
+                           int nbw, uint8_t* out, long out_cap) {
+  TileWriter tw;
+  tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
+  tw.inter_frame = true;
+  tw.mvs = mvs;
+  tw.ly = ly;
+  tw.lu = lu;
+  tw.lvv = lv;
+  tw.nbw = nbw;
+  (void)nbh;
+  for (int r4 = 0; r4 < mi_rows; r4 += 16)
+    for (int c4 = 0; c4 < mi_cols; c4 += 16) tw.partition(r4, c4, 16);
+  return tw.enc.done(out, out_cap);
 }
 
 }  // extern "C"

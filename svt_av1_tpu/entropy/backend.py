@@ -26,6 +26,11 @@ _TABLE_ORDER = [
     "coeff_base", "coeff_base_eob",
     ("eob_pt", 16), ("eob_pt", 32), ("eob_pt", 64), ("eob_pt", 128),
     ("eob_pt", 256), ("eob_pt", 512), ("eob_pt", 1024),
+    # inter (appended; must match csrc Tables)
+    "newmv", "zeromv", "refmv", "drl", "intra_inter", "single_ref",
+    "inter_ext_tx",
+    "nmv_joints", "nmv_classes", "nmv_class0_fp", "nmv_fp", "nmv_sign",
+    "nmv_class0_hp", "nmv_hp", "nmv_class0", "nmv_bits",
 ]
 
 
@@ -51,6 +56,14 @@ def _lib():
     lib.svt_encode_tile.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+    ]
+    lib.svt_encode_tile_inter.restype = ctypes.c_long
+    lib.svt_encode_tile_inter.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
@@ -88,6 +101,35 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
     n = lib.svt_encode_tile(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(m, ctypes.c_uint8),
+        p(ly, ctypes.c_int32), p(lu, ctypes.c_int32), p(lv, ctypes.c_int32),
+        nbh, nbw, p(out, ctypes.c_uint8), cap)
+    if n < 0:
+        raise RuntimeError("tile buffer overflow")
+    return bytes(out[:n])
+
+
+def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
+                          qindex: int, mvs: np.ndarray, levels_y: np.ndarray,
+                          levels_u: np.ndarray, levels_v: np.ndarray,
+                          reduced_tx_set: bool = True) -> bytes:
+    lib = _lib()
+    blob = build_blob(fc)
+    assert blob.size == lib.svt_tile_blob_size(), \
+        (blob.size, lib.svt_tile_blob_size())
+    nbh, nbw = levels_y.shape[:2]
+    mv = np.ascontiguousarray(mvs, np.int32)
+    ly = np.ascontiguousarray(levels_y, np.int32)
+    lu = np.ascontiguousarray(levels_u, np.int32)
+    lv = np.ascontiguousarray(levels_v, np.int32)
+    cap = mi_rows * mi_cols * 256 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = lib.svt_encode_tile_inter(
+        mi_rows, mi_cols, qindex, int(reduced_tx_set),
+        p(blob, ctypes.c_int32), p(mv, ctypes.c_int32),
         p(ly, ctypes.c_int32), p(lu, ctypes.c_int32), p(lv, ctypes.c_int32),
         nbh, nbw, p(out, ctypes.c_uint8), cap)
     if n < 0:

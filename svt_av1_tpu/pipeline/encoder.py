@@ -141,9 +141,20 @@ class Encoder:
         cfg = self.cfg
         mv, ly, lu, lv, ry, ru, rv = (np.asarray(a) for a in out)
         fc = FrameContext(qindex)
-        tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
-        tile = tw.encode_inter(mv.astype(np.int32), ly.astype(np.int32),
-                               lu.astype(np.int32), lv.astype(np.int32))
+        tile = None
+        if cfg.entropy_backend in ("auto", "cpp"):
+            from svt_av1_tpu.entropy import backend as native
+            if native.available():
+                tile = native.encode_tile_inter_cpp(
+                    fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
+                    mv.astype(np.int32), ly.astype(np.int32),
+                    lu.astype(np.int32), lv.astype(np.int32))
+            elif cfg.entropy_backend == "cpp":
+                raise RuntimeError("C++ entropy backend unavailable")
+        if tile is None:
+            tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
+            tile = tw.encode_inter(mv.astype(np.int32), ly.astype(np.int32),
+                                   lu.astype(np.int32), lv.astype(np.int32))
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,

@@ -57,3 +57,35 @@ def test_cpp_decodable_by_mirror_decoder():
     pkt = enc.get_packet()
     d = Decoder().decode_temporal_unit(pkt.payload)
     assert (d.y == pkt.recon.y).all()
+
+
+def test_cpp_inter_tile_byte_identical():
+    """C++ inter tile writer == Python TileWriter.encode_inter, byte-exact."""
+    import numpy as np
+    from svt_av1_tpu.entropy import backend as B
+    from svt_av1_tpu.entropy.cdf_model import FrameContext
+    from svt_av1_tpu.pipeline.tile import TileWriter
+
+    if not B.available():
+        import pytest
+        pytest.skip("C++ backend unavailable")
+    rng = np.random.default_rng(42)
+    mi_rows, mi_cols = 24, 38   # non-multiple-of-16 edge SBs
+    nbh, nbw = 12, 19
+    for qindex in (20, 120, 255):
+        mv = rng.integers(-16, 17, (nbh, nbw, 2), np.int32)
+        ly = np.where(rng.random((nbh, nbw, 8, 8)) < 0.15,
+                      rng.integers(-40, 41, (nbh, nbw, 8, 8)), 0).astype(np.int32)
+        lu = np.where(rng.random((nbh, nbw, 4, 4)) < 0.1,
+                      rng.integers(-9, 10, (nbh, nbw, 4, 4)), 0).astype(np.int32)
+        lv = np.where(rng.random((nbh, nbw, 4, 4)) < 0.1,
+                      rng.integers(-9, 10, (nbh, nbw, 4, 4)), 0).astype(np.int32)
+        mask = rng.random((nbh, nbw)) < 0.4
+        ly[mask] = 0
+        lu[mask] = 0
+        lv[mask] = 0
+        tw = TileWriter(FrameContext(qindex), mi_rows, mi_cols, qindex)
+        py = tw.encode_inter(mv, ly, lu, lv)
+        cpp = B.encode_tile_inter_cpp(FrameContext(qindex), mi_rows, mi_cols,
+                                      qindex, mv, ly, lu, lv)
+        assert py == cpp
