@@ -959,7 +959,7 @@ struct TileWriter {
     bool skip = true;
     for (int i = 0; i < 64 && skip; ++i) skip = l0[i] == 0;
     for (int i = 0; i < 16 && skip; ++i) skip = l1[i] == 0 && l2[i] == 0;
-    int mv8_r = mv_fp[0] * 8, mv8_c = mv_fp[1] * 8;
+    int mv8_r = mv_fp[0], mv8_c = mv_fp[1];  // already 1/8-pel units
 
     // skip coeff flag
     int above = r4 > 0 ? skips[(r4 - 1) * mi_cols + c4] : 0;

@@ -21,7 +21,7 @@ from svt_av1_tpu.ops import intra
 from svt_av1_tpu.ops import mc as MC
 from svt_av1_tpu.ops import quant as Q
 from svt_av1_tpu.ops import transforms as T
-from svt_av1_tpu.pipeline.inter_encoder import SEARCH_RANGE
+from svt_av1_tpu.pipeline.inter_encoder import PAD, SEARCH_RANGE
 from svt_av1_tpu.pipeline.tile import (LEAF_MI, SB_MI, read_partition_symbol)
 from svt_av1_tpu.utils.bits import BitReader
 
@@ -76,12 +76,13 @@ class Decoder:
             # LAST..ALTREF all map through ref_frame_idx to ref slots
             ref = self.ref_slots[fp.ref_frame_idx[0]]
             assert ref is not None, "missing reference frame"
-            # padded luma + half-pel-phase chroma planes (must mirror the
-            # encoder's MC exactly: pipeline.inter_encoder)
-            cpad = SEARCH_RANGE // 2 + 1
-            self.ref_y_pad = np.pad(ref[0], SEARCH_RANGE, mode="edge")
-            self.ref_uv_phases = [
-                MC.halfpel_planes(np, MC.pad_for_filter(np, ref[p], cpad))
+            # subpel phase banks (must mirror the encoder's MC exactly:
+            # pipeline.inter_encoder _mc_luma/_mc_chroma)
+            self.bank_y = MC.phase_bank(
+                np, MC.pad_for_filter(np, ref[0], PAD), 4)
+            cpad = PAD // 2 + 1
+            self.bank_uv = [
+                MC.phase_bank(np, MC.pad_for_filter(np, ref[p], cpad), 2)
                 for p in (1, 2)]
 
         for r4 in range(0, mi_rows, SB_MI):
@@ -155,9 +156,11 @@ class Decoder:
         mi.set_block(r4, c4, LEAF_MI, LEAF_MI, is_inter=True, ref_frame=ref,
                      mode=mode, mv=mv8)
 
-        assert mv8[0] % 8 == 0 and mv8[1] % 8 == 0, \
-            "subpel luma MVs not yet supported"
-        fr, fcol = mv8[0] // 8, mv8[1] // 8
+        assert mv8[0] % 2 == 0 and mv8[1] % 2 == 0, \
+            "high-precision MVs not supported (allow_high_precision_mv=0)"
+        lim = SEARCH_RANGE * 8 + 6
+        assert abs(mv8[0]) <= lim and abs(mv8[1]) <= lim, \
+            f"MV {mv8} beyond decoder reference padding"
         for plane, tx_size in enumerate((T.TX_8X8, T.TX_4X4, T.TX_4X4)):
             pr = r4 >> (plane > 0)
             pc = c4 >> (plane > 0)
@@ -178,15 +181,17 @@ class Decoder:
 
             py, px = pr * 4, pc * 4
             if plane == 0:
-                r0 = py + SEARCH_RANGE + fr
-                c0 = px + SEARCH_RANGE + fcol
-                pred = self.ref_y_pad[r0 : r0 + bs, c0 : c0 + bs]
+                r0 = py + PAD + (mv8[0] >> 3)
+                c0 = px + PAD + (mv8[1] >> 3)
+                pred = self.bank_y[((mv8[0] * 2) & 15) >> 2,
+                                   ((mv8[1] * 2) & 15) >> 2][
+                    r0 : r0 + bs, c0 : c0 + bs]
             else:
-                cpad = SEARCH_RANGE // 2 + 1
-                phase = (fr & 1) * 2 + (fcol & 1)
-                r0 = py + cpad + (fr >> 1)
-                c0 = px + cpad + (fcol >> 1)
-                pred = self.ref_uv_phases[plane - 1][phase][
+                cpad = PAD // 2 + 1
+                r0 = py + cpad + (mv8[0] >> 4)
+                c0 = px + cpad + (mv8[1] >> 4)
+                pred = self.bank_uv[plane - 1][(mv8[0] & 15) >> 1,
+                                               (mv8[1] & 15) >> 1][
                     r0 : r0 + bs, c0 : c0 + bs]
             dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size)
             resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)

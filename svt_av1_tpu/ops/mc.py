@@ -109,6 +109,26 @@ def halfpel_planes(xp, plane_padded):
     ])
 
 
+def phase_bank(xp, plane_padded, step: int):
+    """All (16/step)^2 subpel-phase planes of one padded plane.
+
+    step=4: quarter-pel bank (luma with allow_high_precision_mv=0);
+    step=2: eighth-pel bank (chroma under quarter-pel luma MVs).
+    Returns [n, n, H, W] with n = 16 // step, indexed [py//step, px//step].
+    Shares the horizontal intermediate across vertical phases (the 2-D
+    convolve is separable with the intermediate round_0 applied once,
+    exactly as the reference's im_block; EbInterPrediction.c:131-181).
+    """
+    n = 16 // step
+    rows = []
+    for iy in range(n):
+        row = []
+        for ix in range(n):
+            row.append(filter_plane(xp, plane_padded, ix * step, iy * step))
+        rows.append(xp.stack(row))
+    return xp.stack(rows)
+
+
 def pad_for_filter(xp, plane, pad: int):
     """Edge-replicate pad by (pad+3) left/top and (pad+4) right/bottom.
 

@@ -123,9 +123,10 @@ class TileWriter:
 
     def encode_inter(self, mvs: np.ndarray, levels_y: np.ndarray,
                      levels_u: np.ndarray, levels_v: np.ndarray) -> bytes:
-        """P-frame tile: uniform 8x8 NEWMV/LAST blocks, full-pel MVs.
+        """P-frame tile: uniform 8x8 NEWMV/LAST blocks.
 
-        mvs: [nbh, nbw, 2] full-pel (row, col).  Mirrors the reference
+        mvs: [nbh, nbw, 2] in 1/8-pel (row, col), quarter-pel granularity
+        (even values; allow_high_precision_mv=0).  Mirrors the reference
         inter write_modes_b path (EbEntropyCoding.c:5000-5290)."""
         tc = self.tc
         self.data = (mvs, levels_y, levels_u, levels_v)
@@ -162,7 +163,9 @@ class TileWriter:
         br, bc = r4 // LEAF_MI, c4 // LEAF_MI
         lvls = (ly[br, bc], lu[br, bc], lv[br, bc])
         skip = int(all((l == 0).all() for l in lvls))
-        mv8 = (int(mvs[br, bc, 0]) * 8, int(mvs[br, bc, 1]) * 8)
+        mv8 = (int(mvs[br, bc, 0]), int(mvs[br, bc, 1]))
+        assert mv8[0] % 2 == 0 and mv8[1] % 2 == 0, \
+            "MVs must be quarter-pel (allow_high_precision_mv=0)"
 
         # skip coeff flag (skip_mode never allowed: no order hints)
         ctx = tc.skip_ctx(r4, c4)

@@ -73,7 +73,8 @@ def test_cpp_inter_tile_byte_identical():
     mi_rows, mi_cols = 24, 38   # non-multiple-of-16 edge SBs
     nbh, nbw = 12, 19
     for qindex in (20, 120, 255):
-        mv = rng.integers(-16, 17, (nbh, nbw, 2), np.int32)
+        # quarter-pel MVs in 1/8-pel units (even), +-16 pel range
+        mv = rng.integers(-64, 65, (nbh, nbw, 2), np.int32) * 2
         ly = np.where(rng.random((nbh, nbw, 8, 8)) < 0.15,
                       rng.integers(-40, 41, (nbh, nbw, 8, 8)), 0).astype(np.int32)
         lu = np.where(rng.random((nbh, nbw, 4, 4)) < 0.1,
