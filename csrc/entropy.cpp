@@ -478,7 +478,7 @@ struct TileWriter {
     if (tx_type_flag && plane_type == 0 && qindex > 0) {
       if (is_inter) {
         // inter ext-tx, reduced set: DCT_IDTX (2 syms, eset 3); DCT -> 1
-        int sq = w >= 8 ? 1 : 0;
+        int sq = w == 4 ? 0 : (w == 8 ? 1 : (w == 16 ? 2 : 3));
         int32_t* c2 = t.inter_ext_tx + (3 * 4 + sq) * 17;
         static const int IND_DCT_IDTX[16] = {1, 0, 0, 0, 0, 0, 0, 0,
                                              0, 0, 0, 0, 0, 0, 0, 0};
@@ -649,7 +649,10 @@ struct TileWriter {
   // Inter frame path (twin of pipeline/tile.py encode_inter + entropy/mvp.py)
   // =========================================================================
   bool inter_frame = false;
-  const int32_t* mvs = nullptr;  // [nbh][nbw][2] full-pel
+  const int32_t* mvs = nullptr;      // [nb8h][nb8w][2] 1/8-pel (selected)
+  const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8/16/32
+  const int32_t* lv_inter[3][3];     // [size8/16/32][plane] level grids
+  int nb8w = 0;
   // per-mi inter grids (twin of MiInter)
   std::vector<uint8_t> mi_inter, mi_mode, mi_w4, mi_h4;
   std::vector<int8_t> mi_ref;
@@ -950,16 +953,24 @@ struct TileWriter {
     }
   }
 
-  void write_inter_block(int r4, int c4) {
-    int br = r4 >> 1, bc = c4 >> 1;
-    const int32_t* mv_fp = mvs + (static_cast<long>(br) * nbw + bc) * 2;
-    const int32_t* l0 = ly + (static_cast<long>(br) * nbw + bc) * 64;
-    const int32_t* l1 = lu + (static_cast<long>(br) * nbw + bc) * 16;
-    const int32_t* l2 = lvv + (static_cast<long>(br) * nbw + bc) * 16;
+  void write_inter_block(int r4, int c4, int n4) {
+    const int bs = n4 * 4;                  // luma pixels
+    const int size_idx = n4 == 2 ? 0 : (n4 == 4 ? 1 : 2);
+    const int ny = bs * bs, nc = (bs / 2) * (bs / 2);
+    const int gb_w = (nb8w * 8) / bs;       // per-size grid width
+    int br = (r4 * 4) / bs, bc = (c4 * 4) / bs;
+    const int32_t* l0 = lv_inter[size_idx][0] +
+                        (static_cast<long>(br) * gb_w + bc) * ny;
+    const int32_t* l1 = lv_inter[size_idx][1] +
+                        (static_cast<long>(br) * gb_w + bc) * nc;
+    const int32_t* l2 = lv_inter[size_idx][2] +
+                        (static_cast<long>(br) * gb_w + bc) * nc;
     bool skip = true;
-    for (int i = 0; i < 64 && skip; ++i) skip = l0[i] == 0;
-    for (int i = 0; i < 16 && skip; ++i) skip = l1[i] == 0 && l2[i] == 0;
-    int mv8_r = mv_fp[0], mv8_c = mv_fp[1];  // already 1/8-pel units
+    for (int i = 0; i < ny && skip; ++i) skip = l0[i] == 0;
+    for (int i = 0; i < nc && skip; ++i) skip = l1[i] == 0 && l2[i] == 0;
+    const int32_t* mvp = mvs + (static_cast<long>(r4 >> 1) * nb8w +
+                                (c4 >> 1)) * 2;
+    int mv8_r = mvp[0], mv8_c = mvp[1];  // 1/8-pel units
 
     // skip coeff flag
     int above = r4 > 0 ? skips[(r4 - 1) * mi_cols + c4] : 0;
@@ -995,7 +1006,7 @@ struct TileWriter {
 
     // mode (NEWMV) + drl + mv
     StackResult res;
-    find_mv_stack(r4, c4, 2, 2, &res);
+    find_mv_stack(r4, c4, n4, n4, &res);
     code_bin(t.newmv + res.newmv_ctx() * 3, 0);   // mode != NEWMV -> 0
     if (res.num_found > 1) {
       code_bin(t.drl + res.drl_ctx(0) * 3, 0);    // drl_idx == 0
@@ -1011,8 +1022,8 @@ struct TileWriter {
     if (j & 1) encode_mv_component(dc, 1, 1);
 
     // state update
-    for (int i = 0; i < 2; ++i)
-      for (int jj = 0; jj < 2; ++jj) {
+    for (int i = 0; i < n4; ++i)
+      for (int jj = 0; jj < n4; ++jj) {
         size_t p = static_cast<size_t>(r4 + i) * mi_cols + c4 + jj;
         skips[p] = skip ? 1 : 0;
         y_modes[p] = 0;
@@ -1022,28 +1033,31 @@ struct TileWriter {
         mi_mode[p] = NEWMV;
         mi_mv[p * 2] = static_cast<int16_t>(mv8_r);
         mi_mv[p * 2 + 1] = static_cast<int16_t>(mv8_c);
-        mi_w4[p] = 2;
-        mi_h4[p] = 2;
+        mi_w4[p] = static_cast<uint8_t>(n4);
+        mi_h4[p] = static_cast<uint8_t>(n4);
       }
-    part_above[c4] = part_above[c4 + 1] = 32 - 2;
-    part_left[r4] = part_left[r4 + 1] = 32 - 2;
+    for (int i = 0; i < n4; ++i) {
+      part_above[c4 + i] = static_cast<uint8_t>(32 - n4);
+      part_left[r4 + i] = static_cast<uint8_t>(32 - n4);
+    }
 
     // residuals (inter tx set DCT_IDTX: 2 syms, eset 3, DCT symbol = 1)
     const int32_t* lvs[3] = {l0, l1, l2};
     for (int plane = 0; plane < 3; ++plane) {
       int pr = plane ? r4 >> 1 : r4;
       int pc = plane ? c4 >> 1 : c4;
-      int w4 = plane ? 1 : 2;
+      int w4 = plane ? n4 >> 1 : n4;
       if (skip) {
         set_txb(plane, pr, pc, w4, w4, 0);
         continue;
       }
       int sctx, dctx;
       txb_ctx(plane, pr, pc, w4, w4, &sctx, &dctx);
-      int bs = plane ? 4 : 8;
-      int txs_ctx = plane ? 0 : 1;
-      int cul = write_coeffs_inter(lvs[plane], bs, bs, txs_ctx, plane ? 1 : 0,
-                                   sctx, dctx, plane == 0);
+      int pbs = plane ? bs / 2 : bs;
+      // txs_ctx for square tx: log2(dim/4) (tx_size_ctx, syntax.py)
+      int txs_ctx = pbs == 4 ? 0 : (pbs == 8 ? 1 : (pbs == 16 ? 2 : 3));
+      int cul = write_coeffs_inter(lvs[plane], pbs, pbs, txs_ctx,
+                                   plane ? 1 : 0, sctx, dctx, plane == 0);
       set_txb(plane, pr, pc, w4, w4, cul);
     }
   }
@@ -1059,9 +1073,13 @@ struct TileWriter {
 
   void partition(int r4, int c4, int n4) {
     if (r4 >= mi_rows || c4 >= mi_cols) return;
-    if (n4 == 2) {
+    bool leaf = n4 == 2;
+    if (!leaf && inter_frame && n4 <= 8 &&
+        size_map[static_cast<size_t>(r4 >> 1) * nb8w + (c4 >> 1)] == n4 * 4)
+      leaf = true;
+    if (leaf) {
       write_partition(r4, c4, n4, PARTITION_NONE);
-      if (inter_frame) write_inter_block(r4, c4);
+      if (inter_frame) write_inter_block(r4, c4, n4);
       else write_block(r4, c4);
       return;
     }
@@ -1106,18 +1124,18 @@ long svt_encode_tile(int mi_rows, int mi_cols, int qindex, int reduced_tx_set,
 
 long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            int reduced_tx_set, const int32_t* cdf_blob,
-                           const int32_t* mvs, const int32_t* ly,
-                           const int32_t* lu, const int32_t* lv, int nbh,
-                           int nbw, uint8_t* out, long out_cap) {
+                           const uint8_t* sizes, const int32_t* mvs,
+                           const int32_t* const* levels9, int nb8h,
+                           int nb8w, uint8_t* out, long out_cap) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
+  tw.size_map = sizes;
   tw.mvs = mvs;
-  tw.ly = ly;
-  tw.lu = lu;
-  tw.lvv = lv;
-  tw.nbw = nbw;
-  (void)nbh;
+  for (int s = 0; s < 3; ++s)
+    for (int p = 0; p < 3; ++p) tw.lv_inter[s][p] = levels9[s * 3 + p];
+  tw.nb8w = nb8w;
+  (void)nb8h;
   for (int r4 = 0; r4 < mi_rows; r4 += 16)
     for (int c4 = 0; c4 < mi_cols; c4 += 16) tw.partition(r4, c4, 16);
   return tw.enc.done(out, out_cap);

@@ -77,12 +77,22 @@ class Decoder:
             ref = self.ref_slots[fp.ref_frame_idx[0]]
             assert ref is not None, "missing reference frame"
             # subpel phase banks (must mirror the encoder's MC exactly:
-            # pipeline.inter_encoder _mc_luma/_mc_chroma)
+            # pipeline.inter_encoder _mc_luma/_mc_chroma).  The encoder
+            # runs on 32-padded planes; edge-pad the reference the same
+            # way first so both sides filter identical arrays.
+            ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+
+            def pad32(p, shift):
+                return np.pad(p, ((0, (ph32 >> shift) - p.shape[0]),
+                                  (0, (pw32 >> shift) - p.shape[1])),
+                              mode="edge")
+
             self.bank_y = MC.phase_bank(
-                np, MC.pad_for_filter(np, ref[0], PAD), 4)
+                np, MC.pad_for_filter(np, pad32(ref[0], 0), PAD), 4)
             cpad = PAD // 2 + 1
             self.bank_uv = [
-                MC.phase_bank(np, MC.pad_for_filter(np, ref[p], cpad), 2)
+                MC.phase_bank(np, MC.pad_for_filter(np, pad32(ref[p], 1),
+                                                    cpad), 2)
                 for p in (1, 2)]
 
         for r4 in range(0, mi_rows, SB_MI):
@@ -109,21 +119,30 @@ class Decoder:
             p = read_partition_symbol(self.dec, self.fc, tc, r4, c4, n4)
             assert p == S.PARTITION_NONE, f"unsupported partition {p} at 8x8"
             if self.is_inter_frame:
-                self._inter_block(r4, c4)
+                self._inter_block(r4, c4, 8)
             else:
                 self._block(r4, c4)
             return
         p = read_partition_symbol(self.dec, self.fc, tc, r4, c4, n4)
+        if p == S.PARTITION_NONE:
+            assert self.is_inter_frame and n4 in (4, 8), \
+                f"unsupported PARTITION_NONE at n4={n4}"
+            self._inter_block(r4, c4, n4 * 4)
+            return
         assert p == S.PARTITION_SPLIT, \
-            f"unsupported partition {p} at n4={n4} (uniform-8x8 streams only)"
+            f"unsupported partition {p} at n4={n4}"
         half = n4 >> 1
         self._partition(r4, c4, half)
         self._partition(r4, c4 + half, half)
         self._partition(r4 + half, c4, half)
         self._partition(r4 + half, c4 + half, half)
 
-    def _inter_block(self, r4: int, c4: int) -> None:
+    _TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32}
+    _TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16}
+
+    def _inter_block(self, r4: int, c4: int, bs: int) -> None:
         dec, fc, tc, mi = self.dec, self.fc, self.tc, self.mi
+        n4 = bs // 4
 
         ctx = tc.skip_ctx(r4, c4)
         cdf = fc.skip[ctx]
@@ -136,7 +155,7 @@ class Decoder:
         ref = S.code_single_ref(None, dec, fc, counts)
         assert ref == MVP.LAST_FRAME, f"only LAST supported, got {ref}"
 
-        res = MVP.find_mv_stack(mi, r4, c4, LEAF_MI, LEAF_MI)
+        res = MVP.find_mv_stack(mi, r4, c4, n4, n4)
         mode = S.code_inter_mode(None, dec, fc, res)
         if mode in (S.NEWMV, S.NEARMV):
             ref_mv_idx = S.code_drl_idx(None, dec, fc, res, mode)
@@ -152,8 +171,9 @@ class Decoder:
         else:
             mv8 = res.global_mv
 
-        tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, S.DC_PRED, skip)
-        mi.set_block(r4, c4, LEAF_MI, LEAF_MI, is_inter=True, ref_frame=ref,
+        tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), S.DC_PRED,
+                     skip)
+        mi.set_block(r4, c4, n4, n4, is_inter=True, ref_frame=ref,
                      mode=mode, mv=mv8)
 
         assert mv8[0] % 2 == 0 and mv8[1] % 2 == 0, \
@@ -161,13 +181,14 @@ class Decoder:
         lim = SEARCH_RANGE * 8 + 6
         assert abs(mv8[0]) <= lim and abs(mv8[1]) <= lim, \
             f"MV {mv8} beyond decoder reference padding"
-        for plane, tx_size in enumerate((T.TX_8X8, T.TX_4X4, T.TX_4X4)):
+        for plane, tx_size in enumerate(
+                (self._TX_OF[bs], self._TX_OF_C[bs], self._TX_OF_C[bs])):
             pr = r4 >> (plane > 0)
             pc = c4 >> (plane > 0)
-            w4 = LEAF_MI >> (plane > 0)
-            bs = 8 if plane == 0 else 4
+            w4 = n4 >> (plane > 0)
+            pbs = bs >> (plane > 0)
             if skip:
-                levels = np.zeros((bs, bs), np.int32)
+                levels = np.zeros((pbs, pbs), np.int32)
                 tc.set_txb(plane, pr, pc, w4, w4, 0)
             else:
                 txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
@@ -185,17 +206,17 @@ class Decoder:
                 c0 = px + PAD + (mv8[1] >> 3)
                 pred = self.bank_y[((mv8[0] * 2) & 15) >> 2,
                                    ((mv8[1] * 2) & 15) >> 2][
-                    r0 : r0 + bs, c0 : c0 + bs]
+                    r0 : r0 + pbs, c0 : c0 + pbs]
             else:
                 cpad = PAD // 2 + 1
                 r0 = py + cpad + (mv8[0] >> 4)
                 c0 = px + cpad + (mv8[1] >> 4)
                 pred = self.bank_uv[plane - 1][(mv8[0] & 15) >> 1,
                                                (mv8[1] & 15) >> 1][
-                    r0 : r0 + bs, c0 : c0 + bs]
+                    r0 : r0 + pbs, c0 : c0 + pbs]
             dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size)
             resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)
-            self.rec[plane][py : py + bs, px : px + bs] = np.clip(
+            self.rec[plane][py : py + pbs, px : px + pbs] = np.clip(
                 pred + resid, 0, 255)
 
     def _block(self, r4: int, c4: int) -> None:

@@ -63,9 +63,10 @@ def _lib():
     lib.svt_encode_tile_inter.restype = ctypes.c_long
     lib.svt_encode_tile_inter.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
     ]
     return lib
@@ -109,18 +110,21 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
 
 
 def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
-                          qindex: int, mvs: np.ndarray, levels_y: np.ndarray,
-                          levels_u: np.ndarray, levels_v: np.ndarray,
-                          reduced_tx_set: bool = True) -> bytes:
+                          qindex: int, sizes: np.ndarray, mvs: np.ndarray,
+                          levels: dict, reduced_tx_set: bool = True) -> bytes:
+    """levels: {8: (ly,lu,lv), 16: (...), 32: (...)} per-size level grids."""
     lib = _lib()
     blob = build_blob(fc)
     assert blob.size == lib.svt_tile_blob_size(), \
         (blob.size, lib.svt_tile_blob_size())
-    nbh, nbw = levels_y.shape[:2]
+    nb8h, nb8w = sizes.shape
+    sz = np.ascontiguousarray(sizes, np.uint8)
     mv = np.ascontiguousarray(mvs, np.int32)
-    ly = np.ascontiguousarray(levels_y, np.int32)
-    lu = np.ascontiguousarray(levels_u, np.int32)
-    lv = np.ascontiguousarray(levels_v, np.int32)
+    lvl_arrs = [np.ascontiguousarray(levels[bs][pl], np.int32)
+                for bs in (8, 16, 32) for pl in range(3)]
+    ptrs = (ctypes.POINTER(ctypes.c_int32) * 9)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+          for a in lvl_arrs])
     cap = mi_rows * mi_cols * 256 + (1 << 16)
     out = np.empty(cap, np.uint8)
 
@@ -129,9 +133,9 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
 
     n = lib.svt_encode_tile_inter(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
-        p(blob, ctypes.c_int32), p(mv, ctypes.c_int32),
-        p(ly, ctypes.c_int32), p(lu, ctypes.c_int32), p(lv, ctypes.c_int32),
-        nbh, nbw, p(out, ctypes.c_uint8), cap)
+        p(blob, ctypes.c_int32), p(sz, ctypes.c_uint8),
+        p(mv, ctypes.c_int32), ptrs,
+        nb8h, nb8w, p(out, ctypes.c_uint8), cap)
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

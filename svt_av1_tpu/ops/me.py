@@ -18,12 +18,34 @@ import jax
 import jax.numpy as jnp
 
 
-def fullpel_search(src, ref_pad, block: int, search_range: int):
-    """Exhaustive full-pel SAD search on aligned blocks.
+import numpy as np
+
+
+def mv_rate_bits(mv8):
+    """Approximate MV coding cost in bits for a (0,0) predictor prior.
+
+    Rough model of av1_encode_mv's sign+class+offset+fraction bins; used
+    only as the encoder-side rate bias (the reference's lambda-weighted
+    ME cost, EbMotionEstimation.c mv cost tables) — never in the
+    bitstream, so a cheap approximation is fine.
+    """
+    a = jnp.abs(mv8)
+    comp = jnp.where(a == 0, 0,
+                     5 + jnp.ceil(jnp.log2(a.astype(jnp.float32) + 1))
+                     .astype(jnp.int32))
+    return 2 + comp.sum(-1)
+
+
+def fullpel_search(src, ref_pad, block: int, search_range: int,
+                   lam: int = 0, prior_fp=None):
+    """Exhaustive full-pel rate-biased SAD search on aligned blocks.
 
     src:      [H, W] int32 source plane (H, W multiples of `block`)
     ref_pad:  [H + 2R, W + 2R] int32 edge-padded reference plane
-    returns:  (mv [nbh, nbw, 2] int32 full-pel (row, col), sad [nbh, nbw])
+    lam:      cost = SAD + (lam * mv_bits(mv - prior)) >> 4 (0: pure SAD)
+    prior_fp: [nbh, nbw, 2] full-pel MV predictor approximation (the
+              entropy coder's ref-MV stack neighborhood); None = (0,0)
+    returns:  (mv [nbh, nbw, 2] int32 full-pel (row, col), cost [nbh, nbw])
     """
     H, W = src.shape
     R = search_range
@@ -31,21 +53,38 @@ def fullpel_search(src, ref_pad, block: int, search_range: int):
     nbh, nbw = H // block, W // block
 
     def body(k, state):
-        best_sad, best_k = state
+        best_cost, best_k = state
         dy = k // n
         dx = k % n
         win = jax.lax.dynamic_slice(ref_pad, (dy, dx), (H, W))
-        d = jnp.abs(src - win)
-        sad = d.reshape(nbh, block, nbw, block).sum((1, 3))
-        better = sad < best_sad
-        return (jnp.where(better, sad, best_sad),
+        diff = jnp.abs(src - win)
+        cost = diff.reshape(nbh, block, nbw, block).sum((1, 3))
+        if lam:
+            mv8 = (jnp.stack([dy - R, dx - R])[None, None] -
+                   (prior_fp if prior_fp is not None else 0)) * 8
+            cost = cost + ((lam * mv_rate_bits(mv8)) >> 4)
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
                 jnp.where(better, k, best_k))
 
     init = (jnp.full((nbh, nbw), 2**30, jnp.int32),
             jnp.zeros((nbh, nbw), jnp.int32))
-    best_sad, best_k = jax.lax.fori_loop(0, n * n, body, init)
+    best_cost, best_k = jax.lax.fori_loop(0, n * n, body, init)
     mv = jnp.stack([best_k // n - R, best_k % n - R], axis=-1)
-    return mv, best_sad
+    return mv, best_cost
+
+
+def median3_mv_field(mv):
+    """Component-wise median of (left, up, up-right) neighbor MVs — a
+    bulk-parallel approximation of the entropy coder's ref-MV-stack
+    predictor (the reference's spatial MVP; EbAdaptiveMotionVector
+    Prediction.c scan_row/-col candidates)."""
+    left = jnp.roll(mv, 1, axis=1).at[:, 0].set(0)
+    up = jnp.roll(mv, 1, axis=0).at[0, :].set(0)
+    upr = jnp.roll(jnp.roll(mv, 1, axis=0), -1, axis=1)
+    upr = upr.at[0, :].set(0).at[:, -1].set(0)
+    return left + up + upr - jnp.minimum(jnp.minimum(left, up), upr) \
+        - jnp.maximum(jnp.maximum(left, up), upr)
 
 
 def gather_blocks(plane_pad, mv, block: int, pad: int):

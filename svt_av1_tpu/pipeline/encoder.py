@@ -96,21 +96,36 @@ class Encoder:
         key = self._is_key(self._send_idx)
         self._send_idx += 1
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+
+        def as_ref(y, u, v):
+            """Edge-pad recon planes to the 32-padded inter geometry (the
+            mirror decoder pads its references identically)."""
+            pads = ((0, ph32 - ph), (0, pw32 - pw))
+            padc = ((0, (ph32 - ph) // 2), (0, (pw32 - pw) // 2))
+            return (jnp.pad(y, pads, mode="edge"),
+                    jnp.pad(u, padc, mode="edge"),
+                    jnp.pad(v, padc, mode="edge"))
+
         if key or self._ref_dev is None:
             out, nbh, nbw = IE.dispatch_frame_device(
                 frame.y, frame.u, frame.v, qindex,
                 self.seq.mi_rows, self.seq.mi_cols)
-            self._ref_dev = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
+            self._ref_dev = as_ref(*(_unblock_dev(out[i]) for i in (4, 5, 6)))
             self._pending.append(("key", [frame], out, nbh, nbw, qindex))
         else:
-            sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8), ph, pw))
+            sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8),
+                                          ph32, pw32))
             su = jnp.asarray(IE.pad_plane(
-                frame.u.astype(np.uint8), ph // 2, pw // 2))
+                frame.u.astype(np.uint8), ph32 // 2, pw32 // 2))
             sv = jnp.asarray(IE.pad_plane(
-                frame.v.astype(np.uint8), ph // 2, pw // 2))
-            fn = PE.build_p_frame_encoder(ph, pw, qindex)
+                frame.v.astype(np.uint8), ph32 // 2, pw32 // 2))
+            fn = PE.build_p_frame_encoder(ph32, pw32, self.seq.mi_rows,
+                                          self.seq.mi_cols, qindex)
             out = fn(sy, su, sv, *self._ref_dev)
-            self._ref_dev = (out[4], out[5], out[6])
+            self._ref_dev = as_ref(out[11][:ph, :pw],
+                                   out[12][: ph // 2, : pw // 2],
+                                   out[13][: ph // 2, : pw // 2])
             self._pending.append(("p", [frame], out, None, None, qindex))
 
     def _finish_one(self) -> None:
@@ -139,7 +154,12 @@ class Encoder:
 
     def _make_inter_packet(self, frame: Frame, out, qindex: int) -> Packet:
         cfg = self.cfg
-        mv, ly, lu, lv, ry, ru, rv = (np.asarray(a) for a in out)
+        arrs = [np.asarray(a) for a in out]
+        sizes, mv = arrs[0], arrs[1].astype(np.int32)
+        levels = {8: tuple(a.astype(np.int32) for a in arrs[2:5]),
+                  16: tuple(a.astype(np.int32) for a in arrs[5:8]),
+                  32: tuple(a.astype(np.int32) for a in arrs[8:11])}
+        ry, ru, rv = arrs[11], arrs[12], arrs[13]
         fc = FrameContext(qindex)
         tile = None
         if cfg.entropy_backend in ("auto", "cpp"):
@@ -147,14 +167,12 @@ class Encoder:
             if native.available():
                 tile = native.encode_tile_inter_cpp(
                     fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
-                    mv.astype(np.int32), ly.astype(np.int32),
-                    lu.astype(np.int32), lv.astype(np.int32))
+                    sizes, mv, levels)
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
             tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
-            tile = tw.encode_inter(mv.astype(np.int32), ly.astype(np.int32),
-                                   lu.astype(np.int32), lv.astype(np.int32))
+            tile = tw.encode_inter(sizes, mv, levels)
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,

@@ -1,4 +1,5 @@
-"""Device-side P-frame encoder: batched ME + MC + transform coding.
+"""Device-side P-frame encoder: batched ME + MC + transform coding with
+variable partitions.
 
 Unlike intra (wavefront-ordered), inter prediction has NO intra-frame
 dependency: every block predicts from the previous reconstructed frame.
@@ -6,17 +7,20 @@ The whole P-frame therefore encodes as ONE bulk-parallel device program —
 the TPU-native answer to the reference's EncDec wavefront + ME segment
 pools (EbEncDecProcess.c:1448, EbMotionEstimationProcess.c:374).
 
-Motion is quarter-pel (AV1 low-precision MVs): exhaustive full-pel SAD
-search, then half- and quarter-pel refinement against subpel-phase plane
-banks (ops.mc.phase_bank) — whole-plane 8-tap convs once per frame
-(XLA CSE shares the horizontal intermediates), then per-block gathers.
-This replaces the reference's per-block HalfPelSearch_LCU /
-QuarterPelSearch_LCU (EbMotionEstimation.c:3829/:4746) with dense
-tensor ops.  Chroma (1/8-pel positions under quarter-pel luma MVs) uses
-an eighth-pel bank.
+Partitioning (the reference's MD partition RDO, EbProductCodingLoop.c
+mode_decision_sb) is restructured TPU-first: motion search and residual
+coding run for EVERY block of EVERY size (8/16/32) as dense batched
+passes, then a bottom-up merge pass picks the quadtree by rate-biased
+cost — no per-block control flow; the host entropy stage walks the
+resulting size map.  Nodes that cross the frame edge are forced to
+split to 8x8 (static masks), so the partition tree never needs the
+edge-forced rectangular forms.
 
-v1 scope: uniform 8x8 luma blocks (4x4 chroma), NEWMV over one LAST
-reference, DCT residuals, CQP.
+Motion is quarter-pel (AV1 low-precision MVs): exhaustive full-pel SAD
+search per size, then half- and quarter-pel refinement against subpel-
+phase plane banks (ops.mc.phase_bank) — whole-plane 8-tap convs once
+per frame, then per-block gathers.  Chroma (1/8-pel positions under
+quarter-pel luma MVs) uses an eighth-pel bank.
 """
 
 from __future__ import annotations
@@ -32,10 +36,15 @@ from svt_av1_tpu.ops import me as ME
 from svt_av1_tpu.ops import quant as Q
 from svt_av1_tpu.ops import transforms as T
 
-LUMA_BS = 8
-CHROMA_BS = 4
 SEARCH_RANGE = 16   # full-pel luma search window (+-R)
 PAD = SEARCH_RANGE + 1  # +1: subpel refinement can cross one more pel
+SIZES = (8, 16, 32)     # luma leaf sizes (64 always splits)
+TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32}
+TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16}
+# per-leaf overhead bits beyond residual+mv (mode/ref/skip + amortized
+# partition symbol) used in the merge decision
+LEAF_OVERHEAD_BITS = 6
+SPLIT_EXTRA_BITS = 4
 
 
 def _block(plane, bs: int):
@@ -69,25 +78,27 @@ def _gather_bank(bank, py_idx, px_idx, off_r, off_c, bs: int, pad: int):
     return bank[py_idx[:, :, None, None], px_idx[:, :, None, None], rr, cc]
 
 
-def _mc_luma(bank, mv8, pad: int):
+def _mc_luma(bank, mv8, bs: int, pad: int):
     """Quarter-pel luma MC from the 4x4 phase bank; mv8 in 1/8 pel (even)."""
     frac16_r = (mv8[..., 0] * 2) & 15
     frac16_c = (mv8[..., 1] * 2) & 15
     return _gather_bank(bank, frac16_r >> 2, frac16_c >> 2,
-                        mv8[..., 0] >> 3, mv8[..., 1] >> 3, LUMA_BS, pad)
+                        mv8[..., 0] >> 3, mv8[..., 1] >> 3, bs, pad)
 
 
-def _mc_chroma(bank, mv8, pad: int):
+def _mc_chroma(bank, mv8, bs: int, pad: int):
     """Eighth-pel chroma MC; chroma 1/16-pel frac == mv8 & 15 (4:2:0)."""
     frac_r = mv8[..., 0] & 15
     frac_c = mv8[..., 1] & 15
     return _gather_bank(bank, frac_r >> 1, frac_c >> 1,
-                        mv8[..., 0] >> 4, mv8[..., 1] >> 4, CHROMA_BS, pad)
+                        mv8[..., 0] >> 4, mv8[..., 1] >> 4, bs, pad)
 
 
-def _subpel_refine(src_blocks, bank, mv8, sad, pad: int):
+def _subpel_refine(src_blocks, bank, mv8, cost, bs: int, pad: int, lam: int,
+                   prior8):
     """Half- then quarter-pel 8-neighbor refinement (ref
-    HalfPelSearch_LCU / QuarterPelSearch_LCU, batched over all blocks)."""
+    HalfPelSearch_LCU / QuarterPelSearch_LCU, batched over all blocks);
+    same rate-biased cost as the full-pel stage."""
     for step in (4, 2):
         base = mv8  # neighbors of the step-start best (bounds total drift)
         for dy in (-step, 0, step):
@@ -95,23 +106,47 @@ def _subpel_refine(src_blocks, bank, mv8, sad, pad: int):
                 if dy == 0 and dx == 0:
                     continue
                 cand = base + jnp.array([dy, dx], jnp.int32)
-                pred = _mc_luma(bank, cand, pad)
-                s = jnp.abs(src_blocks - pred).sum((-1, -2))
-                better = s < sad
-                sad = jnp.where(better, s, sad)
+                pred = _mc_luma(bank, cand, bs, pad)
+                s = (jnp.abs(src_blocks - pred).sum((-1, -2))
+                     + ((lam * ME.mv_rate_bits(cand - prior8)) >> 4))
+                better = s < cost
+                cost = jnp.where(better, s, cost)
                 mv8 = jnp.where(better[..., None], cand, mv8)
-    return mv8, sad
+    return mv8, cost
+
+
+def _sum4(a):
+    """[2H, 2W] -> [H, W] 2x2 block sum."""
+    return a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2).sum((1, 3))
+
+
+def _search_size(sy, ref_pad, bank_y, bs: int, search: int, pad: int,
+                 lam: int):
+    """Two-pass rate-biased full-pel + subpel ME for one block size."""
+    mv_p1, _ = ME.fullpel_search(sy, ref_pad, bs, search)
+    prior_fp = ME.median3_mv_field(mv_p1)
+    mv_fp, cost = ME.fullpel_search(sy, ref_pad, bs, search, lam, prior_fp)
+    src_blocks = _block(sy, bs)
+    mv8, cost = _subpel_refine(src_blocks, bank_y, mv_fp * 8, cost, bs, pad,
+                               lam, prior_fp * 8)
+    return mv8, cost
 
 
 def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
-    """Build the (unjitted) P-frame encode step for padded geometry.
+    """Build the (unjitted) P-frame encode step.
 
+    Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
     fn(src_y [ph,pw], src_u, src_v [ph/2,pw/2], ref_y, ref_u, ref_v)
-    -> (mv8 [nbh,nbw,2] int16 1/8-pel (quarter-pel granularity),
-        levels_y [nbh,nbw,8,8] i16, levels_u, levels_v [nbh,nbw,4,4] i16,
+    -> (sizes [nb8h,nb8w] u8 (8/16/32 leaf size covering each 8x8 cell),
+        mv8   [nb8h,nb8w,2] i16 (selected leaf MV, replicated per cell),
+        levels y/u/v at each size (9 arrays, i16),
         recon_y [ph,pw] u8, recon_u, recon_v)
     """
     pad = search + 1
+    from svt_av1_tpu import tables as _tbl
+    lam = max(8, _tbl.ac_q(qindex) // 4)
+
+    nb8h, nb8w = ph // 8, pw // 8
 
     def step(sy, su, sv, ry, ru, rv):
         sy = sy.astype(jnp.int32)
@@ -121,39 +156,110 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
         ru = ru.astype(jnp.int32)
         rv = rv.astype(jnp.int32)
 
-        # full-pel exhaustive SAD
         ref_pad = jnp.pad(ry, search, mode="edge")
-        mv_fp, sad = ME.fullpel_search(sy, ref_pad, LUMA_BS, search)
-
-        # subpel refinement on the quarter-pel bank
         bank_y = MC.phase_bank(jnp, MC.pad_for_filter(jnp, ry, pad), 4)
-        src_y_blocks = _block(sy, LUMA_BS)
-        mv8, _ = _subpel_refine(src_y_blocks, bank_y, mv_fp * 8, sad, pad)
-
-        pred_y = _mc_luma(bank_y, mv8, pad)
-        ly, rec_y = _encode_plane(src_y_blocks, pred_y, qindex, T.TX_8X8)
-
         cpad = pad // 2 + 1
         bank_u = MC.phase_bank(jnp, MC.pad_for_filter(jnp, ru, cpad), 2)
         bank_v = MC.phase_bank(jnp, MC.pad_for_filter(jnp, rv, cpad), 2)
-        lu, rec_u = _encode_plane(_block(su, CHROMA_BS),
-                                  _mc_chroma(bank_u, mv8, cpad), qindex,
-                                  T.TX_4X4)
-        lv, rec_v = _encode_plane(_block(sv, CHROMA_BS),
-                                  _mc_chroma(bank_v, mv8, cpad), qindex,
-                                  T.TX_4X4)
 
-        return (mv8.astype(jnp.int16),
-                ly.astype(jnp.int16), lu.astype(jnp.int16),
-                lv.astype(jnp.int16),
-                _unblock(rec_y).astype(jnp.uint8),
-                _unblock(rec_u).astype(jnp.uint8),
-                _unblock(rec_v).astype(jnp.uint8))
+        mv = {}
+        cost = {}
+        for bs in SIZES:
+            mv[bs], cost[bs] = _search_size(sy, ref_pad, bank_y, bs, search,
+                                            pad, lam)
 
+        # --- bottom-up merge decisions (rate-biased; static edge masks) ---
+        oh = (lam * LEAF_OVERHEAD_BITS) >> 4
+        split_oh = (lam * SPLIT_EXTRA_BITS) >> 4
+        j8 = cost[8] + oh
+        # 16-level
+        j_split16 = _sum4(j8) + split_oh
+        j16 = cost[16] + oh
+        use16 = j16 <= j_split16
+        j_at16 = jnp.where(use16, j16, j_split16)
+        # 32-level
+        j_split32 = _sum4(j_at16) + split_oh
+        j32 = cost[32] + oh
+        use32 = j32 <= j_split32
+
+        # edge legality: a merged node must lie fully inside the mi grid;
+        # ph/pw are 32-padded so only the true frame geometry (baked in by
+        # the caller via masks) matters — caller passes it via closure.
+        use16 = use16 & jnp.asarray(inside16)
+        use32 = use32 & jnp.asarray(inside32)
+
+        # per-8x8-cell size map
+        up2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+        size8 = jnp.where(up2(up2(use32)), 32,
+                          jnp.where(up2(use16), 16, 8)).astype(jnp.uint8)
+
+        # selected-MV field at 8x8 granularity
+        mv_sel = jnp.where(up2(up2(use32))[..., None], up2(up2(mv[32])),
+                           jnp.where(up2(use16)[..., None], up2(mv[16]),
+                                     mv[8])).astype(jnp.int16)
+
+        # --- residual coding at every size, all three planes -------------
+        levels = {}
+        rec_planes = {}
+        for bs in SIZES:
+            pred_y = _mc_luma(bank_y, mv[bs], bs, pad)
+            ly, rec_y = _encode_plane(_block(sy, bs), pred_y, qindex,
+                                      TX_OF[bs])
+            cbs = bs // 2
+            pred_u = _mc_chroma(bank_u, mv[bs], cbs, cpad)
+            pred_v = _mc_chroma(bank_v, mv[bs], cbs, cpad)
+            lu, rec_u = _encode_plane(_block(su, cbs), pred_u, qindex,
+                                      TX_OF_C[bs])
+            lv, rec_v = _encode_plane(_block(sv, cbs), pred_v, qindex,
+                                      TX_OF_C[bs])
+            levels[bs] = (ly.astype(jnp.int16), lu.astype(jnp.int16),
+                          lv.astype(jnp.int16))
+            rec_planes[bs] = (_unblock(rec_y), _unblock(rec_u),
+                              _unblock(rec_v))
+
+        # --- final recon: per-cell select of the chosen size's recon -----
+        def select_plane(idx_plane, shift):
+            m8 = jnp.repeat(jnp.repeat(size8, 8 >> shift, 0), 8 >> shift, 1)
+            out = jnp.where(m8 == 32, rec_planes[32][idx_plane],
+                            jnp.where(m8 == 16, rec_planes[16][idx_plane],
+                                      rec_planes[8][idx_plane]))
+            return out.astype(jnp.uint8)
+
+        rec_y = select_plane(0, 0)
+        rec_u = select_plane(1, 1)
+        rec_v = select_plane(2, 1)
+
+        return (size8, mv_sel,
+                levels[8][0], levels[8][1], levels[8][2],
+                levels[16][0], levels[16][1], levels[16][2],
+                levels[32][0], levels[32][1], levels[32][2],
+                rec_y, rec_u, rec_v)
+
+    # static edge-legality masks in mi-grid terms are bound by the caller
+    # via build_p_frame_encoder (closure cells patched below).
+    inside16 = np.ones((ph // 16, pw // 16), bool)
+    inside32 = np.ones((ph // 32, pw // 32), bool)
+
+    def bind_masks(mi_rows: int, mi_cols: int):
+        cells_h, cells_w = mi_rows // 2, mi_cols // 2  # 8x8 cells in frame
+        i16 = np.zeros((ph // 16, pw // 16), bool)
+        for r in range(ph // 16):
+            for c in range(pw // 16):
+                i16[r, c] = (r * 2 + 2 <= cells_h) and (c * 2 + 2 <= cells_w)
+        i32 = np.zeros((ph // 32, pw // 32), bool)
+        for r in range(ph // 32):
+            for c in range(pw // 32):
+                i32[r, c] = (r * 4 + 4 <= cells_h) and (c * 4 + 4 <= cells_w)
+        inside16[:] = i16
+        inside32[:] = i32
+
+    step.bind_masks = bind_masks
     return step
 
 
 @functools.lru_cache(maxsize=8)
-def build_p_frame_encoder(ph: int, pw: int, qindex: int,
-                          search: int = SEARCH_RANGE):
-    return jax.jit(p_frame_step(ph, pw, qindex, search))
+def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
+                          qindex: int, search: int = SEARCH_RANGE):
+    fn = p_frame_step(ph, pw, qindex, search)
+    fn.bind_masks(mi_rows, mi_cols)
+    return jax.jit(fn)

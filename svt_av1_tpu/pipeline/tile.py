@@ -121,15 +121,20 @@ class TileWriter:
                 self._partition(r4, c4, SB_MI)
         return self.enc.done()
 
-    def encode_inter(self, mvs: np.ndarray, levels_y: np.ndarray,
-                     levels_u: np.ndarray, levels_v: np.ndarray) -> bytes:
-        """P-frame tile: uniform 8x8 NEWMV/LAST blocks.
+    def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
+                     levels: dict) -> bytes:
+        """P-frame tile: variable-partition NEWMV/LAST blocks.
 
-        mvs: [nbh, nbw, 2] in 1/8-pel (row, col), quarter-pel granularity
-        (even values; allow_high_precision_mv=0).  Mirrors the reference
-        inter write_modes_b path (EbEntropyCoding.c:5000-5290)."""
+        sizes:  [nb8h, nb8w] leaf size (8/16/32) covering each 8x8 cell
+        mvs:    [nb8h, nb8w, 2] selected leaf MV in 1/8-pel (quarter-pel
+                granularity; even values; allow_high_precision_mv=0)
+        levels: {bs: (ly, lu, lv)} per-size level grids
+        Mirrors the reference inter write_modes_b path
+        (EbEntropyCoding.c:5000-5290)."""
         tc = self.tc
-        self.data = (mvs, levels_y, levels_u, levels_v)
+        self.sizes = sizes
+        self.mvs = mvs
+        self.levels = levels
         self.inter = True
         self.mi = MVP.MiInter(tc.mi_rows, tc.mi_cols)
         for r4 in range(0, tc.mi_rows, SB_MI):
@@ -137,15 +142,18 @@ class TileWriter:
                 self._partition(r4, c4, SB_MI)
         return self.enc.done()
 
+    def _leaf_here(self, r4: int, c4: int, n4: int) -> bool:
+        return self.inter and int(self.sizes[r4 // 2, c4 // 2]) == n4 * 4
+
     def _partition(self, r4: int, c4: int, n4: int) -> None:
         tc = self.tc
         if r4 >= tc.mi_rows or c4 >= tc.mi_cols:
             return
-        if n4 == LEAF_MI:
+        if n4 == LEAF_MI or self._leaf_here(r4, c4, n4):
             write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4,
                                    S.PARTITION_NONE)
             if self.inter:
-                self._inter_block(r4, c4)
+                self._inter_block(r4, c4, n4 * 4)
             else:
                 self._block(r4, c4)
             return
@@ -157,13 +165,18 @@ class TileWriter:
         self._partition(r4 + half, c4, half)
         self._partition(r4 + half, c4 + half, half)
 
-    def _inter_block(self, r4: int, c4: int) -> None:
-        mvs, ly, lu, lv = self.data
+    _TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32}
+    _TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16}
+
+    def _inter_block(self, r4: int, c4: int, bs: int) -> None:
         enc, fc, tc, mi = self.enc, self.fc, self.tc, self.mi
-        br, bc = r4 // LEAF_MI, c4 // LEAF_MI
+        n4 = bs // 4
+        br, bc = r4 * 4 // bs, c4 * 4 // bs
+        ly, lu, lv = self.levels[bs]
         lvls = (ly[br, bc], lu[br, bc], lv[br, bc])
         skip = int(all((l == 0).all() for l in lvls))
-        mv8 = (int(mvs[br, bc, 0]), int(mvs[br, bc, 1]))
+        mv8 = (int(self.mvs[r4 // 2, c4 // 2, 0]),
+               int(self.mvs[r4 // 2, c4 // 2, 1]))
         assert mv8[0] % 2 == 0 and mv8[1] % 2 == 0, \
             "MVs must be quarter-pel (allow_high_precision_mv=0)"
 
@@ -179,21 +192,23 @@ class TileWriter:
         S.code_single_ref(enc, None, fc, counts, MVP.LAST_FRAME)
 
         # mode + drl + MV (predictor from the shared ref-MV stack)
-        res = MVP.find_mv_stack(mi, r4, c4, LEAF_MI, LEAF_MI)
+        res = MVP.find_mv_stack(mi, r4, c4, n4, n4)
         S.code_inter_mode(enc, None, fc, res, S.NEWMV)
         S.code_drl_idx(enc, None, fc, res, S.NEWMV, 0)
         pred_mv = MVP.lower_mv_precision(res.stack[0][0])
         S.code_mv(enc, None, fc, pred_mv, mv8)
 
-        tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, S.DC_PRED, skip)
-        mi.set_block(r4, c4, LEAF_MI, LEAF_MI, is_inter=True,
+        tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), S.DC_PRED,
+                     skip)
+        mi.set_block(r4, c4, n4, n4, is_inter=True,
                      ref_frame=MVP.LAST_FRAME, mode=S.NEWMV, mv=mv8)
 
         for plane, (lvl, tx_size) in enumerate(
-                zip(lvls, (T.TX_8X8, T.TX_4X4, T.TX_4X4))):
+                zip(lvls, (self._TX_OF[bs], self._TX_OF_C[bs],
+                           self._TX_OF_C[bs]))):
             pr = r4 >> (plane > 0)
             pc = c4 >> (plane > 0)
-            w4 = LEAF_MI >> (plane > 0)
+            w4 = n4 >> (plane > 0)
             if skip:
                 self.tc.set_txb(plane, pr, pc, w4, w4, 0)
                 continue

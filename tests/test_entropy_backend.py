@@ -71,22 +71,47 @@ def test_cpp_inter_tile_byte_identical():
         pytest.skip("C++ backend unavailable")
     rng = np.random.default_rng(42)
     mi_rows, mi_cols = 24, 38   # non-multiple-of-16 edge SBs
-    nbh, nbw = 12, 19
+    cells_h, cells_w = mi_rows // 2, mi_cols // 2
+    # device-padded grid (32-multiples)
+    gh, gw = 12, 20
+
+    def rand_levels(n, bs, density, hi):
+        a = np.where(rng.random((n[0], n[1], bs, bs)) < density,
+                     rng.integers(-hi, hi + 1, (n[0], n[1], bs, bs)),
+                     0).astype(np.int32)
+        mask = rng.random(n[:2]) < 0.4
+        a[mask] = 0
+        return a
+
     for qindex in (20, 120, 255):
-        # quarter-pel MVs in 1/8-pel units (even), +-16 pel range
-        mv = rng.integers(-64, 65, (nbh, nbw, 2), np.int32) * 2
-        ly = np.where(rng.random((nbh, nbw, 8, 8)) < 0.15,
-                      rng.integers(-40, 41, (nbh, nbw, 8, 8)), 0).astype(np.int32)
-        lu = np.where(rng.random((nbh, nbw, 4, 4)) < 0.1,
-                      rng.integers(-9, 10, (nbh, nbw, 4, 4)), 0).astype(np.int32)
-        lv = np.where(rng.random((nbh, nbw, 4, 4)) < 0.1,
-                      rng.integers(-9, 10, (nbh, nbw, 4, 4)), 0).astype(np.int32)
-        mask = rng.random((nbh, nbw)) < 0.4
-        ly[mask] = 0
-        lu[mask] = 0
-        lv[mask] = 0
+        # random legal quadtree size map (merged nodes fully inside)
+        use32 = rng.random((gh // 4, gw // 4)) < 0.3
+        use16 = rng.random((gh // 2, gw // 2)) < 0.4
+        for r in range(gh // 4):
+            for c in range(gw // 4):
+                if r * 4 + 4 > cells_h or c * 4 + 4 > cells_w:
+                    use32[r, c] = False
+        for r in range(gh // 2):
+            for c in range(gw // 2):
+                if r * 2 + 2 > cells_h or c * 2 + 2 > cells_w:
+                    use16[r, c] = False
+        up2 = lambda a: np.repeat(np.repeat(a, 2, 0), 2, 1)
+        sizes = np.where(up2(up2(use32)), 32,
+                         np.where(up2(use16), 16, 8)).astype(np.uint8)
+        mv = (rng.integers(-64, 65, (gh, gw, 2), np.int32) * 2)
+        levels = {
+            8: (rand_levels((gh, gw), 8, 0.15, 40),
+                rand_levels((gh, gw), 4, 0.1, 9),
+                rand_levels((gh, gw), 4, 0.1, 9)),
+            16: (rand_levels((gh // 2, gw // 2), 16, 0.08, 40),
+                 rand_levels((gh // 2, gw // 2), 8, 0.08, 9),
+                 rand_levels((gh // 2, gw // 2), 8, 0.08, 9)),
+            32: (rand_levels((gh // 4, gw // 4), 32, 0.04, 40),
+                 rand_levels((gh // 4, gw // 4), 16, 0.04, 9),
+                 rand_levels((gh // 4, gw // 4), 16, 0.04, 9)),
+        }
         tw = TileWriter(FrameContext(qindex), mi_rows, mi_cols, qindex)
-        py = tw.encode_inter(mv, ly, lu, lv)
+        py = tw.encode_inter(sizes, mv, levels)
         cpp = B.encode_tile_inter_cpp(FrameContext(qindex), mi_rows, mi_cols,
-                                      qindex, mv, ly, lu, lv)
+                                      qindex, sizes, mv, levels)
         assert py == cpp
