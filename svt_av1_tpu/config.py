@@ -70,7 +70,7 @@ class EncoderConfig:
     # --- TPU build specific ---
     fixed_partition_size: int = 0     # 0 = adaptive partition RDO;
                                       # 8/16/32/64 = force uniform partition
-    intra_modes: Tuple[str, ...] = ("DC", "V", "H", "SMOOTH", "PAETH")
+    intra_modes: Tuple[str, ...] = ("ALL",)   # full 13-mode base set
     use_pallas: bool = True           # Pallas kernels where available
     entropy_backend: str = "auto"     # "auto" | "cpp" | "python"
     device_batch: int = 1             # frames encoded per device dispatch

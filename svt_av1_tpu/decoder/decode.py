@@ -270,7 +270,14 @@ class Decoder:
             above = rec[py - 1, px : px + bs] if ha else np.zeros(bs, np.int32)
             left = rec[py : py + bs, px - 1] if hl else np.zeros(bs, np.int32)
             tl = int(rec[py - 1, px - 1]) if (ha and hl) else 0
-            pred = intra.predict_block_np(mode, above, left, tl, ha, hl, bs, bs)
+            above_ext = None
+            if plane == 0:
+                ar_avail, _bl = intra.edge_availability(
+                    self.tc.mi_rows // 2, self.tc.mi_cols // 2)
+                if ar_avail[r4 // 2, c4 // 2]:
+                    above_ext = rec[py - 1, px + bs : px + 2 * bs]
+            pred = intra.predict_block_np(mode, above, left, tl, ha, hl,
+                                          bs, bs, above_ext=above_ext)
             dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size)
             resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)
             rec[py : py + bs, px : px + bs] = np.clip(pred + resid, 0, 255)

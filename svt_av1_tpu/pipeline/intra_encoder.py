@@ -33,7 +33,8 @@ from svt_av1_tpu.ops import quant as Q
 from svt_av1_tpu.ops import transforms as T
 
 # mode-decision candidate list (indices into intra.predict_all_modes output)
-MODE_IDS = np.array(intra.V1_MODES, np.int32)  # [5] -> AV1 mode enums
+MODE_IDS = np.array(intra.ALL_MODES, np.int32)  # [13] -> AV1 mode enums
+D203_IDX = intra.ALL_MODES.index(intra.D203)
 
 LUMA_BS = 8
 CHROMA_BS = 4
@@ -61,8 +62,18 @@ def frame_step(nbh: int, nbw: int, qindex: int):
     Exposed unjitted so parallel/ can vmap it over GOP-sharded frame
     batches; use build_frame_encoder for the single-frame jitted form.
     """
-    B = min(nbh, nbw)
-    ndiag = nbh + nbw - 1
+    # staircase wavefront d = 2r + c: the above-right neighbor (r-1, c+1)
+    # lands on d-1, so spec-available above-right rows are real recon
+    # (classic WPP two-column offset; the reference gets the same order
+    # from its wavefront dependency map, EbEncDecSegments.c:105-121)
+    B = min(nbh, (nbw + 1) // 2)
+    ndiag = 2 * nbh + nbw - 2
+    ar_avail_np, bl_avail_np = intra.edge_availability(nbh, nbw)
+    # pad with an invalid row/col (dummy gathers land there)
+    ar_pad = np.zeros((nbh + 1, nbw + 1), bool)
+    ar_pad[:nbh, :nbw] = ar_avail_np
+    bl_pad = np.zeros((nbh + 1, nbw + 1), bool)
+    bl_pad[:nbh, :nbw] = bl_avail_np
 
     def step(sy, su, sv):
         sy = sy.astype(jnp.int32)
@@ -79,8 +90,8 @@ def frame_step(nbh: int, nbw: int, qindex: int):
 
         def body(d, state):
             ry, ru, rv, modes, ly, lu, lv = state
-            r = jnp.maximum(0, d - (nbw - 1)) + jnp.arange(B)
-            c = d - r
+            r = jnp.maximum(0, (d - nbw + 2) // 2) + jnp.arange(B)
+            c = d - 2 * r
             valid = (r < nbh) & (c >= 0) & (c < nbw)
             rs = jnp.where(valid, r, nbh)
             cs = jnp.where(valid, c, nbw)
@@ -95,10 +106,22 @@ def frame_step(nbh: int, nbw: int, qindex: int):
             above = ry[r_up, cs, LUMA_BS - 1, :]
             left = ry[rs, c_lf, :, LUMA_BS - 1]
             topleft = ry[r_up, c_lf, LUMA_BS - 1, LUMA_BS - 1]
-            preds = intra.predict_all_modes(above, left, topleft, ha, hl,
-                                            LUMA_BS, LUMA_BS)  # [B,5,8,8]
+            # above-right extension (real recon where spec-available —
+            # the staircase order guarantees it is already computed)
+            ar_avail = jnp.asarray(ar_pad)[rs, cs]
+            bl_avail = jnp.asarray(bl_pad)[rs, cs]
+            c_ar = jnp.where(ar_avail, jnp.minimum(cs + 1, nbw), nbw)
+            above_ext = ry[r_up, c_ar, LUMA_BS - 1, :]
+            preds = intra.predict_all_modes(
+                above, left, topleft, ha, hl, LUMA_BS, LUMA_BS,
+                modes=intra.ALL_MODES, above_ext=above_ext,
+                ar_avail=ar_avail)  # [B,13,8,8]
             src = sy[rc, cc]
             sse = ((preds - src[:, None]) ** 2).sum((-1, -2))
+            # D203 reads below-left pixels the wavefront cannot provide
+            # where the spec makes them available: exclude it there
+            sse = sse.at[:, D203_IDX].add(
+                jnp.where(bl_avail, 1 << 30, 0))
             best = jnp.argmin(sse, axis=1)
             pred = jnp.take_along_axis(
                 preds, best[:, None, None, None], axis=1)[:, 0]

@@ -15,10 +15,11 @@ from svt_av1_tpu.ops import transforms as T
 from svt_av1_tpu.pipeline import intra_encoder as IE
 
 
-def _replay_plane(levels, modes, qindex, bs, tx_size):
+def _replay_plane(levels, modes, qindex, bs, tx_size, luma=False):
     """Reconstruct a plane from (modes, levels) exactly like a decoder."""
     nbh, nbw = levels.shape[:2]
     recon = np.zeros((nbh * bs, nbw * bs), np.int32)
+    ar_avail = intra.edge_availability(nbh, nbw)[0] if luma else None
     for r in range(nbh):
         for c in range(nbw):
             ha, hl = r > 0, c > 0
@@ -27,8 +28,13 @@ def _replay_plane(levels, modes, qindex, bs, tx_size):
             left = recon[r * bs : r * bs + bs, c * bs - 1] if hl else \
                 np.zeros(bs, np.int32)
             tl = recon[r * bs - 1, c * bs - 1] if (ha and hl) else 0
+            above_ext = None
+            if luma and ar_avail[r, c]:
+                above_ext = recon[r * bs - 1,
+                                  c * bs + bs : c * bs + 2 * bs]
             pred = intra.predict_block_np(int(modes[r, c]), above, left,
-                                          int(tl), ha, hl, bs, bs)
+                                          int(tl), ha, hl, bs, bs,
+                                          above_ext=above_ext)
             dq = Q.dequantize_np(levels[r, c], qindex, tx_size)
             resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)
             recon[r * bs : r * bs + bs, c * bs : c * bs + bs] = np.clip(
@@ -42,7 +48,8 @@ def test_device_recon_matches_numpy_replay(qindex, kind):
     f = synthetic_frame(128, 64, seed=3, kind=kind)
     mi_rows, mi_cols = 2 * ((64 + 7) >> 3), 2 * ((128 + 7) >> 3)
     out = IE.encode_frame_device(f.y, f.u, f.v, qindex, mi_rows, mi_cols)
-    ry = _replay_plane(out["levels_y"], out["modes"], qindex, 8, T.TX_8X8)
+    ry = _replay_plane(out["levels_y"], out["modes"], qindex, 8, T.TX_8X8,
+                       luma=True)
     assert (ry == out["recon_y"]).all()
     dc_modes = np.zeros_like(out["modes"])
     ru = _replay_plane(out["levels_u"], dc_modes, qindex, 4, T.TX_4X4)
