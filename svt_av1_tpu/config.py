@@ -59,7 +59,7 @@ class EncoderConfig:
     # --- AV1 tools (ref :260-345) ---
     tile_columns_log2: int = 0
     tile_rows_log2: int = 0
-    enable_deblocking: bool = False   # round 1: off (signaled level 0)
+    enable_deblocking: bool = True    # in-loop deblocking (DLF)
     enable_cdef: bool = False
     enable_restoration: bool = False
     enable_film_grain: bool = False
@@ -113,7 +113,6 @@ class EncoderConfig:
             "enable_restoration": self.enable_restoration,
             "enable_film_grain": self.enable_film_grain,
             "enable_warped_motion": self.enable_warped_motion,
-            "enable_deblocking": self.enable_deblocking,
             "screen_content_mode": bool(self.screen_content_mode),
             "adaptive_quantization": self.enable_adaptive_quantization,
         }

@@ -99,6 +99,24 @@ class Decoder:
             for c4 in range(0, mi_cols, SB_MI):
                 self._partition(r4, c4, SB_MI)
 
+        # in-loop deblocking (spec 7.14; must mirror the encoder exactly)
+        if any(fp.filter_levels):
+            from svt_av1_tpu.ops import deblock as DB
+            l0, l1, lu2, lv2 = fp.filter_levels
+            if self.is_inter_frame:
+                w4 = np.maximum(self.mi.w4.astype(np.int32), 2)
+                sizes_y = np.repeat(np.repeat(w4, 4, 0), 4, 1) * 4
+                sizes_c = np.repeat(np.repeat(w4, 2, 0), 2, 1) * 2
+            else:
+                sizes_y = np.full((ph, pw), 8, np.int32)
+                sizes_c = np.full((ph // 2, pw // 2), 4, np.int32)
+            self.rec[0] = DB.deblock_plane(np, self.rec[0], sizes_y, l0, l1,
+                                           True)
+            self.rec[1] = DB.deblock_plane(np, self.rec[1], sizes_c, lu2,
+                                           lu2, False)
+            self.rec[2] = DB.deblock_plane(np, self.rec[2], sizes_c, lv2,
+                                           lv2, False)
+
         # reference update (spec decode_frame_wrapup refresh)
         planes = tuple(p.copy() for p in self.rec)
         for slot in range(8):

@@ -151,6 +151,8 @@ class FrameParams:
     frame_type: int = KEY_FRAME
     refresh_frame_flags: int = 0xFF   # inter frames refresh slot0 only
     ref_frame_idx: tuple = (0,) * 7   # all LAST..ALTREF -> slot 0
+    # loop filter levels (y-vert, y-horz, u, v); 0 = off
+    filter_levels: tuple = (0, 0, 0, 0)
 
     @property
     def is_intra(self) -> bool:
@@ -257,8 +259,12 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     if fp.base_q_idx > 0:
         w.f(0, 1)                # delta_q_present
     # loop_filter_params (not lossless, no intrabc)
-    w.f(0, 6)                    # loop_filter_level[0]
-    w.f(0, 6)                    # loop_filter_level[1]
+    lv = fp.filter_levels
+    w.f(lv[0], 6)                # loop_filter_level[0]
+    w.f(lv[1], 6)                # loop_filter_level[1]
+    if lv[0] or lv[1]:
+        w.f(lv[2], 6)            # loop_filter_level[2] (u)
+        w.f(lv[3], 6)            # loop_filter_level[3] (v)
     w.f(0, 3)                    # loop_filter_sharpness
     w.f(0, 1)                    # loop_filter_delta_enabled
     # cdef/lr: disabled in sequence -> no bits
@@ -306,8 +312,11 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
     assert r.f(1) == 0  # segmentation
     if base_q_idx > 0:
         assert r.f(1) == 0  # delta_q_present
-    assert r.f(6) == 0 and r.f(6) == 0  # filter levels
-    r.f(3)
+    l0, l1 = r.f(6), r.f(6)
+    lu = lv_ = 0
+    if l0 or l1:
+        lu, lv_ = r.f(6), r.f(6)
+    assert r.f(3) == 0  # sharpness
     assert r.f(1) == 0  # lf delta enabled
     tx_mode_select = r.f(1)
     if not is_intra:
@@ -318,7 +327,7 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
             assert r.f(1) == 0  # is_global
     return FrameParams(base_q_idx, disable_cdf_update, reduced_tx_set,
                        tx_mode_select, cols_log2, rows_log2, frame_type,
-                       refresh, ref_idx)
+                       refresh, ref_idx, (l0, l1, lu, lv_))
 
 
 def write_frame_obu(sp: SequenceParams, fp: FrameParams,

@@ -84,7 +84,14 @@ class Encoder:
         frames, self._inbox = self._inbox, []
         out, nbh, nbw = IE.dispatch_batch_device(
             frames, qindex, self.seq.mi_rows, self.seq.mi_cols)
-        self._pending.append(("batch", frames, out, nbh, nbw, qindex))
+        deb = None
+        if self.cfg.enable_deblocking:
+            import jax
+            y = jax.vmap(_unblock_dev)(out[4])
+            u = jax.vmap(_unblock_dev)(out[5])
+            v = jax.vmap(_unblock_dev)(out[6])
+            deb = _intra_deblock_fn(nbh * 8, nbw * 8, qindex, True)(y, u, v)
+        self._pending.append(("batch", frames, out, nbh, nbw, qindex, deb))
 
     def _dispatch_one(self, frame: Frame) -> None:
         """IPPP chain: keyframes via the wavefront intra path, P frames via
@@ -111,8 +118,14 @@ class Encoder:
             out, nbh, nbw = IE.dispatch_frame_device(
                 frame.y, frame.u, frame.v, qindex,
                 self.seq.mi_rows, self.seq.mi_cols)
-            self._ref_dev = as_ref(*(_unblock_dev(out[i]) for i in (4, 5, 6)))
-            self._pending.append(("key", [frame], out, nbh, nbw, qindex))
+            planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
+            deb = None
+            if self.cfg.enable_deblocking:
+                planes = _intra_deblock_fn(ph, pw, qindex, False)(*planes)
+                deb = planes
+            self._ref_dev = as_ref(*planes)
+            self._pending.append(("key", [frame], out, nbh, nbw, qindex,
+                                  deb))
         else:
             sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8),
                                           ph32, pw32))
@@ -129,7 +142,9 @@ class Encoder:
             self._pending.append(("p", [frame], out, None, None, qindex))
 
     def _finish_one(self) -> None:
-        kind, frames, out, nbh, nbw, qindex = self._pending.pop(0)
+        entry = self._pending.pop(0)
+        kind, frames, out, nbh, nbw, qindex = entry[:6]
+        deb = entry[6] if len(entry) > 6 else None
         if kind == "p":
             pkts = [self._make_inter_packet(frames[0], out, qindex)]
         else:
@@ -137,6 +152,16 @@ class Encoder:
                 devs = [IE.materialize_frame(out, nbh, nbw)]
             else:
                 devs = IE.materialize_batch(out, nbh, nbw)
+            if deb is not None:
+                # recon/output planes are the post-deblock frames
+                dy, du, dv = (np.asarray(a) for a in deb)
+                for i, d in enumerate(devs):
+                    if kind == "key":
+                        d["recon_y"], d["recon_u"], d["recon_v"] = dy, du, dv
+                    else:
+                        d["recon_y"] = dy[i]
+                        d["recon_u"] = du[i]
+                        d["recon_v"] = dv[i]
             if len(frames) > 1:
                 # frames are entropy-independent: tile-code them across host
                 # threads (the C coder releases the GIL) — the TPU analog of
@@ -177,7 +202,8 @@ class Encoder:
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,
                            frame_type=O.INTER_FRAME,
-                           refresh_frame_flags=0x01)
+                           refresh_frame_flags=0x01,
+                           filter_levels=self._lf_levels(qindex, False))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
         recon = Frame(
@@ -208,7 +234,8 @@ class Encoder:
                              dev["levels_v"])
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
-                           tile_rows_log2=cfg.tile_rows_log2)
+                           tile_rows_log2=cfg.tile_rows_log2,
+                           filter_levels=self._lf_levels(qindex, True))
         payload = (O.temporal_delimiter()
                    + O.write_sequence_header(self.seq)
                    + O.write_frame_obu(self.seq, fp, tile))
@@ -222,6 +249,13 @@ class Encoder:
                            : (self.seq.width + 1) // 2].astype(np.uint8))
         psnr = _psnr(frame, recon) if cfg.stat_report else None
         return Packet(payload, -1, True, recon, psnr)
+
+    def _lf_levels(self, qindex: int, is_key: bool) -> tuple:
+        if not self.cfg.enable_deblocking:
+            return (0, 0, 0, 0)
+        from svt_av1_tpu.ops import deblock as DB
+        ly, lu, lv = DB.pick_filter_levels(qindex, is_key)
+        return (ly, ly, lu, lv)
 
     def _refill(self) -> None:
         if not self._packets:
@@ -251,6 +285,35 @@ def _unblock_dev(blocks):
     """[nbh, nbw, bs, bs] device block grid -> [H, W] device plane."""
     nbh, nbw, bs, _ = blocks.shape
     return blocks.transpose(0, 2, 1, 3).reshape(nbh * bs, nbw * bs)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _intra_deblock_fn(ph: int, pw: int, qindex: int, batched: bool):
+    """Jitted keyframe deblock (uniform 8x8 luma / 4x4 chroma tx grid)."""
+    import jax
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import deblock as DB
+
+    ly, lu, lv = DB.pick_filter_levels(qindex, is_key=True)
+    sizes_y = np.full((ph, pw), 8, np.int32)
+    sizes_c = np.full((ph // 2, pw // 2), 4, np.int32)
+
+    def f(y, u, v):
+        y = DB.deblock_plane(jnp, y.astype(jnp.int32), jnp.asarray(sizes_y),
+                             ly, ly, True)
+        u = DB.deblock_plane(jnp, u.astype(jnp.int32), jnp.asarray(sizes_c),
+                             lu, lu, False)
+        v = DB.deblock_plane(jnp, v.astype(jnp.int32), jnp.asarray(sizes_c),
+                             lv, lv, False)
+        return (y.astype(jnp.uint8), u.astype(jnp.uint8),
+                v.astype(jnp.uint8))
+
+    if batched:
+        f = jax.vmap(f)
+    return jax.jit(f)
 
 
 def _qp_to_qindex(qp: int) -> int:

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from svt_av1_tpu.ops import deblock as DB
 from svt_av1_tpu.ops import mc as MC
 from svt_av1_tpu.ops import me as ME
 from svt_av1_tpu.ops import quant as Q
@@ -149,6 +150,8 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
     nb8h, nb8w = ph // 8, pw // 8
 
     def step(sy, su, sv, ry, ru, rv):
+        ph_mi, pw_mi = mi_extent[0], mi_extent[1]
+        lf_levels = lf_levels_cell[0]
         sy = sy.astype(jnp.int32)
         su = su.astype(jnp.int32)
         sv = sv.astype(jnp.int32)
@@ -223,11 +226,35 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
             out = jnp.where(m8 == 32, rec_planes[32][idx_plane],
                             jnp.where(m8 == 16, rec_planes[16][idx_plane],
                                       rec_planes[8][idx_plane]))
-            return out.astype(jnp.uint8)
+            return out
 
         rec_y = select_plane(0, 0)
         rec_u = select_plane(1, 1)
         rec_v = select_plane(2, 1)
+
+        # --- in-loop deblocking over the mi-grid region (the decoder
+        # filters exactly [ph_mi, pw_mi]; the 32-pad margin is redefined
+        # by edge replication afterwards either way) ---------------------
+        if lf_levels[0] or lf_levels[2] or lf_levels[3]:
+            sz8 = size8[: ph_mi // 8, : pw_mi // 8].astype(jnp.int32)
+            sizes_y = jnp.repeat(jnp.repeat(sz8, 8, 0), 8, 1)
+            sizes_c = jnp.repeat(jnp.repeat(sz8 >> 1, 4, 0), 4, 1)
+
+            def dbl(plane, sizes, lvl, luma):
+                core = DB.deblock_plane(jnp, plane[: sizes.shape[0],
+                                               : sizes.shape[1]],
+                                        sizes, lvl, lvl, luma)
+                return jnp.pad(core,
+                               ((0, plane.shape[0] - sizes.shape[0]),
+                                (0, plane.shape[1] - sizes.shape[1])),
+                               mode="edge")
+
+            rec_y = dbl(rec_y, sizes_y, lf_levels[0], True)
+            rec_u = dbl(rec_u, sizes_c, lf_levels[2], False)
+            rec_v = dbl(rec_v, sizes_c, lf_levels[3], False)
+        rec_y = rec_y.astype(jnp.uint8)
+        rec_u = rec_u.astype(jnp.uint8)
+        rec_v = rec_v.astype(jnp.uint8)
 
         return (size8, mv_sel,
                 levels[8][0], levels[8][1], levels[8][2],
@@ -239,8 +266,10 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
     # via build_p_frame_encoder (closure cells patched below).
     inside16 = np.ones((ph // 16, pw // 16), bool)
     inside32 = np.ones((ph // 32, pw // 32), bool)
+    mi_extent = [ph, pw]
+    lf_levels_cell = [(0, 0, 0, 0)]
 
-    def bind_masks(mi_rows: int, mi_cols: int):
+    def bind_masks(mi_rows: int, mi_cols: int, deblock: bool):
         cells_h, cells_w = mi_rows // 2, mi_cols // 2  # 8x8 cells in frame
         i16 = np.zeros((ph // 16, pw // 16), bool)
         for r in range(ph // 16):
@@ -252,6 +281,11 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
                 i32[r, c] = (r * 4 + 4 <= cells_h) and (c * 4 + 4 <= cells_w)
         inside16[:] = i16
         inside32[:] = i32
+        mi_extent[0] = mi_rows * 4
+        mi_extent[1] = mi_cols * 4
+        if deblock:
+            ly, lu, lv = DB.pick_filter_levels(qindex, is_key=False)
+            lf_levels_cell[0] = (ly, ly, lu, lv)
 
     step.bind_masks = bind_masks
     return step
@@ -259,7 +293,8 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
 
 @functools.lru_cache(maxsize=8)
 def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
-                          qindex: int, search: int = SEARCH_RANGE):
+                          qindex: int, search: int = SEARCH_RANGE,
+                          deblock: bool = True):
     fn = p_frame_step(ph, pw, qindex, search)
-    fn.bind_masks(mi_rows, mi_cols)
+    fn.bind_masks(mi_rows, mi_cols, deblock)
     return jax.jit(fn)
