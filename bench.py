@@ -26,14 +26,15 @@ def main() -> int:
     from svt_av1_tpu.io.yuv import synthetic_frame
     from svt_av1_tpu.pipeline.encoder import Encoder
 
-    W, H, QP, NFRAMES = 854, 480, 40, 32
-    enc = Encoder(EncoderConfig(width=W, height=H, qp=QP, device_batch=16))
+    W, H, QP, NFRAMES = 854, 480, 40, 64
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=QP, device_batch=32,
+                            recon_output=False))
     frames = [synthetic_frame(W, H, seed=i) for i in range(NFRAMES)]
 
     # warmup (compile the batched step at the same batch size)
-    for f in frames[:16]:
+    for f in frames[:32]:
         enc.send_picture(f)
-    for _ in range(16):
+    for _ in range(32):
         enc.get_packet()
 
     t0 = time.perf_counter()

@@ -78,6 +78,8 @@ class EncoderConfig:
 
     # --- observability (ref stat_report EbSvtAv1Enc.h:343) ---
     stat_report: bool = False
+    recon_output: bool = True     # transfer recon to host (eb_svt_get_recon);
+                                  # off = less device->host traffic
 
     # --- multi-host (ref channel_id / active_channel_count :292) ---
     num_gop_shards: int = 1           # GOPs sharded across hosts/devices

@@ -44,6 +44,20 @@ def _dq_grid(h: int, w: int, dc: int, ac: int):
     return g
 
 
+def level_cap(qindex: int, tx_size: int, bd: int = 8) -> int:
+    """Encoder-side level saturation cap.  When the theoretical level
+    bound is only slightly above int8 range, cap at 127 so levels ride
+    the device->host link as int8 (the tunnel link is the pipeline
+    bottleneck); recon uses the SAME capped levels, so encoder/decoder
+    stay bit-exact.  Saturation then affects only near-maximal
+    coefficients (>= 127 quantization steps), which real content never
+    produces at these step sizes."""
+    shift = tx_scale(tx_size)
+    dc, ac = quant_params(qindex, bd)
+    hi = (((1 << (bd + 7)) - 1) << shift) // min(dc, ac)
+    return 127 if hi <= 181 else (1 << 30)
+
+
 def quantize_batch(coeffs, qindex: int, tx_size: int, bd: int = 8):
     """coeffs [..., H, W] int32 -> levels [..., H, W] int32 (signed).
 
@@ -55,11 +69,12 @@ def quantize_batch(coeffs, qindex: int, tx_size: int, bd: int = 8):
     dc, ac = quant_params(qindex, bd)
     q = jnp.asarray(_dq_grid(h, w, dc, ac))
     rnd = jnp.asarray(_dq_grid(h, w, dc // 2, (ac * 7) >> 4))
+    cap = level_cap(qindex, tx_size, bd)
     # max level that still dequantizes inside the coefficient clamp
-    lvl_max = jnp.asarray(
+    lvl_max = jnp.asarray(np.minimum(
         _dq_grid(h, w,
                  (((1 << (bd + 7)) - 1) << shift) // dc,
-                 (((1 << (bd + 7)) - 1) << shift) // ac))
+                 (((1 << (bd + 7)) - 1) << shift) // ac), cap))
     # int32 is safe: |coeff| < 2^20 even for 64x64 and shift <= 2
     mag = jnp.abs(coeffs).astype(jnp.int32) << shift
     lvl = ((mag + rnd).astype(jnp.float32) * (1.0 / q.astype(jnp.float32)))
@@ -94,3 +109,13 @@ def dequantize_np(levels: np.ndarray, qindex: int, tx_size: int,
 
 quantize = jax.jit(quantize_batch, static_argnums=(1, 2, 3))
 dequantize = jax.jit(dequantize_batch, static_argnums=(1, 2, 3))
+
+
+def level_dtype(qindex: int, tx_size: int, bd: int = 8):
+    """Narrowest dtype that can hold any level at this q (transfer
+    shrinker: levels ride host<->device links into the entropy stage)."""
+    shift = tx_scale(tx_size)
+    dc, ac = quant_params(qindex, bd)
+    hi = min((((1 << (bd + 7)) - 1) << shift) // min(dc, ac),
+             level_cap(qindex, tx_size, bd))
+    return np.int8 if hi <= 127 else np.int16

@@ -85,7 +85,7 @@ class Encoder:
         out, nbh, nbw = IE.dispatch_batch_device(
             frames, qindex, self.seq.mi_rows, self.seq.mi_cols)
         deb = None
-        if self.cfg.enable_deblocking:
+        if self.cfg.enable_deblocking and self._need_recon():
             import jax
             y = jax.vmap(_unblock_dev)(out[4])
             u = jax.vmap(_unblock_dev)(out[5])
@@ -151,7 +151,8 @@ class Encoder:
             if kind == "key":
                 devs = [IE.materialize_frame(out, nbh, nbw)]
             else:
-                devs = IE.materialize_batch(out, nbh, nbw)
+                devs = IE.materialize_batch(out, nbh, nbw,
+                                            with_recon=self._need_recon())
             if deb is not None:
                 # recon/output planes are the post-deblock frames
                 dy, du, dv = (np.asarray(a) for a in deb)
@@ -240,15 +241,20 @@ class Encoder:
                    + O.write_sequence_header(self.seq)
                    + O.write_frame_obu(self.seq, fp, tile))
 
-        recon = Frame(
-            dev["recon_y"][: self.seq.height, : self.seq.width]
-            .astype(np.uint8),
-            dev["recon_u"][: (self.seq.height + 1) // 2,
-                           : (self.seq.width + 1) // 2].astype(np.uint8),
-            dev["recon_v"][: (self.seq.height + 1) // 2,
-                           : (self.seq.width + 1) // 2].astype(np.uint8))
-        psnr = _psnr(frame, recon) if cfg.stat_report else None
+        recon = None
+        if dev["recon_y"] is not None:
+            recon = Frame(
+                dev["recon_y"][: self.seq.height, : self.seq.width]
+                .astype(np.uint8),
+                dev["recon_u"][: (self.seq.height + 1) // 2,
+                               : (self.seq.width + 1) // 2].astype(np.uint8),
+                dev["recon_v"][: (self.seq.height + 1) // 2,
+                               : (self.seq.width + 1) // 2].astype(np.uint8))
+        psnr = _psnr(frame, recon) if (cfg.stat_report and recon) else None
         return Packet(payload, -1, True, recon, psnr)
+
+    def _need_recon(self) -> bool:
+        return self.cfg.recon_output or self.cfg.stat_report
 
     def _lf_levels(self, qindex: int, is_key: bool) -> tuple:
         if not self.cfg.enable_deblocking:

@@ -153,11 +153,14 @@ def frame_step(nbh: int, nbw: int, qindex: int):
         ry, ru, rv, modes, ly, lu, lv = jax.lax.fori_loop(
             0, ndiag, body, (ry, ru, rv, modes, ly, lu, lv))
         trim = lambda a: a[:nbh, :nbw]
-        # narrow dtypes before leaving the device: levels fit int16,
-        # recon/modes fit uint8 — 2-4x less host<->device traffic
+        # narrow dtypes before leaving the device: levels fit int8/int16
+        # by the quantizer bound, recon/modes fit uint8 — the tunneled
+        # device->host link is the pipeline bottleneck (PROGRESS profiling)
+        dt_y = Q.level_dtype(qindex, T.TX_8X8)
+        dt_c = Q.level_dtype(qindex, T.TX_4X4)
         return (trim(modes).astype(jnp.uint8),
-                trim(ly).astype(jnp.int16), trim(lu).astype(jnp.int16),
-                trim(lv).astype(jnp.int16),
+                trim(ly).astype(dt_y), trim(lu).astype(dt_c),
+                trim(lv).astype(dt_c),
                 trim(ry).astype(jnp.uint8), trim(ru).astype(jnp.uint8),
                 trim(rv).astype(jnp.uint8))
 
@@ -198,16 +201,17 @@ def dispatch_batch_device(frames, qindex: int, mi_rows: int, mi_cols: int):
     return out, nbh, nbw
 
 
-def materialize_batch(out, nbh: int, nbw: int):
-    arrs = [np.asarray(a) for a in out]
+def materialize_batch(out, nbh: int, nbw: int, with_recon: bool = True):
+    n = 7 if with_recon else 4
+    arrs = [np.asarray(a) for a in out[:n]]
     g = arrs[0].shape[0]
     return [
         {
             "modes": arrs[0][i], "levels_y": arrs[1][i],
             "levels_u": arrs[2][i], "levels_v": arrs[3][i],
-            "recon_y": unblock_planes(arrs[4][i]),
-            "recon_u": unblock_planes(arrs[5][i]),
-            "recon_v": unblock_planes(arrs[6][i]),
+            "recon_y": unblock_planes(arrs[4][i]) if with_recon else None,
+            "recon_u": unblock_planes(arrs[5][i]) if with_recon else None,
+            "recon_v": unblock_planes(arrs[6][i]) if with_recon else None,
             "nbh": nbh, "nbw": nbw,
         }
         for i in range(g)
