@@ -581,6 +581,15 @@ struct TileWriter {
     return cul;
   }
 
+  void write_cdef_idx(int r4, int c4, bool skip) {
+    // ref write_cdef: literal bits at the first non-skip block per 64x64
+    if (cdef_idx == nullptr || cdef_done || skip) return;
+    int idx = cdef_idx[static_cast<size_t>(r4 / 16) * nsb_w + (c4 / 16)];
+    for (int b = cdef_bits - 1; b >= 0; --b)
+      enc.encode_bool((idx >> b) & 1, 16384);
+    cdef_done = true;
+  }
+
   // --- block (8x8 leaf) ---
   void write_block(int r4, int c4) {
     int br = r4 >> 1, bc = c4 >> 1;
@@ -598,6 +607,7 @@ struct TileWriter {
     int32_t* cdf = t.skip + (above + left) * 3;
     enc.encode_symbol(skip ? 1 : 0, cdf, 2);
     update_icdf(cdf, skip ? 1 : 0, 2);
+    write_cdef_idx(r4, c4, skip);
 
     // y mode
     int am = r4 > 0 ? y_modes[(r4 - 1) * mi_cols + c4] : 0;
@@ -649,6 +659,10 @@ struct TileWriter {
   // Inter frame path (twin of pipeline/tile.py encode_inter + entropy/mvp.py)
   // =========================================================================
   bool inter_frame = false;
+  const uint8_t* cdef_idx = nullptr;  // [nsb_h][nsb_w] strength index
+  int cdef_bits = 2;
+  int nsb_w = 0;
+  bool cdef_done = false;             // per-64x64 first-non-skip flag
   const int32_t* mvs = nullptr;      // [nb8h][nb8w][2] 1/8-pel (selected)
   const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8/16/32
   const int32_t* lv_inter[3][3];     // [size8/16/32][plane] level grids
@@ -976,6 +990,7 @@ struct TileWriter {
     int above = r4 > 0 ? skips[(r4 - 1) * mi_cols + c4] : 0;
     int left = c4 > 0 ? skips[r4 * mi_cols + c4 - 1] : 0;
     code_bin(t.skip + (above + left) * 3, skip ? 1 : 0);
+    write_cdef_idx(r4, c4, skip);
 
     // is_inter (ctx from coded top/left intra-vs-inter state)
     bool ha = r4 > 0 && mi_valid[(r4 - 1) * mi_cols + c4];
@@ -1100,7 +1115,10 @@ struct TileWriter {
     nbw = bw;
     (void)bh;
     for (int r4 = 0; r4 < mi_rows; r4 += 16)
-      for (int c4 = 0; c4 < mi_cols; c4 += 16) partition(r4, c4, 16);
+      for (int c4 = 0; c4 < mi_cols; c4 += 16) {
+        cdef_done = false;
+        partition(r4, c4, 16);
+      }
     return enc.done(out, cap);
   }
 };
@@ -1116,9 +1134,13 @@ long svt_tile_blob_size() { return total_table_size(); }
 long svt_encode_tile(int mi_rows, int mi_cols, int qindex, int reduced_tx_set,
                      const int32_t* cdf_blob, const uint8_t* modes,
                      const int32_t* ly, const int32_t* lu, const int32_t* lv,
-                     int nbh, int nbw, uint8_t* out, long out_cap) {
+                     int nbh, int nbw, uint8_t* out, long out_cap,
+                     const uint8_t* cdef_idx, int cdef_bits) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
+  tw.cdef_idx = cdef_idx;
+  tw.cdef_bits = cdef_bits;
+  tw.nsb_w = (mi_cols + 15) / 16;
   return tw.encode(modes, ly, lu, lv, nbh, nbw, out, out_cap);
 }
 
@@ -1126,7 +1148,8 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            int reduced_tx_set, const int32_t* cdf_blob,
                            const uint8_t* sizes, const int32_t* mvs,
                            const int32_t* const* levels9, int nb8h,
-                           int nb8w, uint8_t* out, long out_cap) {
+                           int nb8w, uint8_t* out, long out_cap,
+                           const uint8_t* cdef_idx, int cdef_bits) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
@@ -1135,9 +1158,15 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
   for (int s = 0; s < 3; ++s)
     for (int p = 0; p < 3; ++p) tw.lv_inter[s][p] = levels9[s * 3 + p];
   tw.nb8w = nb8w;
+  tw.cdef_idx = cdef_idx;
+  tw.cdef_bits = cdef_bits;
+  tw.nsb_w = (mi_cols + 15) / 16;
   (void)nb8h;
   for (int r4 = 0; r4 < mi_rows; r4 += 16)
-    for (int c4 = 0; c4 < mi_cols; c4 += 16) tw.partition(r4, c4, 16);
+    for (int c4 = 0; c4 < mi_cols; c4 += 16) {
+      tw.cdef_done = false;
+      tw.partition(r4, c4, 16);
+    }
   return tw.enc.done(out, out_cap);
 }
 

@@ -60,7 +60,7 @@ class EncoderConfig:
     tile_columns_log2: int = 0
     tile_rows_log2: int = 0
     enable_deblocking: bool = True    # in-loop deblocking (DLF)
-    enable_cdef: bool = False
+    enable_cdef: bool = True     # CDEF in-loop filter (CQP only for now)
     enable_restoration: bool = False
     enable_film_grain: bool = False
     screen_content_mode: int = 0
@@ -102,16 +102,23 @@ class EncoderConfig:
             raise ValueError("enc_mode (preset) must be 0..8")
         if not (0 <= self.qp <= 63):
             raise ValueError("qp must be 0..63")
+        if self.rate_control_mode not in (RC_MODE_CQP, RC_MODE_VBR,
+                                          RC_MODE_CVBR):
+            raise NotImplementedError(
+                "rate_control_mode must be CQP(0)/VBR(2)/CVBR(3)")
+        if self.rate_control_mode != RC_MODE_CQP and self.target_bit_rate <= 0:
+            raise ValueError("VBR/CVBR require target_bit_rate > 0")
+        if self.enable_cdef and self.rate_control_mode != RC_MODE_CQP:
+            raise NotImplementedError(
+                "CDEF with rate control pending (damping follows q)")
         if self.super_block_size not in (64, 128):
             raise ValueError("super_block_size must be 64 or 128")
         if self.fixed_partition_size not in (0, 8, 16, 32, 64):
             raise ValueError("fixed_partition_size must be 0/8/16/32/64")
         # round-1 capability gates — explicit, not silent
         unimplemented = {
-            "rate_control_mode!=CQP": self.rate_control_mode != RC_MODE_CQP,
             "bit_depth=10": self.bit_depth == 10,
             "super_block_size=128": self.super_block_size == 128,
-            "enable_cdef": self.enable_cdef,
             "enable_restoration": self.enable_restoration,
             "enable_film_grain": self.enable_film_grain,
             "enable_warped_motion": self.enable_warped_motion,

@@ -17,6 +17,7 @@ from svt_av1_tpu.entropy.cdf_model import FrameContext, update_icdf
 from svt_av1_tpu.entropy.range_coder import RangeDecoder
 from svt_av1_tpu.io.ivf import IvfReader
 from svt_av1_tpu.io.yuv import Frame
+from svt_av1_tpu.ops import cdef as CD
 from svt_av1_tpu.ops import intra
 from svt_av1_tpu.ops import mc as MC
 from svt_av1_tpu.ops import quant as Q
@@ -95,11 +96,14 @@ class Decoder:
                                                     cpad), 2)
                 for p in (1, 2)]
 
+        self.cdef_idx_map = np.zeros((-(-mi_rows // SB_MI),
+                                      -(-mi_cols // SB_MI)), np.int32)
         for r4 in range(0, mi_rows, SB_MI):
             for c4 in range(0, mi_cols, SB_MI):
+                self._cdef_done = False
                 self._partition(r4, c4, SB_MI)
 
-        # in-loop deblocking (spec 7.14; must mirror the encoder exactly)
+        # ---- in-loop filters (must mirror the encoder exactly) ----------
         if any(fp.filter_levels):
             from svt_av1_tpu.ops import deblock as DB
             l0, l1, lu2, lv2 = fp.filter_levels
@@ -117,6 +121,13 @@ class Decoder:
             self.rec[2] = DB.deblock_plane(np, self.rec[2], sizes_c, lv2,
                                            lv2, False)
 
+        if sp.enable_cdef:
+            skip8 = self.tc.skips[::2, ::2].astype(bool)
+            planes = CD.cdef_frame(
+                np, tuple(self.rec), skip8, self.cdef_idx_map,
+                fp.cdef_damping, fp.cdef_y_strengths, fp.cdef_uv_strengths)
+            self.rec = [np.asarray(pl) for pl in planes]
+
         # reference update (spec decode_frame_wrapup refresh)
         planes = tuple(p.copy() for p in self.rec)
         for slot in range(8):
@@ -128,6 +139,16 @@ class Decoder:
         u = self.rec[1][:ch, :cw].astype(np.uint8)
         v = self.rec[2][:ch, :cw].astype(np.uint8)
         return Frame(y, u, v)
+
+    def _read_cdef(self, r4: int, c4: int, skip: int) -> None:
+        """Mirror of TileWriter._write_cdef (spec read_cdef)."""
+        if not self.seq.enable_cdef or self._cdef_done or skip:
+            return
+        idx = 0
+        for _ in range(self.fp.cdef_bits):
+            idx = (idx << 1) | self.dec.decode_bool(16384)
+        self.cdef_idx_map[r4 // SB_MI, c4 // SB_MI] = idx
+        self._cdef_done = True
 
     def _partition(self, r4: int, c4: int, n4: int) -> None:
         tc = self.tc
@@ -166,6 +187,7 @@ class Decoder:
         cdf = fc.skip[ctx]
         skip = dec.decode_symbol(cdf, 2)
         update_icdf(cdf, skip, 2)
+        self._read_cdef(r4, c4, skip)
 
         is_inter = S.code_is_inter(None, dec, fc, mi, tc, r4, c4)
         assert is_inter, "intra blocks in inter frames not yet supported"
@@ -244,6 +266,7 @@ class Decoder:
         cdf = fc.skip[ctx]
         skip = dec.decode_symbol(cdf, 2)
         update_icdf(cdf, skip, 2)
+        self._read_cdef(r4, c4, skip)
 
         actx, lctx = tc.kf_y_ctx(r4, c4)
         cdf = fc.kf_y_mode[actx][lctx]

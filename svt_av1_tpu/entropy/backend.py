@@ -59,6 +59,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.svt_encode_tile_inter.restype = ctypes.c_long
     lib.svt_encode_tile_inter.argtypes = [
@@ -68,6 +69,7 @@ def _lib():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     return lib
 
@@ -83,7 +85,8 @@ def available() -> bool:
 def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
                     modes: np.ndarray, levels_y: np.ndarray,
                     levels_u: np.ndarray, levels_v: np.ndarray,
-                    reduced_tx_set: bool = True) -> bytes:
+                    reduced_tx_set: bool = True, cdef_idx=None,
+                    cdef_bits: int = 2) -> bytes:
     lib = _lib()
     blob = build_blob(fc)
     assert blob.size == lib.svt_tile_blob_size(), \
@@ -99,11 +102,14 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
+    ci = None if cdef_idx is None else np.ascontiguousarray(cdef_idx,
+                                                            np.uint8)
     n = lib.svt_encode_tile(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(m, ctypes.c_uint8),
         p(ly, ctypes.c_int32), p(lu, ctypes.c_int32), p(lv, ctypes.c_int32),
-        nbh, nbw, p(out, ctypes.c_uint8), cap)
+        nbh, nbw, p(out, ctypes.c_uint8), cap,
+        None if ci is None else p(ci, ctypes.c_uint8), cdef_bits)
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])
@@ -111,7 +117,8 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
 
 def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                           qindex: int, sizes: np.ndarray, mvs: np.ndarray,
-                          levels: dict, reduced_tx_set: bool = True) -> bytes:
+                          levels: dict, reduced_tx_set: bool = True,
+                          cdef_idx=None, cdef_bits: int = 2) -> bytes:
     """levels: {8: (ly,lu,lv), 16: (...), 32: (...)} per-size level grids."""
     lib = _lib()
     blob = build_blob(fc)
@@ -131,11 +138,14 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
+    ci = None if cdef_idx is None else np.ascontiguousarray(cdef_idx,
+                                                            np.uint8)
     n = lib.svt_encode_tile_inter(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(sz, ctypes.c_uint8),
         p(mv, ctypes.c_int32), ptrs,
-        nb8h, nb8w, p(out, ctypes.c_uint8), cap)
+        nb8h, nb8w, p(out, ctypes.c_uint8), cap,
+        None if ci is None else p(ci, ctypes.c_uint8), cdef_bits)
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

@@ -48,6 +48,7 @@ class SequenceParams:
     height: int
     bit_depth: int = 8
     sb_size: int = 64
+    enable_cdef: bool = False
 
     @property
     def mi_cols(self) -> int:
@@ -87,7 +88,7 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
     w.f(0, 1)      # seq_choose_screen_content_tools
     w.f(0, 1)      # seq_force_screen_content_tools = OFF
     w.f(0, 1)      # enable_superres
-    w.f(0, 1)      # enable_cdef
+    w.f(int(sp.enable_cdef), 1)
     w.f(0, 1)      # enable_restoration
     # color_config
     w.f(0, 1)      # high_bitdepth
@@ -124,8 +125,9 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     assert not any(flags), f"unsupported seq flags {flags}"
     assert r.f(1) == 0  # seq_choose_screen_content_tools
     assert r.f(1) == 0  # seq_force_screen_content_tools value
-    for _ in range(3):
-        assert r.f(1) == 0  # superres/cdef/restoration
+    assert r.f(1) == 0  # enable_superres
+    enable_cdef = bool(r.f(1))
+    assert r.f(1) == 0  # enable_restoration
     assert r.f(1) == 0  # high_bitdepth
     assert r.f(1) == 0  # mono
     assert r.f(1) == 0  # color desc
@@ -133,7 +135,7 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     r.f(2)              # chroma_sample_position
     assert r.f(1) == 0  # separate_uv_delta_q
     assert r.f(1) == 0  # film grain
-    return SequenceParams(width, height)
+    return SequenceParams(width, height, enable_cdef=enable_cdef)
 
 
 KEY_FRAME, INTER_FRAME = 0, 1
@@ -153,6 +155,11 @@ class FrameParams:
     ref_frame_idx: tuple = (0,) * 7   # all LAST..ALTREF -> slot 0
     # loop filter levels (y-vert, y-horz, u, v); 0 = off
     filter_levels: tuple = (0, 0, 0, 0)
+    # cdef (present in headers only when the sequence enables cdef)
+    cdef_damping: int = 3
+    cdef_bits: int = 2
+    cdef_y_strengths: tuple = ((0, 0),) * 4     # (pri, sec-coded) pairs
+    cdef_uv_strengths: tuple = ((0, 0),) * 4
 
     @property
     def is_intra(self) -> bool:
@@ -267,7 +274,15 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
         w.f(lv[3], 6)            # loop_filter_level[3] (v)
     w.f(0, 3)                    # loop_filter_sharpness
     w.f(0, 1)                    # loop_filter_delta_enabled
-    # cdef/lr: disabled in sequence -> no bits
+    if sp.enable_cdef:           # cdef_params (spec 5.9.19)
+        w.f(fp.cdef_damping - 3, 2)
+        w.f(fp.cdef_bits, 2)
+        for i in range(1 << fp.cdef_bits):
+            yp, ys = fp.cdef_y_strengths[i]
+            up_, us = fp.cdef_uv_strengths[i]
+            w.f(yp, 4).f(ys, 2)
+            w.f(up_, 4).f(us, 2)
+    # lr: disabled in sequence -> no bits
     w.f(fp.tx_mode_select, 1)    # read_tx_mode (0 = LARGEST)
     if not fp.is_intra:
         w.f(0, 1)                # reference_select (single ref only)
@@ -318,6 +333,16 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
         lu, lv_ = r.f(6), r.f(6)
     assert r.f(3) == 0  # sharpness
     assert r.f(1) == 0  # lf delta enabled
+    cdef_damping, cdef_bits = 3, 2
+    y_str = [(0, 0)] * 4
+    uv_str = [(0, 0)] * 4
+    if sp.enable_cdef:
+        cdef_damping = r.f(2) + 3
+        cdef_bits = r.f(2)
+        y_str, uv_str = [], []
+        for _ in range(1 << cdef_bits):
+            y_str.append((r.f(4), r.f(2)))
+            uv_str.append((r.f(4), r.f(2)))
     tx_mode_select = r.f(1)
     if not is_intra:
         assert r.f(1) == 0  # reference_select
@@ -327,7 +352,8 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
             assert r.f(1) == 0  # is_global
     return FrameParams(base_q_idx, disable_cdf_update, reduced_tx_set,
                        tx_mode_select, cols_log2, rows_log2, frame_type,
-                       refresh, ref_idx, (l0, l1, lu, lv_))
+                       refresh, ref_idx, (l0, l1, lu, lv_),
+                       cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str))
 
 
 def write_frame_obu(sp: SequenceParams, fp: FrameParams,

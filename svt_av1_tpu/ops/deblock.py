@@ -21,12 +21,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def limits_for_level(level: int, sharpness: int = 0):
-    """(blimit, limit, thresh) — ref update_sharpness / hev init."""
+def limits_for_level(level, sharpness: int = 0):
+    """(blimit, limit, thresh) — ref update_sharpness / hev init.
+    `level` may be a python int or a traced scalar (rate control)."""
     lim = level >> ((sharpness > 0) + (sharpness > 4))
-    if sharpness > 0:
-        lim = min(lim, 9 - sharpness)
-    lim = max(lim, 1)
+    if isinstance(level, (int, np.integer)):
+        if sharpness > 0:
+            lim = min(lim, 9 - sharpness)
+        lim = max(lim, 1)
+    else:
+        import jax.numpy as jnp
+        if sharpness > 0:
+            lim = jnp.minimum(lim, 9 - sharpness)
+        lim = jnp.maximum(lim, 1)
     return 2 * (level + 2) + lim, lim, level >> 4
 
 
@@ -179,9 +186,10 @@ def deblock_plane_vertical(xp, plane, sizes_px, level: int, is_luma: bool,
 
     plane:    [H, W] int32
     sizes_px: [H, W] int32 tx/block size (px) of the block covering each
-              pixel (uniform within each block)
+              pixel (uniform within each block).  `level` may be traced
+              (rate control); level <= 0 disables filtering.
     """
-    if level <= 0:
+    if isinstance(level, (int, np.integer)) and level <= 0:
         return plane
     H, W = plane.shape
     blimit, limit, thresh = limits_for_level(level, sharpness)
@@ -195,7 +203,7 @@ def deblock_plane_vertical(xp, plane, sizes_px, level: int, is_luma: bool,
         strips = out[:, idx]                      # [H, n, 14]
         sz_r = sizes_px[:, xs]                    # [H, n]
         sz_l = sizes_px[:, xs - 1]
-        exists = (xp.asarray(xs)[None, :] % sz_r) == 0
+        exists = ((xp.asarray(xs)[None, :] % sz_r) == 0) & (level > 0)
         flen = xp.where(exists,
                         _flen_for(xp, xp.minimum(sz_l, sz_r), is_luma), 0)
         filt = _filter_strip(xp, strips, flen, blimit, limit, thresh)

@@ -37,12 +37,13 @@ def mv_rate_bits(mv8):
 
 
 def fullpel_search(src, ref_pad, block: int, search_range: int,
-                   lam: int = 0, prior_fp=None):
+                   lam=None, prior_fp=None):
     """Exhaustive full-pel rate-biased SAD search on aligned blocks.
 
     src:      [H, W] int32 source plane (H, W multiples of `block`)
     ref_pad:  [H + 2R, W + 2R] int32 edge-padded reference plane
-    lam:      cost = SAD + (lam * mv_bits(mv - prior)) >> 4 (0: pure SAD)
+    lam:      cost = SAD + (lam * mv_bits(mv - prior)) >> 4 (None: pure
+              SAD); int or traced scalar
     prior_fp: [nbh, nbw, 2] full-pel MV predictor approximation (the
               entropy coder's ref-MV stack neighborhood); None = (0,0)
     returns:  (mv [nbh, nbw, 2] int32 full-pel (row, col), cost [nbh, nbw])
@@ -59,7 +60,7 @@ def fullpel_search(src, ref_pad, block: int, search_range: int,
         win = jax.lax.dynamic_slice(ref_pad, (dy, dx), (H, W))
         diff = jnp.abs(src - win)
         cost = diff.reshape(nbh, block, nbw, block).sum((1, 3))
-        if lam:
+        if lam is not None:
             mv8 = (jnp.stack([dy - R, dx - R])[None, None] -
                    (prior_fp if prior_fp is not None else 0)) * 8
             cost = cost + ((lam * mv_rate_bits(mv8)) >> 4)

@@ -58,23 +58,36 @@ def level_cap(qindex: int, tx_size: int, bd: int = 8) -> int:
     return 127 if hi <= 181 else (1 << 30)
 
 
-def quantize_batch(coeffs, qindex: int, tx_size: int, bd: int = 8):
+def _qgrids(qindex, tx_size: int, bd: int):
+    """(q, rnd, lvl_max) grids; qindex may be a static int or a traced
+    scalar (rate control varies q per frame without recompiling)."""
+    w, h = TX_W[tx_size], TX_H[tx_size]
+    shift = tx_scale(tx_size)
+    if isinstance(qindex, (int, np.integer)):
+        dc, ac = quant_params(int(qindex), bd)
+        cap = level_cap(int(qindex), tx_size, bd)
+    else:
+        t = tables.spec_tables()
+        dc = jnp.asarray(t[f"dc_qlookup_{bd}"])[qindex]
+        ac = jnp.asarray(t[f"ac_qlookup_{bd}"])[qindex]
+        cap = 1 << 30   # traced q: no int8 saturation optimization
+    pos0 = np.zeros((h, w), bool)
+    pos0[0, 0] = True
+    pos0 = jnp.asarray(pos0)
+    q = jnp.where(pos0, dc, ac)
+    rnd = jnp.where(pos0, dc // 2, (ac * 7) >> 4)
+    hi = ((1 << (bd + 7)) - 1) << shift
+    lvl_max = jnp.minimum(jnp.where(pos0, hi // dc, hi // ac), cap)
+    return q, rnd, lvl_max, shift
+
+
+def quantize_batch(coeffs, qindex, tx_size: int, bd: int = 8):
     """coeffs [..., H, W] int32 -> levels [..., H, W] int32 (signed).
 
     Deadzone rounding of 7/16 (AC) and 1/2 (DC), like the reference's
     default quantize_b rounding split.
     """
-    w, h = TX_W[tx_size], TX_H[tx_size]
-    shift = tx_scale(tx_size)
-    dc, ac = quant_params(qindex, bd)
-    q = jnp.asarray(_dq_grid(h, w, dc, ac))
-    rnd = jnp.asarray(_dq_grid(h, w, dc // 2, (ac * 7) >> 4))
-    cap = level_cap(qindex, tx_size, bd)
-    # max level that still dequantizes inside the coefficient clamp
-    lvl_max = jnp.asarray(np.minimum(
-        _dq_grid(h, w,
-                 (((1 << (bd + 7)) - 1) << shift) // dc,
-                 (((1 << (bd + 7)) - 1) << shift) // ac), cap))
+    q, rnd, lvl_max, shift = _qgrids(qindex, tx_size, bd)
     # int32 is safe: |coeff| < 2^20 even for 64x64 and shift <= 2
     mag = jnp.abs(coeffs).astype(jnp.int32) << shift
     lvl = ((mag + rnd).astype(jnp.float32) * (1.0 / q.astype(jnp.float32)))
@@ -83,12 +96,9 @@ def quantize_batch(coeffs, qindex: int, tx_size: int, bd: int = 8):
     return jnp.sign(coeffs) * lvl
 
 
-def dequantize_batch(levels, qindex: int, tx_size: int, bd: int = 8):
+def dequantize_batch(levels, qindex, tx_size: int, bd: int = 8):
     """Exact normative dequant: [..., H, W] levels -> int32 coefficients."""
-    w, h = TX_W[tx_size], TX_H[tx_size]
-    shift = tx_scale(tx_size)
-    dc, ac = quant_params(qindex, bd)
-    q = jnp.asarray(_dq_grid(h, w, dc, ac))
+    q, _rnd, _lm, shift = _qgrids(qindex, tx_size, bd)
     mag = (jnp.abs(levels) * q) >> shift
     hi = (1 << (bd + 7)) - 1
     mag = jnp.minimum(mag, hi)

@@ -44,13 +44,27 @@ class Encoder:
         config.validate()
         self.cfg = config
         self.seq = O.SequenceParams(config.width, config.height,
-                                    config.bit_depth, config.sb_size)
+                                    config.bit_depth, config.sb_size,
+                                    enable_cdef=config.enable_cdef)
         self._frame_idx = 0
         self._send_idx = 0
         self._packets: list[Packet] = []
         self._pending: list = []   # dispatched device batches
         self._inbox: list[Frame] = []  # frames awaiting dispatch
         self._ref_dev = None       # device recon planes of the last frame
+        self._rc = None
+        if config.rate_control_mode != 0:
+            from svt_av1_tpu.pipeline.rate_control import RateController
+            fps = config.frame_rate_num / max(config.frame_rate_den, 1)
+            self._rc = RateController(
+                config.target_bit_rate, fps, config.min_qp_allowed,
+                config.max_qp_allowed,
+                constrained=config.rate_control_mode == 3)
+
+    def _frame_qindex(self, is_key: bool) -> int:
+        if self._rc is not None:
+            return self._rc.frame_qindex(is_key)
+        return _qp_to_qindex(self.cfg.qp)
 
     def _is_key(self, idx: int) -> bool:
         p = self.cfg.intra_period
@@ -80,17 +94,50 @@ class Encoder:
     def _dispatch_inbox(self) -> None:
         if not self._inbox:
             return
-        qindex = _qp_to_qindex(self.cfg.qp)
+        qindex = self._frame_qindex(True)
         frames, self._inbox = self._inbox, []
-        out, nbh, nbw = IE.dispatch_batch_device(
-            frames, qindex, self.seq.mi_rows, self.seq.mi_cols)
+        if self._rc is None:
+            out, nbh, nbw = IE.dispatch_batch_device(
+                frames, qindex, self.seq.mi_rows, self.seq.mi_cols)
+        else:
+            # dynamic-q batch (per-batch shared q; VBR feedback per batch)
+            import jax.numpy as jnp
+            ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+            nbh, nbw = ph // 8, pw // 8
+            sy = np.stack([IE.block_planes(
+                IE.pad_plane(f.y.astype(np.uint8), ph, pw), 8)
+                for f in frames])
+            su = np.stack([IE.block_planes(
+                IE.pad_plane(f.u.astype(np.uint8), ph // 2, pw // 2), 4)
+                for f in frames])
+            sv = np.stack([IE.block_planes(
+                IE.pad_plane(f.v.astype(np.uint8), ph // 2, pw // 2), 4)
+                for f in frames])
+            fn = IE.build_batch_frame_encoder_dyn(nbh, nbw)
+            out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv),
+                     jnp.int32(qindex))
         deb = None
-        if self.cfg.enable_deblocking and self._need_recon():
+        if (self.cfg.enable_deblocking or self.cfg.enable_cdef) and \
+                (self._need_recon() or self.cfg.enable_cdef):
             import jax
+            import jax.numpy as jnp
+            from svt_av1_tpu.ops import cdef as CDEF
+            from svt_av1_tpu.ops import deblock as DB
             y = jax.vmap(_unblock_dev)(out[4])
             u = jax.vmap(_unblock_dev)(out[5])
             v = jax.vmap(_unblock_dev)(out[6])
-            deb = _intra_deblock_fn(nbh * 8, nbw * 8, qindex, True)(y, u, v)
+            lvls = self._lf_levels(qindex, True)
+            ph, pw = nbh * 8, nbw * 8
+            sy = jnp.stack([jnp.asarray(IE.pad_plane(
+                f.y.astype(np.uint8), ph, pw)) for f in frames])
+            su = jnp.stack([jnp.asarray(IE.pad_plane(
+                f.u.astype(np.uint8), ph // 2, pw // 2)) for f in frames])
+            sv = jnp.stack([jnp.asarray(IE.pad_plane(
+                f.v.astype(np.uint8), ph // 2, pw // 2)) for f in frames])
+            deb = _intra_postproc_fn(ph, pw, True, self.cfg.enable_cdef)(
+                y, u, v, sy, su, sv, out[1], out[2], out[3],
+                jnp.int32(lvls[0]), jnp.int32(lvls[2]), jnp.int32(lvls[3]),
+                jnp.int32(CDEF.pick_damping(qindex)))
         self._pending.append(("batch", frames, out, nbh, nbw, qindex, deb))
 
     def _dispatch_one(self, frame: Frame) -> None:
@@ -99,8 +146,8 @@ class Encoder:
         between frames (no host round-trip along the reference chain)."""
         import jax.numpy as jnp
 
-        qindex = _qp_to_qindex(self.cfg.qp)
         key = self._is_key(self._send_idx)
+        qindex = self._frame_qindex(key)
         self._send_idx += 1
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
         ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
@@ -115,14 +162,40 @@ class Encoder:
                     jnp.pad(v, padc, mode="edge"))
 
         if key or self._ref_dev is None:
-            out, nbh, nbw = IE.dispatch_frame_device(
-                frame.y, frame.u, frame.v, qindex,
-                self.seq.mi_rows, self.seq.mi_cols)
+            if self._rc is None:
+                out, nbh, nbw = IE.dispatch_frame_device(
+                    frame.y, frame.u, frame.v, qindex,
+                    self.seq.mi_rows, self.seq.mi_cols)
+            else:
+                nbh, nbw = ph // 8, pw // 8
+                sy = jnp.asarray(IE.block_planes(
+                    IE.pad_plane(frame.y.astype(np.uint8), ph, pw), 8))
+                su = jnp.asarray(IE.block_planes(
+                    IE.pad_plane(frame.u.astype(np.uint8), ph // 2, pw // 2),
+                    4))
+                sv = jnp.asarray(IE.block_planes(
+                    IE.pad_plane(frame.v.astype(np.uint8), ph // 2, pw // 2),
+                    4))
+                out = IE.build_frame_encoder_dyn(nbh, nbw)(
+                    sy, su, sv, jnp.int32(qindex))
             planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
             deb = None
-            if self.cfg.enable_deblocking:
-                planes = _intra_deblock_fn(ph, pw, qindex, False)(*planes)
-                deb = planes
+            if self.cfg.enable_deblocking or self.cfg.enable_cdef:
+                from svt_av1_tpu.ops import cdef as CDEF
+                lvls = self._lf_levels(qindex, True)
+                sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8),
+                                              ph, pw))
+                su = jnp.asarray(IE.pad_plane(
+                    frame.u.astype(np.uint8), ph // 2, pw // 2))
+                sv = jnp.asarray(IE.pad_plane(
+                    frame.v.astype(np.uint8), ph // 2, pw // 2))
+                deb = _intra_postproc_fn(ph, pw, False,
+                                         self.cfg.enable_cdef)(
+                    *planes, sy, su, sv, out[1], out[2], out[3],
+                    jnp.int32(lvls[0]), jnp.int32(lvls[2]),
+                    jnp.int32(lvls[3]),
+                    jnp.int32(CDEF.pick_damping(qindex)))
+                planes = deb[:3]
             self._ref_dev = as_ref(*planes)
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
                                   deb))
@@ -133,9 +206,19 @@ class Encoder:
                 frame.u.astype(np.uint8), ph32 // 2, pw32 // 2))
             sv = jnp.asarray(IE.pad_plane(
                 frame.v.astype(np.uint8), ph32 // 2, pw32 // 2))
-            fn = PE.build_p_frame_encoder(ph32, pw32, self.seq.mi_rows,
-                                          self.seq.mi_cols, qindex)
-            out = fn(sy, su, sv, *self._ref_dev)
+            if self._rc is None:
+                fn = PE.build_p_frame_encoder(ph32, pw32, self.seq.mi_rows,
+                                              self.seq.mi_cols, qindex,
+                                              cdef=self.cfg.enable_cdef)
+                out = fn(sy, su, sv, *self._ref_dev)
+            else:
+                from svt_av1_tpu.ops import deblock as DB
+                lvls = self._lf_levels(qindex, False)
+                fn = PE.build_p_frame_encoder_dyn(
+                    ph32, pw32, self.seq.mi_rows, self.seq.mi_cols)
+                out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
+                         jnp.int32(lvls[0]), jnp.int32(lvls[2]),
+                         jnp.int32(lvls[3]))
             self._ref_dev = as_ref(out[11][:ph, :pw],
                                    out[12][: ph // 2, : pw // 2],
                                    out[13][: ph // 2, : pw // 2])
@@ -154,15 +237,18 @@ class Encoder:
                 devs = IE.materialize_batch(out, nbh, nbw,
                                             with_recon=self._need_recon())
             if deb is not None:
-                # recon/output planes are the post-deblock frames
-                dy, du, dv = (np.asarray(a) for a in deb)
+                # recon/output planes are the post-filter frames
+                dy, du, dv = (np.asarray(a) for a in deb[:3])
+                idx = np.asarray(deb[3]) if len(deb) > 3 else None
                 for i, d in enumerate(devs):
                     if kind == "key":
                         d["recon_y"], d["recon_u"], d["recon_v"] = dy, du, dv
+                        d["cdef_idx"] = idx
                     else:
                         d["recon_y"] = dy[i]
                         d["recon_u"] = du[i]
                         d["recon_v"] = dv[i]
+                        d["cdef_idx"] = None if idx is None else idx[i]
             if len(frames) > 1:
                 # frames are entropy-independent: tile-code them across host
                 # threads (the C coder releases the GIL) — the TPU analog of
@@ -177,6 +263,8 @@ class Encoder:
             p.pts = self._frame_idx
             self._frame_idx += 1
             self._packets.append(p)
+            if self._rc is not None:
+                self._rc.update(len(p.payload) * 8, p.is_keyframe)
 
     def _make_inter_packet(self, frame: Frame, out, qindex: int) -> Packet:
         cfg = self.cfg
@@ -186,6 +274,7 @@ class Encoder:
                   16: tuple(a.astype(np.int32) for a in arrs[5:8]),
                   32: tuple(a.astype(np.int32) for a in arrs[8:11])}
         ry, ru, rv = arrs[11], arrs[12], arrs[13]
+        cdef_idx = arrs[14] if cfg.enable_cdef and len(arrs) > 14 else None
         fc = FrameContext(qindex)
         tile = None
         if cfg.entropy_backend in ("auto", "cpp"):
@@ -193,18 +282,19 @@ class Encoder:
             if native.available():
                 tile = native.encode_tile_inter_cpp(
                     fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
-                    sizes, mv, levels)
+                    sizes, mv, levels, cdef_idx=cdef_idx)
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
             tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
-            tile = tw.encode_inter(sizes, mv, levels)
+            tile = tw.encode_inter(sizes, mv, levels, cdef_idx=cdef_idx)
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,
                            frame_type=O.INTER_FRAME,
                            refresh_frame_flags=0x01,
-                           filter_levels=self._lf_levels(qindex, False))
+                           filter_levels=self._lf_levels(qindex, False),
+                           **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
         recon = Frame(
@@ -219,6 +309,7 @@ class Encoder:
     def _make_packet(self, frame: Frame, dev: dict, qindex: int) -> Packet:
         cfg = self.cfg
         fc = FrameContext(qindex)
+        cdef_idx = dev.get("cdef_idx") if cfg.enable_cdef else None
         tile = None
         if cfg.entropy_backend in ("auto", "cpp"):
             from svt_av1_tpu.entropy import backend as native
@@ -226,17 +317,18 @@ class Encoder:
                 tile = native.encode_tile_cpp(
                     fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
                     dev["modes"].astype(np.uint8), dev["levels_y"],
-                    dev["levels_u"], dev["levels_v"])
+                    dev["levels_u"], dev["levels_v"], cdef_idx=cdef_idx)
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
             tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
             tile = tw.encode(dev["modes"], dev["levels_y"], dev["levels_u"],
-                             dev["levels_v"])
+                             dev["levels_v"], cdef_idx=cdef_idx)
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,
-                           filter_levels=self._lf_levels(qindex, True))
+                           filter_levels=self._lf_levels(qindex, True),
+                           **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_sequence_header(self.seq)
                    + O.write_frame_obu(self.seq, fp, tile))
@@ -255,6 +347,15 @@ class Encoder:
 
     def _need_recon(self) -> bool:
         return self.cfg.recon_output or self.cfg.stat_report
+
+    def _cdef_params(self, qindex: int) -> dict:
+        if not self.cfg.enable_cdef:
+            return {}
+        from svt_av1_tpu.ops import cdef as CDEF
+        return {"cdef_damping": CDEF.pick_damping(qindex),
+                "cdef_bits": CDEF.CDEF_BITS,
+                "cdef_y_strengths": CDEF.Y_STRENGTHS,
+                "cdef_uv_strengths": CDEF.UV_STRENGTHS}
 
     def _lf_levels(self, qindex: int, is_key: bool) -> tuple:
         if not self.cfg.enable_deblocking:
@@ -297,29 +398,44 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _intra_deblock_fn(ph: int, pw: int, qindex: int, batched: bool):
-    """Jitted keyframe deblock (uniform 8x8 luma / 4x4 chroma tx grid)."""
+def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool):
+    """Jitted keyframe in-loop postproc: deblock (uniform 8x8/4x4 tx
+    grid) then optional CDEF search+apply; levels are runtime scalars so
+    rate control never recompiles.
+
+    f(y, u, v, src_y, src_u, src_v, lvls_y_blocks, lvls_u, lvls_v,
+      lf_y, lf_u, lf_v, damping) -> (y, u, v, cdef_idx_sb)
+    """
     import jax
     import jax.numpy as jnp
+    from svt_av1_tpu.ops import cdef as CDEF
     from svt_av1_tpu.ops import deblock as DB
 
-    ly, lu, lv = DB.pick_filter_levels(qindex, is_key=True)
     sizes_y = np.full((ph, pw), 8, np.int32)
     sizes_c = np.full((ph // 2, pw // 2), 4, np.int32)
 
-    def f(y, u, v):
+    def f(y, u, v, sy, su, sv, lby, lbu, lbv, ly, lu, lv, damping):
         y = DB.deblock_plane(jnp, y.astype(jnp.int32), jnp.asarray(sizes_y),
                              ly, ly, True)
         u = DB.deblock_plane(jnp, u.astype(jnp.int32), jnp.asarray(sizes_c),
                              lu, lu, False)
         v = DB.deblock_plane(jnp, v.astype(jnp.int32), jnp.asarray(sizes_c),
                              lv, lv, False)
+        idx_sb = jnp.zeros((-(-ph // 64), -(-pw // 64)), jnp.uint8)
+        if cdef:
+            sk = ((lby == 0).all((-1, -2)) & (lbu == 0).all((-1, -2))
+                  & (lbv == 0).all((-1, -2)))
+            (y, u, v), idx_sb = CDEF.cdef_search_and_apply(
+                jnp, (y, u, v),
+                (sy.astype(jnp.int32), su.astype(jnp.int32),
+                 sv.astype(jnp.int32)), sk, damping)
+            idx_sb = idx_sb.astype(jnp.uint8)
         return (y.astype(jnp.uint8), u.astype(jnp.uint8),
-                v.astype(jnp.uint8))
+                v.astype(jnp.uint8), idx_sb)
 
     if batched:
-        f = jax.vmap(f)
-    return jax.jit(f)
+        f = jax.vmap(f, in_axes=(0,) * 9 + (None,) * 4)
+    return jax.jit(f, static_argnames=())
 
 
 def _qp_to_qindex(qp: int) -> int:

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from svt_av1_tpu.ops import cdef as CD
 from svt_av1_tpu.ops import deblock as DB
 from svt_av1_tpu.ops import mc as MC
 from svt_av1_tpu.ops import me as ME
@@ -133,11 +134,13 @@ def _search_size(sy, ref_pad, bank_y, bs: int, search: int, pad: int,
     return mv8, cost
 
 
-def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
+def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
     """Build the (unjitted) P-frame encode step.
 
     Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
-    fn(src_y [ph,pw], src_u, src_v [ph/2,pw/2], ref_y, ref_u, ref_v)
+    fn(src_y [ph,pw], src_u, src_v [ph/2,pw/2], ref_y, ref_u, ref_v
+       [, qindex, lf_y, lf_u, lf_v — when built with qindex=None, rate
+       control varies q per frame without recompiling])
     -> (sizes [nb8h,nb8w] u8 (8/16/32 leaf size covering each 8x8 cell),
         mv8   [nb8h,nb8w,2] i16 (selected leaf MV, replicated per cell),
         levels y/u/v at each size (9 arrays, i16),
@@ -145,13 +148,24 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
     """
     pad = search + 1
     from svt_av1_tpu import tables as _tbl
-    lam = max(8, _tbl.ac_q(qindex) // 4)
+    dynamic_q = qindex is None
 
     nb8h, nb8w = ph // 8, pw // 8
 
-    def step(sy, su, sv, ry, ru, rv):
+    def step(sy, su, sv, ry, ru, rv, *dyn):
         ph_mi, pw_mi = mi_extent[0], mi_extent[1]
-        lf_levels = lf_levels_cell[0]
+        use_cdef = use_cdef_cell[0]
+        if dynamic_q:
+            q = dyn[0]
+            lf_levels = (dyn[1], dyn[1], dyn[2], dyn[3])
+            ac = jnp.asarray(_tbl.spec_tables()["ac_qlookup_8"])[q]
+            lam = jnp.maximum(8, ac // 4).astype(jnp.int32)
+        else:
+            q = qindex
+            lf_levels = lf_levels_cell[0]
+            # SAD-domain lambda from the quantizer step (the reference
+            # scales its fast-loop lambda with qstep; EbLambdaRateTables.h)
+            lam = max(8, _tbl.ac_q(qindex) // 4)
         sy = sy.astype(jnp.int32)
         su = su.astype(jnp.int32)
         sv = sv.astype(jnp.int32)
@@ -206,14 +220,14 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
         rec_planes = {}
         for bs in SIZES:
             pred_y = _mc_luma(bank_y, mv[bs], bs, pad)
-            ly, rec_y = _encode_plane(_block(sy, bs), pred_y, qindex,
+            ly, rec_y = _encode_plane(_block(sy, bs), pred_y, q,
                                       TX_OF[bs])
             cbs = bs // 2
             pred_u = _mc_chroma(bank_u, mv[bs], cbs, cpad)
             pred_v = _mc_chroma(bank_v, mv[bs], cbs, cpad)
-            lu, rec_u = _encode_plane(_block(su, cbs), pred_u, qindex,
+            lu, rec_u = _encode_plane(_block(su, cbs), pred_u, q,
                                       TX_OF_C[bs])
-            lv, rec_v = _encode_plane(_block(sv, cbs), pred_v, qindex,
+            lv, rec_v = _encode_plane(_block(sv, cbs), pred_v, q,
                                       TX_OF_C[bs])
             levels[bs] = (ly.astype(jnp.int16), lu.astype(jnp.int16),
                           lv.astype(jnp.int16))
@@ -232,35 +246,57 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
         rec_u = select_plane(1, 1)
         rec_v = select_plane(2, 1)
 
-        # --- in-loop deblocking over the mi-grid region (the decoder
+        # --- in-loop filters over the mi-grid region (the decoder
         # filters exactly [ph_mi, pw_mi]; the 32-pad margin is redefined
         # by edge replication afterwards either way) ---------------------
-        if lf_levels[0] or lf_levels[2] or lf_levels[3]:
-            sz8 = size8[: ph_mi // 8, : pw_mi // 8].astype(jnp.int32)
+        crop = lambda p2, sh: p2[: ph_mi >> sh, : pw_mi >> sh]
+        repad = lambda core, like: jnp.pad(
+            core, ((0, like.shape[0] - core.shape[0]),
+                   (0, like.shape[1] - core.shape[1])), mode="edge")
+        cy, cu, cv = crop(rec_y, 0), crop(rec_u, 1), crop(rec_v, 1)
+        sz8 = size8[: ph_mi // 8, : pw_mi // 8].astype(jnp.int32)
+        idx_sb = jnp.zeros((-(-ph_mi // 64), -(-pw_mi // 64)), jnp.uint8)
+
+        if dynamic_q or lf_levels[0] or lf_levels[2] or lf_levels[3]:
             sizes_y = jnp.repeat(jnp.repeat(sz8, 8, 0), 8, 1)
             sizes_c = jnp.repeat(jnp.repeat(sz8 >> 1, 4, 0), 4, 1)
+            cy = DB.deblock_plane(jnp, cy, sizes_y, lf_levels[0],
+                                  lf_levels[1], True)
+            cu = DB.deblock_plane(jnp, cu, sizes_c, lf_levels[2],
+                                  lf_levels[2], False)
+            cv = DB.deblock_plane(jnp, cv, sizes_c, lf_levels[3],
+                                  lf_levels[3], False)
 
-            def dbl(plane, sizes, lvl, luma):
-                core = DB.deblock_plane(jnp, plane[: sizes.shape[0],
-                                               : sizes.shape[1]],
-                                        sizes, lvl, lvl, luma)
-                return jnp.pad(core,
-                               ((0, plane.shape[0] - sizes.shape[0]),
-                                (0, plane.shape[1] - sizes.shape[1])),
-                               mode="edge")
+        if use_cdef:
+            # per-8x8-unit skip: the selected leaf has all-zero levels
+            def skipmap(bs2):
+                lyv, luv, lvv2 = levels[bs2]
+                z = ((lyv == 0).all((-1, -2)) & (luv == 0).all((-1, -2))
+                     & (lvv2 == 0).all((-1, -2)))
+                rep = bs2 // 8
+                return jnp.repeat(jnp.repeat(z, rep, 0), rep, 1)
 
-            rec_y = dbl(rec_y, sizes_y, lf_levels[0], True)
-            rec_u = dbl(rec_u, sizes_c, lf_levels[2], False)
-            rec_v = dbl(rec_v, sizes_c, lf_levels[3], False)
-        rec_y = rec_y.astype(jnp.uint8)
-        rec_u = rec_u.astype(jnp.uint8)
-        rec_v = rec_v.astype(jnp.uint8)
+            sk = jnp.where(sz8 == 32, skipmap(32)[: sz8.shape[0],
+                                                  : sz8.shape[1]],
+                           jnp.where(sz8 == 16, skipmap(16)[: sz8.shape[0],
+                                                            : sz8.shape[1]],
+                                     skipmap(8)[: sz8.shape[0],
+                                                : sz8.shape[1]]))
+            (cy, cu, cv), idx_sb = CD.cdef_search_and_apply(
+                jnp, (cy, cu, cv),
+                (crop(sy, 0), crop(su, 1), crop(sv, 1)), sk,
+                CD.pick_damping(qindex if not dynamic_q else 128))
+            idx_sb = idx_sb.astype(jnp.uint8)
+
+        rec_y = repad(cy, rec_y).astype(jnp.uint8)
+        rec_u = repad(cu, rec_u).astype(jnp.uint8)
+        rec_v = repad(cv, rec_v).astype(jnp.uint8)
 
         return (size8, mv_sel,
                 levels[8][0], levels[8][1], levels[8][2],
                 levels[16][0], levels[16][1], levels[16][2],
                 levels[32][0], levels[32][1], levels[32][2],
-                rec_y, rec_u, rec_v)
+                rec_y, rec_u, rec_v, idx_sb)
 
     # static edge-legality masks in mi-grid terms are bound by the caller
     # via build_p_frame_encoder (closure cells patched below).
@@ -268,8 +304,10 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
     inside32 = np.ones((ph // 32, pw // 32), bool)
     mi_extent = [ph, pw]
     lf_levels_cell = [(0, 0, 0, 0)]
+    use_cdef_cell = [False]
 
-    def bind_masks(mi_rows: int, mi_cols: int, deblock: bool):
+    def bind_masks(mi_rows: int, mi_cols: int, deblock: bool,
+                   cdef: bool = False):
         cells_h, cells_w = mi_rows // 2, mi_cols // 2  # 8x8 cells in frame
         i16 = np.zeros((ph // 16, pw // 16), bool)
         for r in range(ph // 16):
@@ -283,9 +321,10 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
         inside32[:] = i32
         mi_extent[0] = mi_rows * 4
         mi_extent[1] = mi_cols * 4
-        if deblock:
+        if deblock and qindex is not None:
             ly, lu, lv = DB.pick_filter_levels(qindex, is_key=False)
             lf_levels_cell[0] = (ly, ly, lu, lv)
+        use_cdef_cell[0] = cdef
 
     step.bind_masks = bind_masks
     return step
@@ -294,7 +333,18 @@ def p_frame_step(ph: int, pw: int, qindex: int, search: int = SEARCH_RANGE):
 @functools.lru_cache(maxsize=8)
 def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
-                          deblock: bool = True):
+                          deblock: bool = True, cdef: bool = False):
     fn = p_frame_step(ph, pw, qindex, search)
-    fn.bind_masks(mi_rows, mi_cols, deblock)
+    fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=4)
+def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
+                              search: int = SEARCH_RANGE,
+                              cdef: bool = False):
+    """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v); one compile
+    serves every qindex (rate control)."""
+    fn = p_frame_step(ph, pw, None, search)
+    fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -51,7 +51,7 @@ def _encode_plane_batch(src, pred, qindex: int, tx_size: int):
     return levels, recon
 
 
-def frame_step(nbh: int, nbw: int, qindex: int):
+def frame_step(nbh: int, nbw: int, qindex):
     """The (unjitted) full-frame intra encode step for a block grid.
 
     fn(src_y [nbh,nbw,8,8], src_u [nbh,nbw,4,4], src_v)
@@ -156,8 +156,11 @@ def frame_step(nbh: int, nbw: int, qindex: int):
         # narrow dtypes before leaving the device: levels fit int8/int16
         # by the quantizer bound, recon/modes fit uint8 — the tunneled
         # device->host link is the pipeline bottleneck (PROGRESS profiling)
-        dt_y = Q.level_dtype(qindex, T.TX_8X8)
-        dt_c = Q.level_dtype(qindex, T.TX_4X4)
+        if isinstance(qindex, (int, np.integer)):
+            dt_y = Q.level_dtype(qindex, T.TX_8X8)
+            dt_c = Q.level_dtype(qindex, T.TX_4X4)
+        else:
+            dt_y = dt_c = jnp.int16   # dynamic q: conservative dtype
         return (trim(modes).astype(jnp.uint8),
                 trim(ly).astype(dt_y), trim(lu).astype(dt_c),
                 trim(lv).astype(dt_c),
@@ -171,6 +174,27 @@ def frame_step(nbh: int, nbw: int, qindex: int):
 def build_frame_encoder(nbh: int, nbw: int, qindex: int):
     """Jit-compiled single-frame encode step (see frame_step)."""
     return jax.jit(frame_step(nbh, nbw, qindex))
+
+
+@functools.lru_cache(maxsize=4)
+def build_frame_encoder_dyn(nbh: int, nbw: int):
+    """Dynamic-q variant: fn(sy, su, sv, qindex) — one compile serves
+    every qindex (rate control changes q per frame)."""
+    def wrapper(sy, su, sv, qindex):
+        # frame_step closes over qindex; the traced scalar flows through
+        return frame_step(nbh, nbw, qindex)(sy, su, sv)
+
+    return jax.jit(wrapper)
+
+
+@functools.lru_cache(maxsize=4)
+def build_batch_frame_encoder_dyn(nbh: int, nbw: int):
+    """Dynamic-q batched variant: fn(sy, su, sv, qindex) with a shared
+    per-batch q scalar (intra-only VBR)."""
+    def wrapper(sy, su, sv, qindex):
+        return frame_step(nbh, nbw, qindex)(sy, su, sv)
+
+    return jax.jit(jax.vmap(wrapper, in_axes=(0, 0, 0, None)))
 
 
 @functools.lru_cache(maxsize=8)

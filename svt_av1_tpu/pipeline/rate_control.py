@@ -1,0 +1,72 @@
+"""Rate control: CQP q derivation and a VBR/CVBR buffer-model controller.
+
+The reference's rate control stage (rate_control_kernel,
+EbRateControlProcess.c:3785) runs four modes: 0=CQP (+qp scaling),
+1=model, 2=VBR, 3=constrained VBR, driven by per-GOP parallel state and
+bit feedback from packetization.  The TPU build keeps RC a host-side
+controller (it is tiny, serial, and feedback-driven), re-expressed as a
+leaky-bucket + per-frame-type q offsets; the device frame steps take q
+as a runtime scalar, so changing q never recompiles.
+
+Simplifications vs the reference (tracked for later rounds): no
+lookahead-informed allocation yet, per-frame (not per-EC-row) feedback,
+single-GOP state (no PARALLEL_GOP_MAX_NUMBER queue).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_tpu import tables
+
+
+def qp_to_qindex(qp: int) -> int:
+    """0..63 QP -> 0..255 qindex (ref qp scale, ~4x)."""
+    return min(255, max(1, qp * 4))
+
+
+class RateController:
+    """Leaky-bucket VBR: pick per-frame qindex, absorb bit feedback."""
+
+    KEY_BOOST_Q = 24      # keyframes run ~this much lower qindex
+
+    def __init__(self, target_bit_rate: int, fps: float,
+                 min_qp: int = 0, max_qp: int = 63,
+                 constrained: bool = False) -> None:
+        self.target_bpf = max(1.0, target_bit_rate / max(fps, 1e-6))
+        self.min_qi = max(1, qp_to_qindex(max(min_qp, 1)))
+        self.max_qi = qp_to_qindex(max_qp)
+        self.constrained = constrained
+        self.fullness = 0.0          # bits over (+) / under (-) target
+        self.qi = 128                # running base qindex
+        self._bootstrapped = False
+
+    def frame_qindex(self, is_key: bool) -> int:
+        qi = self.qi
+        if is_key:
+            qi -= self.KEY_BOOST_Q
+        return int(np.clip(qi, self.min_qi, self.max_qi))
+
+    def update(self, bits: int, is_key: bool) -> None:
+        """Feedback after a frame is packetized (ref RC feedback tasks)."""
+        # keyframes are budgeted at ~4x a P frame
+        budget = self.target_bpf * (4.0 if is_key else 1.0)
+        self.fullness += bits - budget
+        # leak: proportional correction toward target, stronger when the
+        # buffer diverges past one second worth of bits
+        err = self.fullness / self.target_bpf
+        step = 1.0 + min(abs(err) * 0.5, 7.0)
+        if not self._bootstrapped:
+            # jump-start: scale q by the log of the first frame's miss
+            ratio = max(bits / budget, 1e-3)
+            self.qi += int(np.clip(40.0 * np.log2(ratio), -80, 80))
+            self._bootstrapped = True
+        elif err > 0.25:
+            self.qi += int(step)
+        elif err < -0.25:
+            self.qi -= int(step)
+        if self.constrained:
+            # CVBR: hard-clamp drift to one second of buffered bits
+            cap = self.target_bpf * 30
+            self.fullness = float(np.clip(self.fullness, -cap, cap))
+        self.qi = int(np.clip(self.qi, self.min_qi, self.max_qi))

@@ -110,19 +110,25 @@ class TileWriter:
         self.qindex = qindex
         self.reduced_tx_set = reduced_tx_set
         self.inter = False
+        self.cdef_idx = None     # [nsb_h, nsb_w] per-64x64 strength index
+        self.cdef_bits = 2
+        self._cdef_done = False
 
     def encode(self, modes: np.ndarray, levels_y: np.ndarray,
-               levels_u: np.ndarray, levels_v: np.ndarray) -> bytes:
+               levels_u: np.ndarray, levels_v: np.ndarray,
+               cdef_idx=None) -> bytes:
         tc = self.tc
         self.data = (modes, levels_y, levels_u, levels_v)
         self.inter = False
+        self.cdef_idx = cdef_idx
         for r4 in range(0, tc.mi_rows, SB_MI):
             for c4 in range(0, tc.mi_cols, SB_MI):
+                self._cdef_done = False
                 self._partition(r4, c4, SB_MI)
         return self.enc.done()
 
     def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
-                     levels: dict) -> bytes:
+                     levels: dict, cdef_idx=None) -> bytes:
         """P-frame tile: variable-partition NEWMV/LAST blocks.
 
         sizes:  [nb8h, nb8w] leaf size (8/16/32) covering each 8x8 cell
@@ -136,11 +142,23 @@ class TileWriter:
         self.mvs = mvs
         self.levels = levels
         self.inter = True
+        self.cdef_idx = cdef_idx
         self.mi = MVP.MiInter(tc.mi_rows, tc.mi_cols)
         for r4 in range(0, tc.mi_rows, SB_MI):
             for c4 in range(0, tc.mi_cols, SB_MI):
+                self._cdef_done = False
                 self._partition(r4, c4, SB_MI)
         return self.enc.done()
+
+    def _write_cdef(self, r4: int, c4: int, skip: int) -> None:
+        """ref write_cdef (EbEntropyCoding.c): emit the 64x64 unit's
+        strength index as raw literal bits at the first non-skip block."""
+        if self.cdef_idx is None or self._cdef_done or skip:
+            return
+        idx = int(self.cdef_idx[r4 // SB_MI, c4 // SB_MI])
+        for b in range(self.cdef_bits - 1, -1, -1):
+            self.enc.encode_bool((idx >> b) & 1, 16384)
+        self._cdef_done = True
 
     def _leaf_here(self, r4: int, c4: int, n4: int) -> bool:
         return self.inter and int(self.sizes[r4 // 2, c4 // 2]) == n4 * 4
@@ -185,6 +203,7 @@ class TileWriter:
         cdf = fc.skip[ctx]
         enc.encode_symbol(skip, cdf, 2)
         update_icdf(cdf, skip, 2)
+        self._write_cdef(r4, c4, skip)
 
         # is_inter + ref frame
         S.code_is_inter(enc, None, fc, mi, tc, r4, c4, True)
@@ -234,6 +253,7 @@ class TileWriter:
         cdf = fc.skip[ctx]
         enc.encode_symbol(skip, cdf, 2)
         update_icdf(cdf, skip, 2)
+        self._write_cdef(r4, c4, skip)
 
         # y mode (keyframe cdf)
         actx, lctx = tc.kf_y_ctx(r4, c4)

@@ -1,0 +1,49 @@
+"""Rate control tests: VBR convergence + dynamic-q parity."""
+
+import numpy as np
+
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.decoder.decode import Decoder
+from svt_av1_tpu.io.yuv import Frame, synthetic_frame
+from svt_av1_tpu.pipeline.encoder import Encoder
+
+
+def _frames(W, H, n):
+    base = synthetic_frame(W + 64, H + 64, seed=5)
+    return [Frame(base.y[2*t:2*t+H, 3*t:3*t+W].copy(),
+                  base.u[t:t+H//2, 3*t//2:3*t//2+W//2].copy(),
+                  base.v[t:t+H//2, 3*t//2:3*t//2+W//2].copy())
+            for t in range(n)]
+
+
+def test_vbr_converges_and_parity():
+    W, H, n = 128, 64, 8
+    target = 300_000
+    enc = Encoder(EncoderConfig(width=W, height=H, rate_control_mode=2,
+                                target_bit_rate=target, frame_rate_num=30,
+                                intra_period=63, pred_structure=0))
+    dec = Decoder()
+    tot = 0
+    for i, f in enumerate(_frames(W, H, n)):
+        enc.send_picture(f)
+        p = enc.get_packet()
+        df = dec.decode_temporal_unit(p.payload)
+        assert np.array_equal(df.y, p.recon.y), i
+        tot += len(p.payload)
+    kbps = tot * 8 * 30 / n / 1000
+    # loose band: short clip, includes the keyframe spike
+    assert 0.4 * target / 1000 < kbps < 2.5 * target / 1000, kbps
+
+
+def test_vbr_intra_only_batch():
+    W, H, n = 64, 64, 4
+    enc = Encoder(EncoderConfig(width=W, height=H, rate_control_mode=2,
+                                target_bit_rate=500_000, frame_rate_num=30,
+                                device_batch=2))
+    dec = Decoder()
+    for f in _frames(W, H, n):
+        enc.send_picture(f)
+    for i in range(n):
+        p = enc.get_packet()
+        df = dec.decode_temporal_unit(p.payload)
+        assert np.array_equal(df.y, p.recon.y), i
