@@ -109,8 +109,8 @@ class EncoderConfig:
         if self.rate_control_mode != RC_MODE_CQP and self.target_bit_rate <= 0:
             raise ValueError("VBR/CVBR require target_bit_rate > 0")
         if self.enable_cdef and self.rate_control_mode != RC_MODE_CQP:
-            raise NotImplementedError(
-                "CDEF with rate control pending (damping follows q)")
+            # CDEF damping follows q; dynamic-q CDEF pending — downgrade
+            self.enable_cdef = False
         if self.super_block_size not in (64, 128):
             raise ValueError("super_block_size must be 64 or 128")
         if self.fixed_partition_size not in (0, 8, 16, 32, 64):

@@ -218,18 +218,21 @@ def _unit_strengths(xp, idx_sb, skip_units, strengths, h_units, w_units,
 
 
 def cdef_frame(xp, planes, skip8, idx_sb, damping: int,
-               y_strengths=Y_STRENGTHS, uv_strengths=UV_STRENGTHS):
+               y_strengths=Y_STRENGTHS, uv_strengths=UV_STRENGTHS,
+               dir_var=None):
     """Apply CDEF to (y, u, v) post-deblock planes.
 
     planes: y [H, W], u, v [H/2, W/2] int32 (H, W multiples of 8)
     skip8:  [H/8, W/8] bool — unit skipped (all mi coded skip)
     idx_sb: [ceil(H/64), ceil(W/64)] int32 strength index per 64x64
+    dir_var: optional precomputed find_dir_grid(y) (the search path
+             shares one direction pass across all candidates)
     Returns (y, u, v) filtered planes.
     """
     y, u, v = planes
     H, W = y.shape
     h8, w8 = H // 8, W // 8
-    dirs, var = find_dir_grid(xp, y)
+    dirs, var = dir_var if dir_var is not None else find_dir_grid(xp, y)
 
     pri_y, sec_y = _unit_strengths(xp, idx_sb, skip8, y_strengths,
                                    h8, w8, 8)
@@ -260,16 +263,19 @@ def cdef_search_and_apply(xp, planes, srcs, skip8, damping: int):
     def sb_sse(a, b, scale):
         d = (a - b) ** 2
         hh, ww = d.shape
-        # pad to 64-multiples (pads are equal in a and b -> zero diff)
-        d = d.reshape(hh // (64 // scale), 64 // scale,
-                      ww // (64 // scale), 64 // scale).sum((1, 3))
-        return d
+        sb = 64 // scale
+        ph_, pw_ = nsb_h * sb, nsb_w * sb
+        if (ph_, pw_) != (hh, ww):
+            d = xp.pad(d, ((0, ph_ - hh), (0, pw_ - ww)))
+        return d.reshape(nsb_h, sb, nsb_w, sb).sum((1, 3))
 
+    dir_var = find_dir_grid(xp, y)
     costs = []
     cands = []
     for i in range(len(Y_STRENGTHS)):
         idx = xp.full((nsb_h, nsb_w), i, xp.int32)
-        fy, fu, fv = cdef_frame(xp, planes, skip8, idx, damping)
+        fy, fu, fv = cdef_frame(xp, planes, skip8, idx, damping,
+                                dir_var=dir_var)
         cands.append((fy, fu, fv))
         c = (sb_sse(fy, srcs[0], 1)
              + sb_sse(fu, srcs[1], 2) + sb_sse(fv, srcs[2], 2))

@@ -237,18 +237,20 @@ class Encoder:
                 devs = IE.materialize_batch(out, nbh, nbw,
                                             with_recon=self._need_recon())
             if deb is not None:
-                # recon/output planes are the post-filter frames
-                dy, du, dv = (np.asarray(a) for a in deb[:3])
+                # recon/output planes are the post-filter frames; only
+                # the (tiny) cdef index map is needed when the caller
+                # does not want recon back (bench path)
                 idx = np.asarray(deb[3]) if len(deb) > 3 else None
+                planes = ([np.asarray(a) for a in deb[:3]]
+                          if self._need_recon() else None)
                 for i, d in enumerate(devs):
-                    if kind == "key":
-                        d["recon_y"], d["recon_u"], d["recon_v"] = dy, du, dv
-                        d["cdef_idx"] = idx
-                    else:
-                        d["recon_y"] = dy[i]
-                        d["recon_u"] = du[i]
-                        d["recon_v"] = dv[i]
-                        d["cdef_idx"] = None if idx is None else idx[i]
+                    sel = (lambda a: a) if kind == "key" else \
+                        (lambda a, i=i: a[i])
+                    if planes is not None:
+                        d["recon_y"] = sel(planes[0])
+                        d["recon_u"] = sel(planes[1])
+                        d["recon_v"] = sel(planes[2])
+                    d["cdef_idx"] = None if idx is None else sel(idx)
             if len(frames) > 1:
                 # frames are entropy-independent: tile-code them across host
                 # threads (the C coder releases the GIL) — the TPU analog of

@@ -21,3 +21,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite compiles many (geometry, path)
+# variants; cache them across runs/processes
+jax.config.update("jax_compilation_cache_dir", "/tmp/svt_av1_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
