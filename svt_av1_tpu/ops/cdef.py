@@ -101,13 +101,16 @@ def find_dir_grid(xp, luma):
     return best.astype(xp.int32), var
 
 
-_MSB = np.array([0] + [int(v).bit_length() - 1 for v in range(1, 64)],
-                np.int32)
+def _msb6(v):
+    """floor(log2(v)) for 1 <= v <= 63 as a compare chain (gather-free;
+    TPU-friendly); returns 0 for v == 0 (masked out by callers)."""
+    return ((v > 1).astype(v.dtype) + (v > 3) + (v > 7) + (v > 15)
+            + (v > 31))
 
 
 def _constrain(xp, diff, threshold, damping):
     """ref constrain(): threshold/damping may be per-pixel arrays."""
-    shift = xp.maximum(0, damping - xp.asarray(_MSB)[threshold])
+    shift = xp.maximum(0, damping - _msb6(threshold))
     mag = xp.minimum(xp.abs(diff),
                      xp.maximum(0, threshold - (xp.abs(diff) >> shift)))
     return xp.sign(diff) * mag * (threshold > 0)
@@ -116,8 +119,9 @@ def _constrain(xp, diff, threshold, damping):
 def adjust_strength(xp, strength, var):
     """ref adjust_strength: luma primary strength scaled by direction
     variance."""
-    i = xp.minimum(xp.asarray(_MSB)[xp.minimum(var >> 6, 63)], 12)
-    i = xp.where((var >> 6) > 0, i, 0)
+    v6 = xp.minimum(var >> 6, 63)
+    i = xp.minimum(_msb6(v6), 12)
+    i = xp.where(v6 > 0, i, 0)
     return xp.where(var > 0, (strength * (4 + i) + 8) >> 4, 0)
 
 
@@ -145,22 +149,42 @@ def filter_plane(xp, plane, dir_units, pri, sec, damping, bs: int):
     sec_px = up(sec)
     tap_sel = (pri_px & 1).astype(xp.int32)      # pri taps row (8-bit)
 
-    yy = xp.arange(H)[:, None] + 2
-    xx = xp.arange(W)[None, :] + 2
     x0 = plane
     vmax = x0
     vmin = x0
     total = xp.zeros((H, W), xp.int32)
-    dirs = xp.asarray(DIRS)
     pri_taps = xp.asarray(np.array(PRI_TAPS, np.int32))
     sec_taps = xp.asarray(np.array(SEC_TAPS, np.int32))
 
-    def taps_for(dsel, k):
-        dy = dirs[dsel, k, 0]
-        dx = dirs[dsel, k, 1]
-        a = pad[yy + dy, xx + dx]
-        b = pad[yy - dy, xx - dx]
-        return a, b
+    if xp is np:
+        yy = np.arange(H)[:, None] + 2
+        xx = np.arange(W)[None, :] + 2
+
+        def taps_for(dsel, k):
+            dy = DIRS[dsel, k, 0]
+            dx = DIRS[dsel, k, 1]
+            return pad[yy + dy, xx + dx], pad[yy - dy, xx - dx]
+    else:
+        # TPU: per-pixel gathers are slow; precompute the 8 statically
+        # shifted planes per (k, sign) and select by direction index —
+        # numerically identical to the gather formulation.
+        shifted = {}
+        for d in range(8):
+            for k in range(2):
+                for sgn in (1, -1):
+                    dy = int(DIRS[d, k, 0]) * sgn
+                    dx = int(DIRS[d, k, 1]) * sgn
+                    shifted[(d, k, sgn)] = pad[2 + dy : 2 + dy + H,
+                                               2 + dx : 2 + dx + W]
+
+        def taps_for(dsel, k):
+            a = shifted[(0, k, 1)]
+            b = shifted[(0, k, -1)]
+            for d in range(1, 8):
+                m = dsel == d
+                a = xp.where(m, shifted[(d, k, 1)], a)
+                b = xp.where(m, shifted[(d, k, -1)], b)
+            return a, b
 
     for k in range(2):
         p0, p1 = taps_for(dir_px, k)

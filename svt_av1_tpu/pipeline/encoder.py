@@ -96,44 +96,38 @@ class Encoder:
             return
         qindex = self._frame_qindex(True)
         frames, self._inbox = self._inbox, []
+        import jax.numpy as jnp
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        nbh, nbw = ph // 8, pw // 8
+        sy_b = jnp.asarray(np.stack([IE.block_planes(
+            IE.pad_plane(f.y.astype(np.uint8), ph, pw), 8) for f in frames]))
+        su_b = jnp.asarray(np.stack([IE.block_planes(
+            IE.pad_plane(f.u.astype(np.uint8), ph // 2, pw // 2), 4)
+            for f in frames]))
+        sv_b = jnp.asarray(np.stack([IE.block_planes(
+            IE.pad_plane(f.v.astype(np.uint8), ph // 2, pw // 2), 4)
+            for f in frames]))
         if self._rc is None:
-            out, nbh, nbw = IE.dispatch_batch_device(
-                frames, qindex, self.seq.mi_rows, self.seq.mi_cols)
+            out = IE.build_batch_frame_encoder(nbh, nbw, qindex)(
+                sy_b, su_b, sv_b)
         else:
             # dynamic-q batch (per-batch shared q; VBR feedback per batch)
-            import jax.numpy as jnp
-            ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
-            nbh, nbw = ph // 8, pw // 8
-            sy = np.stack([IE.block_planes(
-                IE.pad_plane(f.y.astype(np.uint8), ph, pw), 8)
-                for f in frames])
-            su = np.stack([IE.block_planes(
-                IE.pad_plane(f.u.astype(np.uint8), ph // 2, pw // 2), 4)
-                for f in frames])
-            sv = np.stack([IE.block_planes(
-                IE.pad_plane(f.v.astype(np.uint8), ph // 2, pw // 2), 4)
-                for f in frames])
-            fn = IE.build_batch_frame_encoder_dyn(nbh, nbw)
-            out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv),
-                     jnp.int32(qindex))
+            out = IE.build_batch_frame_encoder_dyn(nbh, nbw)(
+                sy_b, su_b, sv_b, jnp.int32(qindex))
         deb = None
         if (self.cfg.enable_deblocking or self.cfg.enable_cdef) and \
                 (self._need_recon() or self.cfg.enable_cdef):
             import jax
-            import jax.numpy as jnp
             from svt_av1_tpu.ops import cdef as CDEF
-            from svt_av1_tpu.ops import deblock as DB
             y = jax.vmap(_unblock_dev)(out[4])
             u = jax.vmap(_unblock_dev)(out[5])
             v = jax.vmap(_unblock_dev)(out[6])
             lvls = self._lf_levels(qindex, True)
-            ph, pw = nbh * 8, nbw * 8
-            sy = jnp.stack([jnp.asarray(IE.pad_plane(
-                f.y.astype(np.uint8), ph, pw)) for f in frames])
-            su = jnp.stack([jnp.asarray(IE.pad_plane(
-                f.u.astype(np.uint8), ph // 2, pw // 2)) for f in frames])
-            sv = jnp.stack([jnp.asarray(IE.pad_plane(
-                f.v.astype(np.uint8), ph // 2, pw // 2)) for f in frames])
+            # source planes for the CDEF SSE search come from the SAME
+            # device arrays the encode consumed (no second upload)
+            sy = jax.vmap(_unblock_dev)(sy_b)
+            su = jax.vmap(_unblock_dev)(su_b)
+            sv = jax.vmap(_unblock_dev)(sv_b)
             deb = _intra_postproc_fn(ph, pw, True, self.cfg.enable_cdef)(
                 y, u, v, sy, su, sv, out[1], out[2], out[3],
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]), jnp.int32(lvls[3]),
