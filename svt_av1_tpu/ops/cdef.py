@@ -293,26 +293,32 @@ def cdef_search_and_apply(xp, planes, srcs, skip8, damping: int):
             d = xp.pad(d, ((0, ph_ - hh), (0, pw_ - ww)))
         return d.reshape(nsb_h, sb, nsb_w, sb).sum((1, 3))
 
-    dir_var = find_dir_grid(xp, y)
-    costs = []
-    cands = []
-    for i in range(len(Y_STRENGTHS)):
+    # luma-only candidate filtering (index 0 is the identity); chroma is
+    # filtered once afterwards with the chosen per-SB indices — ~2.5x
+    # less filter work than filtering all planes per candidate
+    dirs, var = find_dir_grid(xp, y)
+    h8, w8 = H // 8, W // 8
+    lumas = [y]
+    costs = [sb_sse(y, srcs[0], 1)]
+    for i in range(1, len(Y_STRENGTHS)):
         idx = xp.full((nsb_h, nsb_w), i, xp.int32)
-        fy, fu, fv = cdef_frame(xp, planes, skip8, idx, damping,
-                                dir_var=dir_var)
-        cands.append((fy, fu, fv))
-        c = (sb_sse(fy, srcs[0], 1)
-             + sb_sse(fu, srcs[1], 2) + sb_sse(fv, srcs[2], 2))
-        costs.append(c)
+        pri, sec = _unit_strengths(xp, idx, skip8, Y_STRENGTHS, h8, w8, 8)
+        pri = adjust_strength(xp, pri, var)
+        fy = filter_plane(xp, y, xp.where(pri > 0, dirs, 0), pri, sec,
+                          damping, 8)
+        lumas.append(fy)
+        costs.append(sb_sse(fy, srcs[0], 1))
     cost = xp.stack(costs, axis=-1)          # [nsb_h, nsb_w, 4]
     idx_sb = xp.argmin(cost, axis=-1).astype(xp.int32)
 
-    def select(plane_idx, scale):
-        m = xp.repeat(xp.repeat(idx_sb, 64 // scale, 0), 64 // scale, 1)
-        m = m[: cands[0][plane_idx].shape[0], : cands[0][plane_idx].shape[1]]
-        out = cands[0][plane_idx]
-        for i in range(1, len(cands)):
-            out = xp.where(m == i, cands[i][plane_idx], out)
-        return out
+    m = xp.repeat(xp.repeat(idx_sb, 64, 0), 64, 1)[:H, :W]
+    out_y = lumas[0]
+    for i in range(1, len(lumas)):
+        out_y = xp.where(m == i, lumas[i], out_y)
 
-    return (select(0, 1), select(1, 2), select(2, 2)), idx_sb
+    pri_c, sec_c = _unit_strengths(xp, idx_sb, skip8, UV_STRENGTHS,
+                                   h8, w8, 8)
+    dir_c = xp.where(pri_c > 0, dirs, 0)
+    out_u = filter_plane(xp, u, dir_c, pri_c, sec_c, damping - 1, 4)
+    out_v = filter_plane(xp, v, dir_c, pri_c, sec_c, damping - 1, 4)
+    return (out_y, out_u, out_v), idx_sb
