@@ -47,6 +47,8 @@ class EncoderConfig:
     hierarchical_levels: int = 3      # mini-GOP 2^n (ref :141)
     super_block_size: int = 64        # 64 or 128 (ref :135)
     look_ahead_distance: int = 0      # 0..120 (ref :160)
+    scene_change_detection: bool = True  # ref scd_mode: insert keyframes
+                                         # at detected cuts (inter modes)
 
     # --- rate control (ref :200-260) ---
     rate_control_mode: int = RC_MODE_CQP

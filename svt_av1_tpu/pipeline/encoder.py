@@ -74,6 +74,25 @@ class Encoder:
             return idx == 0
         return idx % (p + 1) == 0
 
+    def _scene_cut(self, frame: Frame) -> bool:
+        """Histogram/SAD scene-change detector on a 1/8-scale luma
+        (ref picture_decision_kernel scene-change windows,
+        EbPictureDecisionProcess.c:109-270, reduced to a running
+        mean-abs-difference test)."""
+        if not self.cfg.scene_change_detection:
+            return False
+        small = frame.y[::8, ::8].astype(np.int32)
+        prev = getattr(self, "_scd_prev", None)
+        self._scd_prev = small
+        if prev is None or prev.shape != small.shape:
+            return False
+        mad = float(np.abs(small - prev).mean())
+        avg = getattr(self, "_scd_avg", None)
+        self._scd_avg = mad if avg is None else 0.75 * avg + 0.25 * mad
+        if avg is None:
+            return mad > 40.0
+        return mad > max(25.0, 4.0 * avg)
+
     # -- ref eb_svt_enc_stream_header ------------------------------------------
     def stream_header(self) -> bytes:
         return O.write_sequence_header(self.seq)
@@ -140,7 +159,7 @@ class Encoder:
         between frames (no host round-trip along the reference chain)."""
         import jax.numpy as jnp
 
-        key = self._is_key(self._send_idx)
+        key = self._is_key(self._send_idx) or self._scene_cut(frame)
         qindex = self._frame_qindex(key)
         self._send_idx += 1
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4

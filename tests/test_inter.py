@@ -127,3 +127,27 @@ def test_ippp_keyframe_interval():
         p = enc2.get_packet()
         df = dec.decode_temporal_unit(p.payload)
         assert np.array_equal(df.y, p.recon.y)
+
+
+def test_scene_cut_inserts_keyframe():
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.decoder.decode import Decoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    from svt_av1_tpu.io.yuv import synthetic_frame
+
+    W, H = 128, 96
+    a = synthetic_frame(W, H, seed=1)
+    b = synthetic_frame(W, H, seed=99, kind="noise")  # hard cut
+    frames = [a, a, b, b]
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=45, intra_period=63,
+                                pred_structure=0))
+    for f in frames:
+        enc.send_picture(f)
+    pkts = [enc.get_packet() for _ in frames]
+    kinds = [p.is_keyframe for p in pkts]
+    assert kinds[0] and not kinds[1] and kinds[2], kinds
+
+    dec = Decoder()
+    for i, p in enumerate(pkts):
+        df = dec.decode_temporal_unit(p.payload)
+        assert np.array_equal(df.y, p.recon.y), i
