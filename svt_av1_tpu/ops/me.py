@@ -75,6 +75,54 @@ def fullpel_search(src, ref_pad, block: int, search_range: int,
     return mv, best_cost
 
 
+def fullpel_search_multisize(src, ref_pad, search_range: int,
+                             lam=None, priors=None):
+    """One exhaustive sweep scoring 8/16/32 blocks simultaneously.
+
+    The SAD of a 16x16 (32x32) block at an offset is the 2x2 (4x4) sum
+    of its children's 8x8 SADs at that offset, so one diff pass per
+    offset feeds all three size pyramids (vs three sweeps).
+
+    priors: optional {8: [nb8,...], 16: ..., 32: ...} full-pel MV priors
+    for the rate bias.  Returns {bs: (mv, cost)}.
+    """
+    H, W = src.shape
+    R = search_range
+    n = 2 * R + 1
+
+    def blocksum(d, bs):
+        return d.reshape(H // bs, bs, W // bs, bs).sum((1, 3))
+
+    def body(k, state):
+        dy = k // n
+        dx = k % n
+        win = jax.lax.dynamic_slice(ref_pad, (dy, dx), (H, W))
+        diff = jnp.abs(src - win)
+        d8 = blocksum(diff, 8)
+        d16 = d8.reshape(H // 16, 2, W // 16, 2).sum((1, 3))
+        d32 = d16.reshape(H // 32, 2, W // 32, 2).sum((1, 3))
+        out = []
+        for bs, d in ((8, d8), (16, d16), (32, d32)):
+            best_cost, best_k = state[bs]
+            cost = d
+            if lam is not None:
+                mv8 = (jnp.stack([dy - R, dx - R])[None, None]
+                       - (priors[bs] if priors is not None else 0)) * 8
+                cost = cost + ((lam * mv_rate_bits(mv8)) >> 4)
+            better = cost < best_cost
+            out.append((bs, (jnp.where(better, cost, best_cost),
+                             jnp.where(better, k, best_k))))
+        return dict(out)
+
+    state = {bs: (jnp.full((H // bs, W // bs), 2**30, jnp.int32),
+                  jnp.zeros((H // bs, W // bs), jnp.int32))
+             for bs in (8, 16, 32)}
+    state = jax.lax.fori_loop(0, n * n, body, state)
+    return {bs: (jnp.stack([state[bs][1] // n - R, state[bs][1] % n - R],
+                           axis=-1), state[bs][0])
+            for bs in (8, 16, 32)}
+
+
 def median3_mv_field(mv):
     """Component-wise median of (left, up, up-right) neighbor MVs — a
     bulk-parallel approximation of the entropy coder's ref-MV-stack

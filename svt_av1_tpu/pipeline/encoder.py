@@ -232,9 +232,9 @@ class Encoder:
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]))
-            self._ref_dev = as_ref(out[11][:ph, :pw],
-                                   out[12][: ph // 2, : pw // 2],
-                                   out[13][: ph // 2, : pw // 2])
+            self._ref_dev = as_ref(out[5][:ph, :pw],
+                                   out[6][: ph // 2, : pw // 2],
+                                   out[7][: ph // 2, : pw // 2])
             self._pending.append(("p", [frame], out, None, None, qindex))
 
     def _finish_one(self) -> None:
@@ -285,11 +285,13 @@ class Encoder:
         cfg = self.cfg
         arrs = [np.asarray(a) for a in out]
         sizes, mv = arrs[0], arrs[1].astype(np.int32)
-        levels = {8: tuple(a.astype(np.int32) for a in arrs[2:5]),
-                  16: tuple(a.astype(np.int32) for a in arrs[5:8]),
-                  32: tuple(a.astype(np.int32) for a in arrs[8:11])}
-        ry, ru, rv = arrs[11], arrs[12], arrs[13]
-        cdef_idx = arrs[14] if cfg.enable_cdef and len(arrs) > 14 else None
+        levels = {8: tuple(_unpack_levels(arrs[2 + p], 8) for p in range(3)),
+                  16: tuple(_unpack_levels(arrs[2 + p], 16)
+                            for p in range(3)),
+                  32: tuple(_unpack_levels(arrs[2 + p], 32)
+                            for p in range(3))}
+        ry, ru, rv = arrs[5], arrs[6], arrs[7]
+        cdef_idx = arrs[8] if cfg.enable_cdef and len(arrs) > 8 else None
         fc = FrameContext(qindex)
         tile = None
         if cfg.entropy_backend in ("auto", "cpp"):
@@ -401,6 +403,19 @@ class Encoder:
         for f in frames:
             self.send_picture(f)
             yield self.get_packet()
+
+
+def _unpack_levels(packed: np.ndarray, bs: int) -> np.ndarray:
+    """Inverse of the device's per-cell tile packing: [nb8h, nb8w, t, t]
+    -> [gh, gw, bs*t/8, bs*t/8] leaf grids for leaf size bs (cells whose
+    selected size differs hold other leaves' tiles — the tile writers
+    only read matching cells)."""
+    nb8h, nb8w, t, _ = packed.shape
+    k = bs // 8
+    gh, gw = nb8h // k, nb8w // k
+    return (packed.astype(np.int32)
+            .reshape(gh, k, gw, k, t, t).transpose(0, 2, 1, 4, 3, 5)
+            .reshape(gh, gw, k * t, k * t))
 
 
 def _unblock_dev(blocks):

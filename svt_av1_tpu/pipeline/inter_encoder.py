@@ -122,16 +122,13 @@ def _sum4(a):
     return a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2).sum((1, 3))
 
 
-def _search_size(sy, ref_pad, bank_y, bs: int, search: int, pad: int,
-                 lam: int):
-    """Two-pass rate-biased full-pel + subpel ME for one block size."""
-    mv_p1, _ = ME.fullpel_search(sy, ref_pad, bs, search)
-    prior_fp = ME.median3_mv_field(mv_p1)
-    mv_fp, cost = ME.fullpel_search(sy, ref_pad, bs, search, lam, prior_fp)
-    src_blocks = _block(sy, bs)
-    mv8, cost = _subpel_refine(src_blocks, bank_y, mv_fp * 8, cost, bs, pad,
-                               lam, prior_fp * 8)
-    return mv8, cost
+def _tiles8(x, t: int):
+    """[gh, gw, bs, bs] block grid -> [gh*bs/t, gw*bs/t, t, t] tile grid
+    (pure reshuffle; host inverts it with numpy)."""
+    gh, gw, bs, _ = x.shape
+    k = bs // t
+    return (x.reshape(gh, gw, k, t, k, t).transpose(0, 2, 1, 4, 3, 5)
+            .reshape(gh * k, gw * k, t, t))
 
 
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
@@ -179,11 +176,16 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
         bank_u = MC.phase_bank(jnp, MC.pad_for_filter(jnp, ru, cpad), 2)
         bank_v = MC.phase_bank(jnp, MC.pad_for_filter(jnp, rv, cpad), 2)
 
+        # two-pass full-pel ME, all sizes in one sweep (pyramid SAD sums)
+        p1 = ME.fullpel_search_multisize(sy, ref_pad, search)
+        priors = {bs: ME.median3_mv_field(p1[bs][0]) for bs in SIZES}
+        p2 = ME.fullpel_search_multisize(sy, ref_pad, search, lam, priors)
         mv = {}
         cost = {}
         for bs in SIZES:
-            mv[bs], cost[bs] = _search_size(sy, ref_pad, bank_y, bs, search,
-                                            pad, lam)
+            mv[bs], cost[bs] = _subpel_refine(
+                _block(sy, bs), bank_y, p2[bs][0] * 8, p2[bs][1], bs, pad,
+                lam, priors[bs] * 8)
 
         # --- bottom-up merge decisions (rate-biased; static edge masks) ---
         oh = (lam * LEAF_OVERHEAD_BITS) >> 4
@@ -292,10 +294,28 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
         rec_u = repad(cu, rec_u).astype(jnp.uint8)
         rec_v = repad(cv, rec_v).astype(jnp.uint8)
 
-        return (size8, mv_sel,
-                levels[8][0], levels[8][1], levels[8][2],
-                levels[16][0], levels[16][1], levels[16][2],
-                levels[32][0], levels[32][1], levels[32][2],
+        # pack levels: per 8x8 cell, the SELECTED leaf's tiles only — one
+        # array per plane instead of three size grids (the tunnel link is
+        # the bottleneck; host re-stitches leaves from tiles)
+        m8 = size8[..., None, None]
+        ly_pack = jnp.where(m8 == 32, _tiles8(levels[32][0], 8),
+                            jnp.where(m8 == 16, _tiles8(levels[16][0], 8),
+                                      levels[8][0]))
+        lu_pack = jnp.where(m8 == 32, _tiles8(levels[32][1], 4),
+                            jnp.where(m8 == 16, _tiles8(levels[16][1], 4),
+                                      levels[8][1]))
+        lv_pack = jnp.where(m8 == 32, _tiles8(levels[32][2], 4),
+                            jnp.where(m8 == 16, _tiles8(levels[16][2], 4),
+                                      levels[8][2]))
+        if not dynamic_q:
+            dt = (Q.level_dtype(qindex, T.TX_32X32)
+                  if Q.level_dtype(qindex, T.TX_32X32) ==
+                  Q.level_dtype(qindex, T.TX_4X4)
+                  else jnp.int16)
+            ly_pack = ly_pack.astype(dt)
+            lu_pack = lu_pack.astype(dt)
+            lv_pack = lv_pack.astype(dt)
+        return (size8, mv_sel, ly_pack, lu_pack, lv_pack,
                 rec_y, rec_u, rec_v, idx_sb)
 
     # static edge-legality masks in mi-grid terms are bound by the caller
