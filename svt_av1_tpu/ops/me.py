@@ -93,31 +93,36 @@ def fullpel_search_multisize(src, ref_pad, search_range: int,
     def blocksum(d, bs):
         return d.reshape(H // bs, bs, W // bs, bs).sum((1, 3))
 
-    def body(k, state):
-        dy = k // n
-        dx = k % n
-        win = jax.lax.dynamic_slice(ref_pad, (dy, dx), (H, W))
-        diff = jnp.abs(src - win)
-        d8 = blocksum(diff, 8)
-        d16 = d8.reshape(H // 16, 2, W // 16, 2).sum((1, 3))
-        d32 = d16.reshape(H // 32, 2, W // 32, 2).sum((1, 3))
-        out = []
-        for bs, d in ((8, d8), (16, d16), (32, d32)):
-            best_cost, best_k = state[bs]
-            cost = d
-            if lam is not None:
-                mv8 = (jnp.stack([dy - R, dx - R])[None, None]
-                       - (priors[bs] if priors is not None else 0)) * 8
-                cost = cost + ((lam * mv_rate_bits(mv8)) >> 4)
-            better = cost < best_cost
-            out.append((bs, (jnp.where(better, cost, best_cost),
-                             jnp.where(better, k, best_k))))
-        return dict(out)
+    def body(dy, state):
+        # one dynamic row-slice per dy; the dx axis unrolls as STATIC
+        # lane slices (dynamic 2-D slicing per offset is pathologically
+        # slow on TPU)
+        rows = jax.lax.dynamic_slice(ref_pad, (dy, 0), (H, W + 2 * R))
+        out = {bs: state[bs] for bs in (8, 16, 32)}
+        for dx in range(n):
+            diff = jnp.abs(src - rows[:, dx : dx + W])
+            d8 = blocksum(diff, 8)
+            d16 = d8.reshape(H // 16, 2, W // 16, 2).sum((1, 3))
+            d32 = d16.reshape(H // 32, 2, W // 32, 2).sum((1, 3))
+            k = dy * n + dx
+            nxt = {}
+            for bs, d in ((8, d8), (16, d16), (32, d32)):
+                best_cost, best_k = out[bs]
+                cost = d
+                if lam is not None:
+                    mv8 = (jnp.stack([dy - R, dx - R])[None, None]
+                           - (priors[bs] if priors is not None else 0)) * 8
+                    cost = cost + ((lam * mv_rate_bits(mv8)) >> 4)
+                better = cost < best_cost
+                nxt[bs] = (jnp.where(better, cost, best_cost),
+                           jnp.where(better, k, best_k))
+            out = nxt
+        return out
 
     state = {bs: (jnp.full((H // bs, W // bs), 2**30, jnp.int32),
                   jnp.zeros((H // bs, W // bs), jnp.int32))
              for bs in (8, 16, 32)}
-    state = jax.lax.fori_loop(0, n * n, body, state)
+    state = jax.lax.fori_loop(0, n, body, state)
     return {bs: (jnp.stack([state[bs][1] // n - R, state[bs][1] % n - R],
                            axis=-1), state[bs][0])
             for bs in (8, 16, 32)}

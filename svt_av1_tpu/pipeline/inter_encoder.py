@@ -71,13 +71,22 @@ def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int):
 
 
 def _gather_bank(bank, py_idx, px_idx, off_r, off_c, bs: int, pad: int):
-    """Per-block gather from a phase bank [n,n,H+2p,W+2p]."""
+    """Per-block gather from a phase bank [n,n,H+2p,W+2p].
+
+    Lowered as a vmapped dynamic_slice (one [bs,bs] tile per block) —
+    tile-granular gathers; per-pixel index arrays are pathologically
+    slow on TPU."""
     nbh, nbw = off_r.shape
-    base_r = jnp.arange(nbh)[:, None] * bs + pad + off_r
-    base_c = jnp.arange(nbw)[None, :] * bs + pad + off_c
-    rr = base_r[:, :, None, None] + jnp.arange(bs)[None, None, :, None]
-    cc = base_c[:, :, None, None] + jnp.arange(bs)[None, None, None, :]
-    return bank[py_idx[:, :, None, None], px_idx[:, :, None, None], rr, cc]
+    base_r = (jnp.arange(nbh)[:, None] * bs + pad + off_r).reshape(-1)
+    base_c = (jnp.arange(nbw)[None, :] * bs + pad + off_c).reshape(-1)
+
+    def one(py, px, r, c):
+        return jax.lax.dynamic_slice(bank, (py, px, r, c),
+                                     (1, 1, bs, bs))[0, 0]
+
+    out = jax.vmap(one)(py_idx.reshape(-1), px_idx.reshape(-1),
+                        base_r, base_c)
+    return out.reshape(nbh, nbw, bs, bs)
 
 
 def _mc_luma(bank, mv8, bs: int, pad: int):
