@@ -128,6 +128,107 @@ def fullpel_search_multisize(src, ref_pad, search_range: int,
             for bs in (8, 16, 32)}
 
 
+def hme_centers(src, ref, search_reach: int = 12):
+    """Hierarchical ME level 0: quarter-res full search -> per-32x32-tile
+    full-pel center MVs (ref HmeLevel0, EbMotionEstimation.c:5689).
+
+    src/ref: [H, W] int32, H, W multiples of 32.  Returns centers
+    [H/32, W/32, 2] full-pel, clamped to +-search_reach.
+    """
+    sq = src[::4, ::4]
+    rq = ref[::4, ::4]
+    Rq = (search_reach + 3) // 4 + 1
+    n = 2 * Rq + 1
+    Hq, Wq = sq.shape
+    rq_pad = jnp.pad(rq, Rq, mode="edge")
+
+    def body(dy, state):
+        rows = jax.lax.dynamic_slice(rq_pad, (dy, 0), (Hq, Wq + 2 * Rq))
+        best_cost, best_k = state
+        for dx in range(n):
+            diff = jnp.abs(sq - rows[:, dx : dx + Wq])
+            d = diff.reshape(Hq // 8, 8, Wq // 8, 8).sum((1, 3))
+            k = dy * n + dx
+            better = d < best_cost
+            best_cost = jnp.where(better, d, best_cost)
+            best_k = jnp.where(better, k, best_k)
+        return best_cost, best_k
+
+    init = (jnp.full((Hq // 8, Wq // 8), 2**30, jnp.int32),
+            jnp.zeros((Hq // 8, Wq // 8), jnp.int32))
+    _, best_k = jax.lax.fori_loop(0, n, body, init)
+    mv = jnp.stack([best_k // n - Rq, best_k % n - Rq], axis=-1) * 4
+    return jnp.clip(mv, -search_reach, search_reach)
+
+
+def warp_by_centers(ref_pad, centers, tile: int, pad: int):
+    """Tile-gather a center-compensated reference plane (one
+    [tile, tile] dynamic slice per 32x32 tile)."""
+    th, tw = centers.shape[:2]
+    base_r = (jnp.arange(th)[:, None] * tile + pad
+              + centers[..., 0]).reshape(-1)
+    base_c = (jnp.arange(tw)[None, :] * tile + pad
+              + centers[..., 1]).reshape(-1)
+
+    def one(r, c):
+        return jax.lax.dynamic_slice(ref_pad, (r, c), (tile, tile))
+
+    tiles = jax.vmap(one)(base_r, base_c).reshape(th, tw, tile, tile)
+    return tiles.transpose(0, 2, 1, 3).reshape(th * tile, tw * tile)
+
+
+def refined_search_multisize(src, warped, centers, tile: int, r2: int,
+                             lam=None, priors=None):
+    """+-r2 full-pel sweep on the center-warped reference; returns
+    {bs: (mv_fp, cost)} with mv_fp = tile center + delta.
+
+    Near tile seams the sweep reads pixels warped with the neighbor
+    tile's center — an encoder-side cost approximation only (the MV
+    produced is always applied against the true reference)."""
+    H, W = src.shape
+    n = 2 * r2 + 1
+    wpad = jnp.pad(warped, r2, mode="edge")
+
+    def up_centers(bs):
+        k = tile // bs
+        return jnp.repeat(jnp.repeat(centers, k, 0), k, 1)
+
+    cen = {bs: up_centers(bs) for bs in (8, 16, 32)}
+
+    def body(dy, state):
+        rows = jax.lax.dynamic_slice(wpad, (dy, 0), (H, W + 2 * r2))
+        out = {bs: state[bs] for bs in (8, 16, 32)}
+        for dx in range(n):
+            diff = jnp.abs(src - rows[:, dx : dx + W])
+            d8 = diff.reshape(H // 8, 8, W // 8, 8).sum((1, 3))
+            d16 = d8.reshape(H // 16, 2, W // 16, 2).sum((1, 3))
+            d32 = d16.reshape(H // 32, 2, W // 32, 2).sum((1, 3))
+            k = dy * n + dx
+            nxt = {}
+            for bs, d in ((8, d8), (16, d16), (32, d32)):
+                best_cost, best_k = out[bs]
+                cost = d
+                if lam is not None:
+                    delta = jnp.stack([dy - r2, dx - r2])[None, None]
+                    mv8 = (cen[bs] + delta
+                           - (priors[bs] if priors is not None else 0)) * 8
+                    cost = cost + ((lam * mv_rate_bits(mv8)) >> 4)
+                better = cost < best_cost
+                nxt[bs] = (jnp.where(better, cost, best_cost),
+                           jnp.where(better, k, best_k))
+            out = nxt
+        return out
+
+    state = {bs: (jnp.full((H // bs, W // bs), 2**30, jnp.int32),
+                  jnp.zeros((H // bs, W // bs), jnp.int32))
+             for bs in (8, 16, 32)}
+    state = jax.lax.fori_loop(0, n, body, state)
+    return {bs: (cen[bs] + jnp.stack([state[bs][1] // n - r2,
+                                      state[bs][1] % n - r2], axis=-1),
+                 state[bs][0])
+            for bs in (8, 16, 32)}
+
+
 def median3_mv_field(mv):
     """Component-wise median of (left, up, up-right) neighbor MVs — a
     bulk-parallel approximation of the entropy coder's ref-MV-stack

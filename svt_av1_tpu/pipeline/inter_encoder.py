@@ -73,19 +73,22 @@ def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int):
 def _gather_bank(bank, py_idx, px_idx, off_r, off_c, bs: int, pad: int):
     """Per-block gather from a phase bank [n,n,H+2p,W+2p].
 
-    Lowered as a vmapped dynamic_slice (one [bs,bs] tile per block) —
-    tile-granular gathers; per-pixel index arrays are pathologically
-    slow on TPU."""
+    The phase axes fold into the row index of a 2-D view so each block
+    is ONE [bs,bs] dynamic-slice (vmapped) — tile-granular 2-D gathers;
+    per-pixel index arrays or 4-D slices are pathologically slow on
+    TPU."""
+    n = bank.shape[0]
+    hp = bank.shape[2]
+    flat = bank.reshape(n * n * hp, bank.shape[3])
     nbh, nbw = off_r.shape
-    base_r = (jnp.arange(nbh)[:, None] * bs + pad + off_r).reshape(-1)
+    base_r = (jnp.arange(nbh)[:, None] * bs + pad + off_r
+              + (py_idx * n + px_idx) * hp).reshape(-1)
     base_c = (jnp.arange(nbw)[None, :] * bs + pad + off_c).reshape(-1)
 
-    def one(py, px, r, c):
-        return jax.lax.dynamic_slice(bank, (py, px, r, c),
-                                     (1, 1, bs, bs))[0, 0]
+    def one(r, c):
+        return jax.lax.dynamic_slice(flat, (r, c), (bs, bs))
 
-    out = jax.vmap(one)(py_idx.reshape(-1), px_idx.reshape(-1),
-                        base_r, base_c)
+    out = jax.vmap(one)(base_r, base_c)
     return out.reshape(nbh, nbw, bs, bs)
 
 
@@ -185,15 +188,27 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
         bank_u = MC.phase_bank(jnp, MC.pad_for_filter(jnp, ru, cpad), 2)
         bank_v = MC.phase_bank(jnp, MC.pad_for_filter(jnp, rv, cpad), 2)
 
-        # two-pass full-pel ME, all sizes in one sweep (pyramid SAD sums)
-        p1 = ME.fullpel_search_multisize(sy, ref_pad, search)
+        # hierarchical full-pel ME: quarter-res center search, then a
+        # +-4 multi-size sweep on a center-warped reference (10x fewer
+        # offsets than exhaustive; ref HME levels 0-2)
+        r2 = 4
+        centers = ME.hme_centers(sy, ry, search_reach=search - r2)
+        warped = ME.warp_by_centers(ref_pad, centers, 32, search)
+        p1 = ME.refined_search_multisize(sy, warped, centers, 32, r2)
         priors = {bs: ME.median3_mv_field(p1[bs][0]) for bs in SIZES}
-        p2 = ME.fullpel_search_multisize(sy, ref_pad, search, lam, priors)
+        p2 = ME.refined_search_multisize(sy, warped, centers, 32, r2,
+                                         lam, priors)
         mv = {}
         cost = {}
         for bs in SIZES:
+            # re-score the winner against the TRUE reference (the warped
+            # sweep cost is approximate near tile seams)
+            pred0 = _mc_luma(bank_y, p2[bs][0] * 8, bs, pad)
+            true_cost = (jnp.abs(_block(sy, bs) - pred0).sum((-1, -2))
+                         + ((lam * ME.mv_rate_bits(
+                             (p2[bs][0] - priors[bs]) * 8)) >> 4))
             mv[bs], cost[bs] = _subpel_refine(
-                _block(sy, bs), bank_y, p2[bs][0] * 8, p2[bs][1], bs, pad,
+                _block(sy, bs), bank_y, p2[bs][0] * 8, true_cost, bs, pad,
                 lam, priors[bs] * 8)
 
         # --- bottom-up merge decisions (rate-biased; static edge masks) ---
