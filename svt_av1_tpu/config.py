@@ -113,13 +113,18 @@ class EncoderConfig:
         if self.enable_cdef and self.rate_control_mode != RC_MODE_CQP:
             # CDEF damping follows q; dynamic-q CDEF pending — downgrade
             self.enable_cdef = False
+        if self.bit_depth == 10:
+            # 10-bit in-loop filters land next round; signal them off
+            self.enable_cdef = False
+            self.enable_deblocking = False
         if self.super_block_size not in (64, 128):
             raise ValueError("super_block_size must be 64 or 128")
         if self.fixed_partition_size not in (0, 8, 16, 32, 64):
             raise ValueError("fixed_partition_size must be 0/8/16/32/64")
         # round-1 capability gates — explicit, not silent
         unimplemented = {
-            "bit_depth=10": self.bit_depth == 10,
+            "bit_depth=10 inter": self.bit_depth == 10
+                                  and not self.intra_only,
             "super_block_size=128": self.super_block_size == 128,
             "enable_restoration": self.enable_restoration,
             "enable_film_grain": self.enable_film_grain,

@@ -134,10 +134,11 @@ class Decoder:
             if (fp.refresh_frame_flags >> slot) & 1:
                 self.ref_slots[slot] = planes
 
-        y = self.rec[0][: sp.height, : sp.width].astype(np.uint8)
+        px = np.uint8 if sp.bit_depth == 8 else np.uint16
+        y = self.rec[0][: sp.height, : sp.width].astype(px)
         ch, cw = (sp.height + 1) // 2, (sp.width + 1) // 2
-        u = self.rec[1][:ch, :cw].astype(np.uint8)
-        v = self.rec[2][:ch, :cw].astype(np.uint8)
+        u = self.rec[1][:ch, :cw].astype(px)
+        v = self.rec[2][:ch, :cw].astype(px)
         return Frame(y, u, v)
 
     def _read_cdef(self, r4: int, c4: int, skip: int) -> None:
@@ -317,8 +318,10 @@ class Decoder:
                     self.tc.mi_rows // 2, self.tc.mi_cols // 2)
                 if ar_avail[r4 // 2, c4 // 2]:
                     above_ext = rec[py - 1, px + bs : px + 2 * bs]
+            bd = self.seq.bit_depth
             pred = intra.predict_block_np(mode, above, left, tl, ha, hl,
-                                          bs, bs, above_ext=above_ext)
-            dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size)
-            resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)
-            rec[py : py + bs, px : px + bs] = np.clip(pred + resid, 0, 255)
+                                          bs, bs, bd, above_ext=above_ext)
+            dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size, bd)
+            resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT, bd)
+            rec[py : py + bs, px : px + bs] = np.clip(pred + resid, 0,
+                                                      (1 << bd) - 1)

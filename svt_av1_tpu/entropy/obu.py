@@ -91,7 +91,7 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
     w.f(int(sp.enable_cdef), 1)
     w.f(0, 1)      # enable_restoration
     # color_config
-    w.f(0, 1)      # high_bitdepth
+    w.f(int(sp.bit_depth == 10), 1)   # high_bitdepth
     w.f(0, 1)      # mono_chrome
     w.f(0, 1)      # color_description_present_flag
     w.f(0, 1)      # color_range
@@ -128,14 +128,15 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     assert r.f(1) == 0  # enable_superres
     enable_cdef = bool(r.f(1))
     assert r.f(1) == 0  # enable_restoration
-    assert r.f(1) == 0  # high_bitdepth
+    bit_depth = 10 if r.f(1) else 8   # high_bitdepth
     assert r.f(1) == 0  # mono
     assert r.f(1) == 0  # color desc
     r.f(1)              # color_range
     r.f(2)              # chroma_sample_position
     assert r.f(1) == 0  # separate_uv_delta_q
     assert r.f(1) == 0  # film grain
-    return SequenceParams(width, height, enable_cdef=enable_cdef)
+    return SequenceParams(width, height, bit_depth,
+                          enable_cdef=enable_cdef)
 
 
 KEY_FRAME, INTER_FRAME = 0, 1

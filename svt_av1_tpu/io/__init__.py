@@ -6,4 +6,5 @@ write_ivf_frame_header (EbAppProcessCmd.c:1076/:1120).
 """
 
 from svt_av1_tpu.io.ivf import IvfReader, IvfWriter  # noqa: F401
-from svt_av1_tpu.io.yuv import Y4MReader, YuvReader, synthetic_frame  # noqa: F401
+from svt_av1_tpu.io.yuv import (Y4MReader, YuvReader, YuvReader10,  # noqa: F401
+                                synthetic_frame)

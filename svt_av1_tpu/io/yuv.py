@@ -24,6 +24,27 @@ class Frame:
         return self.y.shape[0]
 
 
+class YuvReader10:
+    """Raw planar 4:2:0 10-bit (little-endian uint16 samples)."""
+
+    def __init__(self, fh, width: int, height: int) -> None:
+        self.fh, self.w, self.h = fh, width, height
+
+    def frames(self):
+        w, h = self.w, self.h
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        fsz = 2 * (w * h + 2 * cw * ch)
+        while True:
+            buf = self.fh.read(fsz)
+            if len(buf) < fsz:
+                return
+            a = np.frombuffer(buf, "<u2")
+            y = a[: w * h].reshape(h, w)
+            u = a[w * h : w * h + cw * ch].reshape(ch, cw)
+            v = a[w * h + cw * ch :].reshape(ch, cw)
+            yield Frame(y.copy(), u.copy(), v.copy())
+
+
 class YuvReader:
     """Planar I420 raw file reader (ref ReadInputFrames)."""
 
@@ -87,7 +108,7 @@ class Y4MReader:
 
 
 def synthetic_frame(width: int, height: int, seed: int = 0,
-                    kind: str = "mix") -> Frame:
+                    kind: str = "mix", bit_depth: int = 8) -> Frame:
     """Deterministic synthetic content (gradients + texture + edges),
     the TPU build's stand-in for the reference's DummyVideoSource."""
     rng = np.random.default_rng(seed)
@@ -100,10 +121,15 @@ def synthetic_frame(width: int, height: int, seed: int = 0,
         y = (96 + 60 * np.sin(xx / 23.0 + seed) * np.cos(yy / 17.0)
              + 40 * ((xx + yy + 7 * seed) % 97 > 48)
              + rng.normal(0, 3.0, (height, width)))
-    y = np.clip(y, 0, 255).astype(np.uint8)
+    if bit_depth == 10:
+        sc, px = 4, np.uint16
+    else:
+        sc, px = 1, np.uint8
+    hi = (1 << bit_depth) - 1
+    y = np.clip(y * sc, 0, hi).astype(px)
     cw, ch = (width + 1) // 2, (height + 1) // 2
-    u = np.clip(128 + 30 * np.sin(np.mgrid[0:ch, 0:cw][1] / 11.0 + seed),
-                0, 255).astype(np.uint8)
-    v = np.clip(128 + 30 * np.cos(np.mgrid[0:ch, 0:cw][0] / 13.0 - seed),
-                0, 255).astype(np.uint8)
+    u = np.clip((128 + 30 * np.sin(np.mgrid[0:ch, 0:cw][1] / 11.0 + seed))
+                * sc, 0, hi).astype(px)
+    v = np.clip((128 + 30 * np.cos(np.mgrid[0:ch, 0:cw][0] / 13.0 - seed))
+                * sc, 0, hi).astype(px)
     return Frame(y, u, v)

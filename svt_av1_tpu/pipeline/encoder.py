@@ -119,16 +119,14 @@ class Encoder:
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
         nbh, nbw = ph // 8, pw // 8
         sy_b = jnp.asarray(np.stack([IE.block_planes(
-            IE.pad_plane(f.y.astype(np.uint8), ph, pw), 8) for f in frames]))
+            IE.pad_plane(f.y, ph, pw), 8) for f in frames]))
         su_b = jnp.asarray(np.stack([IE.block_planes(
-            IE.pad_plane(f.u.astype(np.uint8), ph // 2, pw // 2), 4)
-            for f in frames]))
+            IE.pad_plane(f.u, ph // 2, pw // 2), 4) for f in frames]))
         sv_b = jnp.asarray(np.stack([IE.block_planes(
-            IE.pad_plane(f.v.astype(np.uint8), ph // 2, pw // 2), 4)
-            for f in frames]))
+            IE.pad_plane(f.v, ph // 2, pw // 2), 4) for f in frames]))
         if self._rc is None:
-            out = IE.build_batch_frame_encoder(nbh, nbw, qindex)(
-                sy_b, su_b, sv_b)
+            out = IE.build_batch_frame_encoder(
+                nbh, nbw, qindex, self.cfg.bit_depth)(sy_b, su_b, sv_b)
         else:
             # dynamic-q batch (per-batch shared q; VBR feedback per batch)
             out = IE.build_batch_frame_encoder_dyn(nbh, nbw)(
@@ -178,7 +176,8 @@ class Encoder:
             if self._rc is None:
                 out, nbh, nbw = IE.dispatch_frame_device(
                     frame.y, frame.u, frame.v, qindex,
-                    self.seq.mi_rows, self.seq.mi_cols)
+                    self.seq.mi_rows, self.seq.mi_cols,
+                    self.cfg.bit_depth)
             else:
                 nbh, nbw = ph // 8, pw // 8
                 sy = jnp.asarray(IE.block_planes(
@@ -352,14 +351,16 @@ class Encoder:
 
         recon = None
         if dev["recon_y"] is not None:
+            px = np.uint8 if cfg.bit_depth == 8 else np.uint16
             recon = Frame(
                 dev["recon_y"][: self.seq.height, : self.seq.width]
-                .astype(np.uint8),
+                .astype(px),
                 dev["recon_u"][: (self.seq.height + 1) // 2,
-                               : (self.seq.width + 1) // 2].astype(np.uint8),
+                               : (self.seq.width + 1) // 2].astype(px),
                 dev["recon_v"][: (self.seq.height + 1) // 2,
-                               : (self.seq.width + 1) // 2].astype(np.uint8))
-        psnr = _psnr(frame, recon) if (cfg.stat_report and recon) else None
+                               : (self.seq.width + 1) // 2].astype(px))
+        psnr = (_psnr(frame, recon, cfg.bit_depth)
+                if (cfg.stat_report and recon) else None)
         return Packet(payload, -1, True, recon, psnr)
 
     def _need_recon(self) -> bool:
@@ -473,10 +474,12 @@ def _qp_to_qindex(qp: int) -> int:
     return min(255, max(1, qp * 4))
 
 
-def _psnr(src: Frame, rec: Frame) -> tuple:
+def _psnr(src: Frame, rec: Frame, bd: int = 8) -> tuple:
+    peak = float((1 << bd) - 1)
+
     def p(a, b):
         mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
-        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        return 99.0 if mse == 0 else 10 * np.log10(peak**2 / mse)
 
     return (p(src.y, rec.y), p(src.u, rec.u), p(src.v, rec.v))
 

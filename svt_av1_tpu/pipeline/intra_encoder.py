@@ -40,18 +40,18 @@ LUMA_BS = 8
 CHROMA_BS = 4
 
 
-def _encode_plane_batch(src, pred, qindex: int, tx_size: int):
+def _encode_plane_batch(src, pred, qindex: int, tx_size: int, bd: int = 8):
     """residual -> (levels, recon) for a [B, n, n] batch."""
     resid = src - pred
-    coeff = T.fwd_txfm2d_batch_exact(resid, tx_size, T.DCT_DCT)
-    levels = Q.quantize_batch(coeff, qindex, tx_size)
-    dq = Q.dequantize_batch(levels, qindex, tx_size)
-    rec_resid = T.inv_txfm2d_batch(dq, tx_size, T.DCT_DCT)
-    recon = jnp.clip(pred + rec_resid, 0, 255)
+    coeff = T.fwd_txfm2d_batch_exact(resid, tx_size, T.DCT_DCT, bd)
+    levels = Q.quantize_batch(coeff, qindex, tx_size, bd)
+    dq = Q.dequantize_batch(levels, qindex, tx_size, bd)
+    rec_resid = T.inv_txfm2d_batch(dq, tx_size, T.DCT_DCT, bd)
+    recon = jnp.clip(pred + rec_resid, 0, (1 << bd) - 1)
     return levels, recon
 
 
-def frame_step(nbh: int, nbw: int, qindex):
+def frame_step(nbh: int, nbw: int, qindex, bd: int = 8):
     """The (unjitted) full-frame intra encode step for a block grid.
 
     fn(src_y [nbh,nbw,8,8], src_u [nbh,nbw,4,4], src_v)
@@ -113,7 +113,7 @@ def frame_step(nbh: int, nbw: int, qindex):
             c_ar = jnp.where(ar_avail, jnp.minimum(cs + 1, nbw), nbw)
             above_ext = ry[r_up, c_ar, LUMA_BS - 1, :]
             preds = intra.predict_all_modes(
-                above, left, topleft, ha, hl, LUMA_BS, LUMA_BS,
+                above, left, topleft, ha, hl, LUMA_BS, LUMA_BS, bd,
                 modes=intra.ALL_MODES, above_ext=above_ext,
                 ar_avail=ar_avail)  # [B,13,8,8]
             src = sy[rc, cc]
@@ -125,7 +125,8 @@ def frame_step(nbh: int, nbw: int, qindex):
             best = jnp.argmin(sse, axis=1)
             pred = jnp.take_along_axis(
                 preds, best[:, None, None, None], axis=1)[:, 0]
-            lvls, recon = _encode_plane_batch(src, pred, qindex, T.TX_8X8)
+            lvls, recon = _encode_plane_batch(src, pred, qindex, T.TX_8X8,
+                                              bd)
             ry = ry.at[rs, cs].set(recon)
             ly = ly.at[rs, cs].set(lvls)
             modes = modes.at[rs, cs].set(jnp.asarray(MODE_IDS)[best])
@@ -138,9 +139,9 @@ def frame_step(nbh: int, nbw: int, qindex):
                 tl_c = rp[r_up, c_lf, CHROMA_BS - 1, CHROMA_BS - 1]
                 pred_c = intra.predict_all_modes(
                     above_c, left_c, tl_c, ha, hl,
-                    CHROMA_BS, CHROMA_BS)[:, 0]  # DC
+                    CHROMA_BS, CHROMA_BS, bd)[:, 0]  # DC
                 lvl_c, rec_c = _encode_plane_batch(
-                    sp[rc, cc], pred_c, qindex, T.TX_4X4)
+                    sp[rc, cc], pred_c, qindex, T.TX_4X4, bd)
                 if plane == 0:
                     ru = rp.at[rs, cs].set(rec_c)
                     lu = lp.at[rs, cs].set(lvl_c)
@@ -156,24 +157,25 @@ def frame_step(nbh: int, nbw: int, qindex):
         # narrow dtypes before leaving the device: levels fit int8/int16
         # by the quantizer bound, recon/modes fit uint8 — the tunneled
         # device->host link is the pipeline bottleneck (PROGRESS profiling)
-        if isinstance(qindex, (int, np.integer)):
+        if isinstance(qindex, (int, np.integer)) and bd == 8:
             dt_y = Q.level_dtype(qindex, T.TX_8X8)
             dt_c = Q.level_dtype(qindex, T.TX_4X4)
         else:
-            dt_y = dt_c = jnp.int16   # dynamic q: conservative dtype
+            dt_y = dt_c = jnp.int16   # dynamic q / highbd: conservative
+        px = jnp.uint8 if bd == 8 else jnp.uint16
         return (trim(modes).astype(jnp.uint8),
                 trim(ly).astype(dt_y), trim(lu).astype(dt_c),
                 trim(lv).astype(dt_c),
-                trim(ry).astype(jnp.uint8), trim(ru).astype(jnp.uint8),
-                trim(rv).astype(jnp.uint8))
+                trim(ry).astype(px), trim(ru).astype(px),
+                trim(rv).astype(px))
 
     return step
 
 
 @functools.lru_cache(maxsize=8)
-def build_frame_encoder(nbh: int, nbw: int, qindex: int):
+def build_frame_encoder(nbh: int, nbw: int, qindex: int, bd: int = 8):
     """Jit-compiled single-frame encode step (see frame_step)."""
-    return jax.jit(frame_step(nbh, nbw, qindex))
+    return jax.jit(frame_step(nbh, nbw, qindex, bd))
 
 
 @functools.lru_cache(maxsize=4)
@@ -198,29 +200,30 @@ def build_batch_frame_encoder_dyn(nbh: int, nbw: int):
 
 
 @functools.lru_cache(maxsize=8)
-def build_batch_frame_encoder(nbh: int, nbw: int, qindex: int):
+def build_batch_frame_encoder(nbh: int, nbw: int, qindex: int, bd: int = 8):
     """Jit-compiled multi-frame encode step: vmap over a leading frame
     axis.  Amortizes per-step fixed cost across independent frames —
     the TPU counterpart of the reference's multi-picture-in-flight
     pooled stages / multi-channel batching (EbAppMain.c:196-215)."""
-    return jax.jit(jax.vmap(frame_step(nbh, nbw, qindex)))
+    return jax.jit(jax.vmap(frame_step(nbh, nbw, qindex, bd)))
 
 
-def dispatch_batch_device(frames, qindex: int, mi_rows: int, mi_cols: int):
+def dispatch_batch_device(frames, qindex: int, mi_rows: int, mi_cols: int,
+                          bd: int = 8):
     """Asynchronously dispatch a batch of same-geometry frames."""
     import jax.numpy as jnp
 
     pw, ph = mi_cols * 4, mi_rows * 4
     nbh, nbw = ph // LUMA_BS, pw // LUMA_BS
-    sy = np.stack([block_planes(pad_plane(f.y.astype(np.uint8), ph, pw),
+    sy = np.stack([block_planes(pad_plane(f.y, ph, pw),
                                 LUMA_BS) for f in frames])
     su = np.stack([block_planes(
-        pad_plane(f.u.astype(np.uint8), ph // 2, pw // 2), CHROMA_BS)
+        pad_plane(f.u, ph // 2, pw // 2), CHROMA_BS)
         for f in frames])
     sv = np.stack([block_planes(
-        pad_plane(f.v.astype(np.uint8), ph // 2, pw // 2), CHROMA_BS)
+        pad_plane(f.v, ph // 2, pw // 2), CHROMA_BS)
         for f in frames])
-    fn = build_batch_frame_encoder(nbh, nbw, qindex)
+    fn = build_batch_frame_encoder(nbh, nbw, qindex, bd)
     out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
     return out, nbh, nbw
 
@@ -262,7 +265,8 @@ def pad_plane(plane: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
 
 
 def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                          qindex: int, mi_rows: int, mi_cols: int):
+                          qindex: int, mi_rows: int, mi_cols: int,
+                          bd: int = 8):
     """Asynchronously dispatch the device encode; returns (jax outputs,
     nbh, nbw).  JAX's async dispatch keeps the device busy while the host
     runs the entropy stage of earlier frames — the TPU equivalent of the
@@ -271,12 +275,10 @@ def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
     pw, ph = mi_cols * 4, mi_rows * 4
     nbh, nbw = ph // LUMA_BS, pw // LUMA_BS
-    sy = block_planes(pad_plane(y.astype(np.uint8), ph, pw), LUMA_BS)
-    su = block_planes(pad_plane(u.astype(np.uint8), ph // 2, pw // 2),
-                      CHROMA_BS)
-    sv = block_planes(pad_plane(v.astype(np.uint8), ph // 2, pw // 2),
-                      CHROMA_BS)
-    fn = build_frame_encoder(nbh, nbw, qindex)
+    sy = block_planes(pad_plane(y, ph, pw), LUMA_BS)
+    su = block_planes(pad_plane(u, ph // 2, pw // 2), CHROMA_BS)
+    sv = block_planes(pad_plane(v, ph // 2, pw // 2), CHROMA_BS)
+    fn = build_frame_encoder(nbh, nbw, qindex, bd)
     out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
     return out, nbh, nbw
 
