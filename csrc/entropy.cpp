@@ -664,6 +664,8 @@ struct TileWriter {
   int nsb_w = 0;
   bool cdef_done = false;             // per-64x64 first-non-skip flag
   const int32_t* mvs = nullptr;      // [nb8h][nb8w][2] 1/8-pel (selected)
+  const uint8_t* ref_map = nullptr;  // [nb8h][nb8w] ref type 1..7 (LAST..
+                                     // ALTREF); null = all LAST (flat P)
   const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8/16/32
   const int32_t* lv_inter[3][3];     // [size8/16/32][plane] level grids
   int nb8w = 0;
@@ -715,8 +717,7 @@ struct TileWriter {
   }
 
   void find_mv_stack(int mi_row, int mi_col, int w4, int h4,
-                     StackResult* out) const {
-    const int ref_frame = LAST_FRAME;
+                     StackResult* out, int ref_frame = LAST_FRAME) const {
     Cand stack[MAX_STACK];
     int n_stack = 0;
     int newmv_count = 0, row_match = 0, col_match = 0;
@@ -1004,7 +1005,11 @@ struct TileWriter {
     else ctx = 0;
     code_bin(t.intra_inter + ctx * 3, 1);
 
-    // single ref: LAST (p1=0, p3=0, p4=0) with neighbor-count contexts
+    // single-ref tree (LAST..ALTREF) with neighbor-count contexts
+    // (mirror of syntax.code_single_ref; ref WriteRefFrames single path)
+    const int ref = ref_map
+        ? static_cast<int>(ref_map[(r4 >> 1) * nb8w + (c4 >> 1)])
+        : LAST_FRAME;
     int counts[8] = {0};
     if (ha && mi_inter[(r4 - 1) * mi_cols + c4])
       ++counts[static_cast<int>(mi_ref[(r4 - 1) * mi_cols + c4])];
@@ -1013,15 +1018,33 @@ struct TileWriter {
     auto rctx = [](int a, int b) { return a == b ? 1 : (a < b ? 0 : 2); };
     int fwd = counts[1] + counts[2] + counts[3] + counts[4];
     int bwd = counts[5] + counts[6] + counts[7];
-    code_bin(t.single_ref + (rctx(fwd, bwd) * 6 + 0) * 3, 0);
-    code_bin(t.single_ref +
-                 (rctx(counts[1] + counts[2], counts[3] + counts[4]) * 6 + 2) * 3,
-             0);
-    code_bin(t.single_ref + (rctx(counts[1], counts[2]) * 6 + 3) * 3, 0);
+    int bit0 = ref >= 5;
+    code_bin(t.single_ref + (rctx(fwd, bwd) * 6 + 0) * 3, bit0);
+    if (bit0) {
+      int bit1 = ref == 7;
+      code_bin(t.single_ref +
+                   (rctx(counts[5] + counts[6], counts[7]) * 6 + 1) * 3,
+               bit1);
+      if (!bit1)
+        code_bin(t.single_ref + (rctx(counts[5], counts[6]) * 6 + 5) * 3,
+                 ref == 6);
+    } else {
+      int bit2 = ref == 3 || ref == 4;
+      code_bin(
+          t.single_ref +
+              (rctx(counts[1] + counts[2], counts[3] + counts[4]) * 6 + 2) * 3,
+          bit2);
+      if (bit2)
+        code_bin(t.single_ref + (rctx(counts[3], counts[4]) * 6 + 4) * 3,
+                 ref != 3);
+      else
+        code_bin(t.single_ref + (rctx(counts[1], counts[2]) * 6 + 3) * 3,
+                 ref != 1);
+    }
 
     // mode (NEWMV) + drl + mv
     StackResult res;
-    find_mv_stack(r4, c4, n4, n4, &res);
+    find_mv_stack(r4, c4, n4, n4, &res, ref);
     code_bin(t.newmv + res.newmv_ctx() * 3, 0);   // mode != NEWMV -> 0
     if (res.num_found > 1) {
       code_bin(t.drl + res.drl_ctx(0) * 3, 0);    // drl_idx == 0
@@ -1044,7 +1067,7 @@ struct TileWriter {
         y_modes[p] = 0;
         mi_valid[p] = 1;
         mi_inter[p] = 1;
-        mi_ref[p] = LAST_FRAME;
+        mi_ref[p] = static_cast<int8_t>(ref);
         mi_mode[p] = NEWMV;
         mi_mv[p * 2] = static_cast<int16_t>(mv8_r);
         mi_mv[p * 2 + 1] = static_cast<int16_t>(mv8_c);
@@ -1149,12 +1172,14 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            const uint8_t* sizes, const int32_t* mvs,
                            const int32_t* const* levels9, int nb8h,
                            int nb8w, uint8_t* out, long out_cap,
-                           const uint8_t* cdef_idx, int cdef_bits) {
+                           const uint8_t* cdef_idx, int cdef_bits,
+                           const uint8_t* refs) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
   tw.size_map = sizes;
   tw.mvs = mvs;
+  tw.ref_map = refs;
   for (int s = 0; s < 3; ++s)
     for (int p = 0; p < 3; ++p) tw.lv_inter[s][p] = levels9[s * 3 + p];
   tw.nb8w = nb8w;

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", dest="frames", type=int, default=0)
     p.add_argument("--preset", type=int, default=8)
     p.add_argument("--intra-period", type=int, default=-2)
+    p.add_argument("--pred-struct", type=int, default=0,
+                   help="0 low-delay P, 2 random access (hier-B)")
+    p.add_argument("--hierarchical-levels", type=int, default=3)
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--tiles-log2", type=int, default=0)
     p.add_argument("--stat-report", action="store_true")
@@ -77,7 +80,8 @@ def main(argv=None) -> int:
     cfg = EncoderConfig(width=width, height=height, qp=args.qp,
                         enc_mode=args.preset,
                         intra_period=args.intra_period,
-                        pred_structure=0,
+                        pred_structure=args.pred_struct,
+                        hierarchical_levels=args.hierarchical_levels,
                         tile_columns_log2=args.tiles_log2,
                         stat_report=args.stat_report,
                         recon_output=bool(args.recon) or args.stat_report)
@@ -88,41 +92,54 @@ def main(argv=None) -> int:
     rec_fh = open(args.recon, "wb") if args.recon else None
 
     t0 = time.perf_counter()
-    n_in = n_out = total = 0
+    state = {"n_out": 0, "total": 0, "pend": b""}
+    rec_buf: dict = {}   # hier-B: recon arrives in decode order
+
+    def write_rec(rc) -> None:
+        for pl in (rc.y, rc.u, rc.v):
+            rec_fh.write(pl.tobytes())
+
+    def drain() -> None:
+        while True:
+            pkt = enc.get_packet()
+            if pkt is None:
+                return
+            state["total"] += len(pkt.payload)
+            if not pkt.show:
+                # hier-B no-show TU: bundle into the IVF frame of the
+                # next shown picture (one IVF frame per display step)
+                state["pend"] += pkt.payload
+            else:
+                if ivf:
+                    ivf.write_frame(state["pend"] + pkt.payload, pkt.pts)
+                state["pend"] = b""
+                state["n_out"] += 1
+            if rec_fh:
+                if pkt.display_idx is None:      # flat modes: in order
+                    if pkt.recon is not None:
+                        write_rec(pkt.recon)
+                else:
+                    if pkt.recon is not None:
+                        rec_buf[pkt.display_idx] = pkt.recon
+                    if pkt.show:
+                        rc = rec_buf.pop(pkt.display_idx, None)
+                        if rc is not None:
+                            write_rec(rc)
+            if args.stat_report and pkt.psnr:
+                print(f"frame {pkt.pts}: {len(pkt.payload)} bytes, "
+                      f"PSNR {pkt.psnr[0]:.2f}/{pkt.psnr[1]:.2f}/"
+                      f"{pkt.psnr[2]:.2f}")
+
+    n_in = 0
     for frame in frames:
         if args.frames and n_in >= args.frames:
             break
         enc.send_picture(frame)
         n_in += 1
-        pkt = enc.get_packet()
-        while pkt is not None:
-            if ivf:
-                ivf.write_frame(pkt.payload, pkt.pts)
-            if rec_fh and pkt.recon:
-                for pl in (pkt.recon.y, pkt.recon.u, pkt.recon.v):
-                    rec_fh.write(pl.tobytes())
-            if args.stat_report and pkt.psnr:
-                print(f"frame {pkt.pts}: {len(pkt.payload)} bytes, "
-                      f"PSNR {pkt.psnr[0]:.2f}/{pkt.psnr[1]:.2f}/"
-                      f"{pkt.psnr[2]:.2f}")
-            total += len(pkt.payload)
-            n_out += 1
-            pkt = enc.get_packet()
-    while n_out < n_in:
-        pkt = enc.get_packet()
-        if pkt is None:
-            break
-        if ivf:
-            ivf.write_frame(pkt.payload, pkt.pts)
-        if rec_fh and pkt.recon:
-            for pl in (pkt.recon.y, pkt.recon.u, pkt.recon.v):
-                rec_fh.write(pl.tobytes())
-        if args.stat_report and pkt.psnr:
-            print(f"frame {pkt.pts}: {len(pkt.payload)} bytes, "
-                  f"PSNR {pkt.psnr[0]:.2f}/{pkt.psnr[1]:.2f}/"
-                  f"{pkt.psnr[2]:.2f}")
-        total += len(pkt.payload)
-        n_out += 1
+        drain()
+    enc.flush()
+    drain()
+    n_out, total = state["n_out"], state["total"]
     dt = time.perf_counter() - t0
 
     if ivf:

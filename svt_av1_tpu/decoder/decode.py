@@ -32,15 +32,20 @@ class Decoder:
         self.seq: O.SequenceParams | None = None
         # 8 reference slots of decoded padded planes (spec ref frame store)
         self.ref_slots: list = [None] * 8
+        self.ref_order_hints = [0] * 8   # RefOrderHint per slot
 
     # -- containers -------------------------------------------------------------
     def decode_ivf(self, fh) -> list[Frame]:
         reader = IvfReader(fh)
-        return [self.decode_temporal_unit(payload)
-                for _, payload in reader.frames()]
+        out = [self.decode_temporal_unit(payload)
+               for _, payload in reader.frames()]
+        return [f for f in out if f is not None]
 
-    def decode_temporal_unit(self, data: bytes) -> Frame:
+    def decode_temporal_unit(self, data: bytes):
+        """Returns the shown Frame, or None for a no-show coded frame
+        (hier-B: its display comes later via show_existing_frame)."""
         frame = None
+        saw_frame = False
         for obu_type, payload in O.split_obus(data):
             if obu_type == O.OBU_TEMPORAL_DELIMITER:
                 continue
@@ -49,14 +54,35 @@ class Decoder:
             elif obu_type == O.OBU_FRAME:
                 assert self.seq is not None, "no sequence header seen"
                 frame = self._decode_frame(payload)
-        assert frame is not None, "no frame in temporal unit"
+                saw_frame = True
+            elif obu_type == O.OBU_FRAME_HEADER:
+                hdr = O.parse_frame_header_bits(
+                    BitReader(payload), self.seq, self.ref_order_hints)
+                assert isinstance(hdr, O.ShowExisting), \
+                    "standalone non-show-existing frame headers unsupported"
+                stored = self.ref_slots[hdr.slot]
+                assert stored is not None, "show_existing of empty slot"
+                frame = self._output_frame(stored)
+                saw_frame = True
+        assert saw_frame, "no frame in temporal unit"
         return frame
 
+    def _output_frame(self, planes) -> Frame:
+        sp = self.seq
+        px = np.uint8 if sp.bit_depth == 8 else np.uint16
+        y = planes[0][: sp.height, : sp.width].astype(px)
+        ch, cw = (sp.height + 1) // 2, (sp.width + 1) // 2
+        u = planes[1][:ch, :cw].astype(px)
+        v = planes[2][:ch, :cw].astype(px)
+        return Frame(y, u, v)
+
     # -- frame ------------------------------------------------------------------
-    def _decode_frame(self, payload: bytes) -> Frame:
+    def _decode_frame(self, payload: bytes):
         sp = self.seq
         r = BitReader(payload)
-        fp = O.parse_frame_header_bits(r, sp)
+        fp = O.parse_frame_header_bits(r, sp, self.ref_order_hints)
+        assert not isinstance(fp, O.ShowExisting), \
+            "show_existing inside OBU_FRAME"
         r.byte_align()
         n_tiles = (1 << fp.tile_cols_log2) * (1 << fp.tile_rows_log2)
         assert n_tiles == 1, "multi-tile decode not yet supported"
@@ -74,13 +100,11 @@ class Decoder:
         self.is_inter_frame = not fp.is_intra
         if self.is_inter_frame:
             self.mi = MVP.MiInter(mi_rows, mi_cols)
-            # LAST..ALTREF all map through ref_frame_idx to ref slots
-            ref = self.ref_slots[fp.ref_frame_idx[0]]
-            assert ref is not None, "missing reference frame"
-            # subpel phase banks (must mirror the encoder's MC exactly:
-            # pipeline.inter_encoder _mc_luma/_mc_chroma).  The encoder
-            # runs on 32-padded planes; edge-pad the reference the same
-            # way first so both sides filter identical arrays.
+            # subpel phase banks per distinct referenced slot (must mirror
+            # the encoder's MC exactly: pipeline.inter_encoder
+            # _mc_luma/_mc_chroma).  The encoder runs on 32-padded planes;
+            # edge-pad the reference the same way first so both sides
+            # filter identical arrays.
             ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
 
             def pad32(p, shift):
@@ -88,13 +112,18 @@ class Decoder:
                                   (0, (pw32 >> shift) - p.shape[1])),
                               mode="edge")
 
-            self.bank_y = MC.phase_bank(
-                np, MC.pad_for_filter(np, pad32(ref[0], 0), PAD), 4)
             cpad = PAD // 2 + 1
-            self.bank_uv = [
-                MC.phase_bank(np, MC.pad_for_filter(np, pad32(ref[p], 1),
-                                                    cpad), 2)
-                for p in (1, 2)]
+            self.banks = {}   # slot -> (bank_y, bank_u, bank_v)
+            for slot in set(fp.ref_frame_idx):
+                ref = self.ref_slots[slot]
+                assert ref is not None, f"missing reference in slot {slot}"
+                self.banks[slot] = (
+                    MC.phase_bank(
+                        np, MC.pad_for_filter(np, pad32(ref[0], 0), PAD), 4),
+                    MC.phase_bank(
+                        np, MC.pad_for_filter(np, pad32(ref[1], 1), cpad), 2),
+                    MC.phase_bank(
+                        np, MC.pad_for_filter(np, pad32(ref[2], 1), cpad), 2))
 
         self.cdef_idx_map = np.zeros((-(-mi_rows // SB_MI),
                                       -(-mi_cols // SB_MI)), np.int32)
@@ -133,13 +162,11 @@ class Decoder:
         for slot in range(8):
             if (fp.refresh_frame_flags >> slot) & 1:
                 self.ref_slots[slot] = planes
+                self.ref_order_hints[slot] = fp.order_hint
 
-        px = np.uint8 if sp.bit_depth == 8 else np.uint16
-        y = self.rec[0][: sp.height, : sp.width].astype(px)
-        ch, cw = (sp.height + 1) // 2, (sp.width + 1) // 2
-        u = self.rec[1][:ch, :cw].astype(px)
-        v = self.rec[2][:ch, :cw].astype(px)
-        return Frame(y, u, v)
+        if not fp.show_frame:
+            return None
+        return self._output_frame(self.rec)
 
     def _read_cdef(self, r4: int, c4: int, skip: int) -> None:
         """Mirror of TileWriter._write_cdef (spec read_cdef)."""
@@ -194,9 +221,9 @@ class Decoder:
         assert is_inter, "intra blocks in inter frames not yet supported"
         counts = S.neighbor_ref_counts(mi, tc, r4, c4)
         ref = S.code_single_ref(None, dec, fc, counts)
-        assert ref == MVP.LAST_FRAME, f"only LAST supported, got {ref}"
+        bank_y, bank_u, bank_v = self.banks[self.fp.ref_frame_idx[ref - 1]]
 
-        res = MVP.find_mv_stack(mi, r4, c4, n4, n4)
+        res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref)
         mode = S.code_inter_mode(None, dec, fc, res)
         if mode in (S.NEWMV, S.NEARMV):
             ref_mv_idx = S.code_drl_idx(None, dec, fc, res, mode)
@@ -245,15 +272,16 @@ class Decoder:
             if plane == 0:
                 r0 = py + PAD + (mv8[0] >> 3)
                 c0 = px + PAD + (mv8[1] >> 3)
-                pred = self.bank_y[((mv8[0] * 2) & 15) >> 2,
-                                   ((mv8[1] * 2) & 15) >> 2][
+                pred = bank_y[((mv8[0] * 2) & 15) >> 2,
+                              ((mv8[1] * 2) & 15) >> 2][
                     r0 : r0 + pbs, c0 : c0 + pbs]
             else:
                 cpad = PAD // 2 + 1
                 r0 = py + cpad + (mv8[0] >> 4)
                 c0 = px + cpad + (mv8[1] >> 4)
-                pred = self.bank_uv[plane - 1][(mv8[0] & 15) >> 1,
-                                               (mv8[1] & 15) >> 1][
+                bank_c = bank_u if plane == 1 else bank_v
+                pred = bank_c[(mv8[0] & 15) >> 1,
+                              (mv8[1] & 15) >> 1][
                     r0 : r0 + pbs, c0 : c0 + pbs]
             dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size)
             resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)

@@ -49,6 +49,11 @@ class SequenceParams:
     bit_depth: int = 8
     sb_size: int = 64
     enable_cdef: bool = False
+    # order hints (hier-B / random access; ref EbEncSettings.c
+    # enable_order_hint, spec 5.5.1).  jnt_comp and ref_frame_mvs stay
+    # off (no temporal MV prediction in this build).
+    enable_order_hint: bool = False
+    order_hint_bits: int = 8
 
     @property
     def mi_cols(self) -> int:
@@ -84,9 +89,14 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
     w.f(0, 1)      # enable_masked_compound
     w.f(0, 1)      # enable_warped_motion
     w.f(0, 1)      # enable_dual_filter
-    w.f(0, 1)      # enable_order_hint
+    w.f(int(sp.enable_order_hint), 1)
+    if sp.enable_order_hint:
+        w.f(0, 1)  # enable_jnt_comp
+        w.f(0, 1)  # enable_ref_frame_mvs
     w.f(0, 1)      # seq_choose_screen_content_tools
     w.f(0, 1)      # seq_force_screen_content_tools = OFF
+    if sp.enable_order_hint:
+        w.f(sp.order_hint_bits - 1, 3)  # order_hint_bits_minus_1
     w.f(0, 1)      # enable_superres
     w.f(int(sp.enable_cdef), 1)
     w.f(0, 1)      # enable_restoration
@@ -119,12 +129,18 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     height = r.f(hbits) + 1
     # frame_id_numbers, use_128x128_superblock, enable_filter_intra,
     # enable_intra_edge_filter, enable_interintra_compound,
-    # enable_masked_compound, enable_warped_motion, enable_dual_filter,
-    # enable_order_hint
-    flags = [r.f(1) for _ in range(9)]
+    # enable_masked_compound, enable_warped_motion, enable_dual_filter
+    flags = [r.f(1) for _ in range(8)]
     assert not any(flags), f"unsupported seq flags {flags}"
+    enable_order_hint = bool(r.f(1))
+    order_hint_bits = 8
+    if enable_order_hint:
+        assert r.f(1) == 0  # enable_jnt_comp
+        assert r.f(1) == 0  # enable_ref_frame_mvs
     assert r.f(1) == 0  # seq_choose_screen_content_tools
     assert r.f(1) == 0  # seq_force_screen_content_tools value
+    if enable_order_hint:
+        order_hint_bits = r.f(3) + 1
     assert r.f(1) == 0  # enable_superres
     enable_cdef = bool(r.f(1))
     assert r.f(1) == 0  # enable_restoration
@@ -136,11 +152,53 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     assert r.f(1) == 0  # separate_uv_delta_q
     assert r.f(1) == 0  # film grain
     return SequenceParams(width, height, bit_depth,
-                          enable_cdef=enable_cdef)
+                          enable_cdef=enable_cdef,
+                          enable_order_hint=enable_order_hint,
+                          order_hint_bits=order_hint_bits)
 
 
 KEY_FRAME, INTER_FRAME = 0, 1
 PRIMARY_REF_NONE = 7
+
+
+def get_relative_dist(sp: SequenceParams, a: int, b: int) -> int:
+    """Signed wrap-around order-hint distance (spec get_relative_dist;
+    ref av1_get_relative_dist)."""
+    if not sp.enable_order_hint:
+        return 0
+    diff = a - b
+    m = 1 << (sp.order_hint_bits - 1)
+    return (diff & (m - 1)) - (diff & m)
+
+
+def skip_mode_allowed(sp: SequenceParams, order_hint: int,
+                      ref_order_hints) -> bool:
+    """spec 5.9.22 skip_mode_params gate: needs one forward + one
+    backward ref (or two distinct forward refs) by order hint.
+    ref_order_hints[i] is RefOrderHint[ref_frame_idx[i]], i = 0..6."""
+    if not sp.enable_order_hint:
+        return False
+    fwd_i, fwd_h, bwd_i, bwd_h = -1, 0, -1, 0
+    for i in range(7):
+        h = ref_order_hints[i]
+        d = get_relative_dist(sp, h, order_hint)
+        if d < 0:
+            if fwd_i < 0 or get_relative_dist(sp, h, fwd_h) > 0:
+                fwd_i, fwd_h = i, h
+        elif d > 0:
+            if bwd_i < 0 or get_relative_dist(sp, h, bwd_h) < 0:
+                bwd_i, bwd_h = i, h
+    if fwd_i < 0:
+        return False
+    if bwd_i >= 0:
+        return True
+    snd_i, snd_h = -1, 0
+    for i in range(7):
+        h = ref_order_hints[i]
+        if (get_relative_dist(sp, h, fwd_h) < 0
+                and (snd_i < 0 or get_relative_dist(sp, h, snd_h) > 0)):
+            snd_i, snd_h = i, h
+    return snd_i >= 0
 
 
 @dataclass
@@ -154,6 +212,12 @@ class FrameParams:
     frame_type: int = KEY_FRAME
     refresh_frame_flags: int = 0xFF   # inter frames refresh slot0 only
     ref_frame_idx: tuple = (0,) * 7   # all LAST..ALTREF -> slot 0
+    show_frame: bool = True           # 0: stored only, shown later via
+    #                                   show_existing_frame (hier-B)
+    order_hint: int = 0               # coded when seq enable_order_hint
+    # RefOrderHint[ref_frame_idx[i]] for i=0..6 — drives the skip-mode
+    # header gate (spec 5.9.22); filled by the scheduler for hier-B
+    ref_order_hints: tuple = (0,) * 7
     # loop filter levels (y-vert, y-horz, u, v); 0 = off
     filter_levels: tuple = (0, 0, 0, 0)
     # cdef (present in headers only when the sequence enables cdef)
@@ -237,14 +301,22 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     w = BitWriter()
     w.f(0, 1)                    # show_existing_frame
     w.f(fp.frame_type, 2)
-    w.f(1, 1)                    # show_frame
-    if not fp.is_intra:
+    w.f(int(fp.show_frame), 1)
+    if not fp.show_frame:
+        w.f(1, 1)                # showable_frame
+    if not (fp.is_intra and fp.show_frame):
         w.f(0, 1)                # error_resilient_mode
     w.f(int(fp.disable_cdf_update), 1)
     w.f(0, 1)                    # frame_size_override_flag
+    if sp.enable_order_hint:
+        w.f(fp.order_hint, sp.order_hint_bits)
     if not fp.is_intra:
         w.f(PRIMARY_REF_NONE, 3)  # primary_ref_frame (CDF reset per frame)
+    if not (fp.frame_type == KEY_FRAME and fp.show_frame):
         w.f(fp.refresh_frame_flags, 8)
+    if not fp.is_intra:
+        if sp.enable_order_hint:
+            w.f(0, 1)            # frame_refs_short_signaling
         for i in range(7):
             w.f(fp.ref_frame_idx[i], 3)
         w.f(0, 1)                # render_and_frame_size_different
@@ -252,6 +324,7 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
         w.f(0, 1)                # is_filter_switchable
         w.f(0, 2)                # interpolation_filter = EIGHTTAP_REGULAR
         w.f(0, 1)                # is_motion_mode_switchable
+        # use_ref_frame_mvs: seq enable_ref_frame_mvs = 0 -> no bit
     else:
         w.f(0, 1)                # render_and_frame_size_different
     if not fp.disable_cdf_update:
@@ -287,7 +360,10 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     w.f(fp.tx_mode_select, 1)    # read_tx_mode (0 = LARGEST)
     if not fp.is_intra:
         w.f(0, 1)                # reference_select (single ref only)
-    # skip_mode_params: skip mode never allowed (no order hints) -> no bits
+    # skip_mode_params (spec 5.9.22): gate depends on ref order hints
+    if (not fp.is_intra and skip_mode_allowed(sp, fp.order_hint,
+                                              fp.ref_order_hints)):
+        w.f(0, 1)                # skip_mode_present = 0
     # allow_warped_motion: seq disabled -> no bit
     w.f(int(fp.reduced_tx_set), 1)
     if not fp.is_intra:
@@ -296,22 +372,40 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     return w
 
 
-def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
-    assert r.f(1) == 0, "show_existing_frame unsupported"
+@dataclass
+class ShowExisting:
+    """show_existing_frame header: display the frame in slot."""
+    slot: int
+
+
+def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
+                            slot_order_hints=None):
+    if r.f(1):                    # show_existing_frame
+        return ShowExisting(r.f(3))
     frame_type = r.f(2)
     assert frame_type in (KEY_FRAME, INTER_FRAME), frame_type
     is_intra = frame_type == KEY_FRAME
-    assert r.f(1) == 1, "show_frame"
-    if not is_intra:
+    show_frame = bool(r.f(1))
+    if not show_frame:
+        assert r.f(1) == 1, "showable_frame"
+    if not (is_intra and show_frame):
         assert r.f(1) == 0, "error_resilient_mode"
     disable_cdf_update = bool(r.f(1))
     assert r.f(1) == 0  # frame_size_override
+    order_hint = r.f(sp.order_hint_bits) if sp.enable_order_hint else 0
     refresh = 0xFF
     ref_idx = (0,) * 7
+    ref_hints = (0,) * 7
     if not is_intra:
         assert r.f(3) == PRIMARY_REF_NONE, "primary_ref_frame"
+    if not (frame_type == KEY_FRAME and show_frame):
         refresh = r.f(8)
+    if not is_intra:
+        if sp.enable_order_hint:
+            assert r.f(1) == 0, "frame_refs_short_signaling"
         ref_idx = tuple(r.f(3) for _ in range(7))
+        if slot_order_hints is not None:
+            ref_hints = tuple(slot_order_hints[i] for i in ref_idx)
         assert r.f(1) == 0  # render size
         assert r.f(1) == 0  # allow_high_precision_mv
         assert r.f(1) == 0  # is_filter_switchable
@@ -347,14 +441,28 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams) -> FrameParams:
     tx_mode_select = r.f(1)
     if not is_intra:
         assert r.f(1) == 0  # reference_select
+    if not is_intra and skip_mode_allowed(sp, order_hint, ref_hints):
+        assert r.f(1) == 0, "skip_mode_present"
     reduced_tx_set = bool(r.f(1))
     if not is_intra:
         for _ in range(7):
             assert r.f(1) == 0  # is_global
     return FrameParams(base_q_idx, disable_cdf_update, reduced_tx_set,
                        tx_mode_select, cols_log2, rows_log2, frame_type,
-                       refresh, ref_idx, (l0, l1, lu, lv_),
+                       refresh, ref_idx, show_frame, order_hint, ref_hints,
+                       (l0, l1, lu, lv_),
                        cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str))
+
+
+def write_show_existing(slot: int) -> bytes:
+    """OBU_FRAME_HEADER displaying the frame stored in ref slot
+    (spec show_existing_frame; ref EbPacketizationProcess.c show-existing
+    temporal units for hierarchical GOPs)."""
+    w = BitWriter()
+    w.f(1, 1)          # show_existing_frame
+    w.f(slot, 3)       # frame_to_show_map_idx
+    w.trailing_bits()
+    return temporal_delimiter() + wrap_obu(OBU_FRAME_HEADER, w.data())
 
 
 def write_frame_obu(sp: SequenceParams, fp: FrameParams,

@@ -35,6 +35,11 @@ class Packet:
     is_keyframe: bool
     recon: Optional[Frame] = None
     psnr: Optional[tuple] = None
+    # hier-B: coded no-show TUs have show=False (display comes later via
+    # a show_existing TU); display_idx is the display-order position of
+    # the picture this TU codes or shows (None for flat modes)
+    show: bool = True
+    display_idx: Optional[int] = None
 
 
 class Encoder:
@@ -43,15 +48,26 @@ class Encoder:
     def __init__(self, config: EncoderConfig) -> None:
         config.validate()
         self.cfg = config
+        # hier-B random access needs order hints for ref list semantics
+        # and the skip-mode gate (ref Av1GenerateRpsInfo order hints)
+        self._hier = (config.pred_structure == 2
+                      and not config.intra_only)
         self.seq = O.SequenceParams(config.width, config.height,
                                     config.bit_depth, config.sb_size,
-                                    enable_cdef=config.enable_cdef)
+                                    enable_cdef=config.enable_cdef,
+                                    enable_order_hint=self._hier)
         self._frame_idx = 0
         self._send_idx = 0
         self._packets: list[Packet] = []
         self._pending: list = []   # dispatched device batches
         self._inbox: list[Frame] = []  # frames awaiting dispatch
         self._ref_dev = None       # device recon planes of the last frame
+        if self._hier:
+            self._store: dict = {}         # disp -> {dev, slot, pins}
+            self._free_slots = list(range(8))
+            self._anchor: Optional[int] = None
+            self._buf: list = []           # (disp, Frame) since anchor
+            self._gop_n = 1 << config.hierarchical_levels
         self._rc = None
         if config.rate_control_mode != 0:
             from svt_av1_tpu.pipeline.rate_control import RateController
@@ -98,17 +114,151 @@ class Encoder:
         return O.write_sequence_header(self.seq)
 
     # -- ref eb_svt_enc_send_picture ---------------------------------------------
-    def send_picture(self, frame: Frame) -> None:
+    def send_picture(self, frame: Optional[Frame]) -> None:
         """Queues the picture: device work is dispatched asynchronously and
         completes while the host entropy-codes earlier frames (the
         reference's pipelined-stages behavior; packets come from
-        get_packet, which may block — EbSvtAv1Enc.h eb_svt_get_packet)."""
+        get_packet, which may block — EbSvtAv1Enc.h eb_svt_get_packet).
+        send_picture(None) signals end-of-stream (the reference's EOS
+        buffer flag) and flushes any buffered mini-GOP."""
+        if frame is None:
+            self.flush()
+            return
         if self.cfg.intra_only:
             self._inbox.append(frame)
             if len(self._inbox) >= max(1, self.cfg.device_batch):
                 self._dispatch_inbox()
+        elif self._hier:
+            self._hier_send(frame)
         else:
             self._dispatch_one(frame)
+
+    def flush(self) -> None:
+        """End-of-stream: code any buffered partial mini-GOP (truncated
+        dyadic structure, like the reference's incomplete mini-GOP
+        handling in picture decision)."""
+        if self._hier and self._buf:
+            self._dispatch_span()
+
+    # -- hierarchical-B scheduling (ref picture_decision_kernel) ---------------
+    def _hier_send(self, frame: Frame) -> None:
+        d = self._send_idx
+        self._send_idx += 1
+        if self._anchor is None or self._is_key(d):
+            self._dispatch_span()          # truncated GOP before the key
+            self._code_key_anchor(d, frame)
+        else:
+            self._buf.append((d, frame))
+            if len(self._buf) >= self._gop_n:
+                self._dispatch_span()
+
+    def _hint(self, disp: int) -> int:
+        return disp & ((1 << self.seq.order_hint_bits) - 1)
+
+    def _unpin(self, disp: int) -> None:
+        e = self._store[disp]
+        e["pins"] -= 1
+        if e["pins"] <= 0:
+            if e["slot"] is not None:
+                self._free_slots.append(e["slot"])
+            del self._store[disp]
+
+    def _code_key_anchor(self, disp: int, frame: Frame) -> None:
+        """Shown keyframe: decoder-side it refreshes every slot, so the
+        encoder's slot book restarts with the keyframe in slot 0."""
+        qindex = self._frame_qindex(True)
+        out, deb, planes, nbh, nbw = self._intra_dispatch(frame, qindex)
+        self._store = {disp: {"dev": planes, "slot": 0, "pins": 1}}
+        self._free_slots = list(range(1, 8))
+        self._anchor = disp
+        meta = {"display": disp, "show": True,
+                "order_hint": self._hint(disp)}
+        self._pending.append(("key", [frame], out, nbh, nbw, qindex, deb,
+                              meta))
+
+    def _dispatch_span(self) -> None:
+        """Code the buffered span (lo, hi] in dyadic decode order and
+        interleave show_existing emission (pipeline.gop.plan_minigop)."""
+        if not self._buf:
+            return
+        from svt_av1_tpu.pipeline.gop import (CodeStep, layer_qindex,
+                                              plan_minigop, plan_pins)
+        lo = self._anchor
+        hi = self._buf[-1][0]
+        frames = dict(self._buf)
+        self._buf = []
+        steps = plan_minigop(lo, hi)
+        pins = plan_pins(steps, lo)
+        pins[hi] = pins.get(hi, 0) + 1     # hi becomes the next anchor
+        pending_pins = {}
+        for d, n in pins.items():
+            if d in self._store:
+                self._store[d]["pins"] += n
+            else:
+                pending_pins[d] = n
+        self._unpin(lo)                    # release the old anchor pin
+        for step in steps:
+            if isinstance(step, CodeStep):
+                base_q = self._frame_qindex(False)
+                q = layer_qindex(base_q, step.layer)
+                self._dispatch_code(step, frames[step.disp], q,
+                                    pending_pins.pop(step.disp, 0))
+                self._unpin(step.fwd)
+                if step.bwd is not None:
+                    self._unpin(step.bwd)
+            else:
+                slot = self._store[step.disp]["slot"]
+                payload = O.write_show_existing(slot)
+                self._pending.append(("se", payload, step.disp))
+                self._unpin(step.disp)
+        self._anchor = hi
+
+    def _dispatch_code(self, step, frame: Frame, qindex: int,
+                       pins: int) -> None:
+        """Device-dispatch one hier frame (P for the base layer, two-ref
+        B otherwise) and enqueue its packet metadata."""
+        import jax.numpy as jnp
+        cfg = self.cfg
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8), ph32, pw32))
+        su = jnp.asarray(IE.pad_plane(frame.u.astype(np.uint8),
+                                      ph32 // 2, pw32 // 2))
+        sv = jnp.asarray(IE.pad_plane(frame.v.astype(np.uint8),
+                                      ph32 // 2, pw32 // 2))
+        fwd = self._store[step.fwd]
+        lvls = self._lf_levels(qindex, False)
+        dyn = (jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
+               jnp.int32(lvls[3]))
+        if step.bwd is None:
+            fn = PE.build_p_frame_encoder_dyn(
+                ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
+                cdef=cfg.enable_cdef)
+            out = fn(sy, su, sv, *fwd["dev"], *dyn)
+            nrefs = 1
+        else:
+            bwd = self._store[step.bwd]
+            fn = PE.build_b_frame_encoder_dyn(
+                ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
+                cdef=cfg.enable_cdef)
+            out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
+            nrefs = 2
+        slot = self._free_slots.pop(0)
+        planes = self._as_ref_planes(out[5][:ph, :pw],
+                                     out[6][: ph // 2, : pw // 2],
+                                     out[7][: ph // 2, : pw // 2])
+        self._store[step.disp] = {"dev": planes, "slot": slot, "pins": pins}
+        fs = fwd["slot"]
+        bs = fs if step.bwd is None else self._store[step.bwd]["slot"]
+        fh = self._hint(step.fwd)
+        bh = fh if step.bwd is None else self._hint(step.bwd)
+        meta = {"display": step.disp, "show": False, "nrefs": nrefs,
+                "order_hint": self._hint(step.disp),
+                "refresh": 1 << slot,
+                "ref_idx": (fs, fs, fs, fs, bs, bs, bs),
+                "ref_hints": (fh, fh, fh, fh, bh, bh, bh)}
+        self._pending.append(("p", [frame], out, None, None, qindex, None,
+                              meta))
 
     def _dispatch_inbox(self) -> None:
         if not self._inbox:
@@ -151,6 +301,60 @@ class Encoder:
                 jnp.int32(CDEF.pick_damping(qindex)))
         self._pending.append(("batch", frames, out, nbh, nbw, qindex, deb))
 
+    def _as_ref_planes(self, y, u, v):
+        """Edge-pad recon planes to the 32-padded inter geometry (the
+        mirror decoder pads its references identically)."""
+        import jax.numpy as jnp
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        pads = ((0, ph32 - ph), (0, pw32 - pw))
+        padc = ((0, (ph32 - ph) // 2), (0, (pw32 - pw) // 2))
+        return (jnp.pad(y, pads, mode="edge"),
+                jnp.pad(u, padc, mode="edge"),
+                jnp.pad(v, padc, mode="edge"))
+
+    def _intra_dispatch(self, frame: Frame, qindex: int):
+        """Keyframe device dispatch; returns (out, deb, as-ref planes,
+        nbh, nbw)."""
+        import jax.numpy as jnp
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        if self._rc is None:
+            out, nbh, nbw = IE.dispatch_frame_device(
+                frame.y, frame.u, frame.v, qindex,
+                self.seq.mi_rows, self.seq.mi_cols,
+                self.cfg.bit_depth)
+        else:
+            nbh, nbw = ph // 8, pw // 8
+            sy = jnp.asarray(IE.block_planes(
+                IE.pad_plane(frame.y.astype(np.uint8), ph, pw), 8))
+            su = jnp.asarray(IE.block_planes(
+                IE.pad_plane(frame.u.astype(np.uint8), ph // 2, pw // 2),
+                4))
+            sv = jnp.asarray(IE.block_planes(
+                IE.pad_plane(frame.v.astype(np.uint8), ph // 2, pw // 2),
+                4))
+            out = IE.build_frame_encoder_dyn(nbh, nbw)(
+                sy, su, sv, jnp.int32(qindex))
+        planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
+        deb = None
+        if self.cfg.enable_deblocking or self.cfg.enable_cdef:
+            from svt_av1_tpu.ops import cdef as CDEF
+            lvls = self._lf_levels(qindex, True)
+            sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8),
+                                          ph, pw))
+            su = jnp.asarray(IE.pad_plane(
+                frame.u.astype(np.uint8), ph // 2, pw // 2))
+            sv = jnp.asarray(IE.pad_plane(
+                frame.v.astype(np.uint8), ph // 2, pw // 2))
+            deb = _intra_postproc_fn(ph, pw, False,
+                                     self.cfg.enable_cdef)(
+                *planes, sy, su, sv, out[1], out[2], out[3],
+                jnp.int32(lvls[0]), jnp.int32(lvls[2]),
+                jnp.int32(lvls[3]),
+                jnp.int32(CDEF.pick_damping(qindex)))
+            planes = deb[:3]
+        return out, deb, self._as_ref_planes(*planes), nbh, nbw
+
     def _dispatch_one(self, frame: Frame) -> None:
         """IPPP chain: keyframes via the wavefront intra path, P frames via
         the bulk-parallel inter path; recon planes stay device-resident
@@ -163,52 +367,10 @@ class Encoder:
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
         ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
 
-        def as_ref(y, u, v):
-            """Edge-pad recon planes to the 32-padded inter geometry (the
-            mirror decoder pads its references identically)."""
-            pads = ((0, ph32 - ph), (0, pw32 - pw))
-            padc = ((0, (ph32 - ph) // 2), (0, (pw32 - pw) // 2))
-            return (jnp.pad(y, pads, mode="edge"),
-                    jnp.pad(u, padc, mode="edge"),
-                    jnp.pad(v, padc, mode="edge"))
-
         if key or self._ref_dev is None:
-            if self._rc is None:
-                out, nbh, nbw = IE.dispatch_frame_device(
-                    frame.y, frame.u, frame.v, qindex,
-                    self.seq.mi_rows, self.seq.mi_cols,
-                    self.cfg.bit_depth)
-            else:
-                nbh, nbw = ph // 8, pw // 8
-                sy = jnp.asarray(IE.block_planes(
-                    IE.pad_plane(frame.y.astype(np.uint8), ph, pw), 8))
-                su = jnp.asarray(IE.block_planes(
-                    IE.pad_plane(frame.u.astype(np.uint8), ph // 2, pw // 2),
-                    4))
-                sv = jnp.asarray(IE.block_planes(
-                    IE.pad_plane(frame.v.astype(np.uint8), ph // 2, pw // 2),
-                    4))
-                out = IE.build_frame_encoder_dyn(nbh, nbw)(
-                    sy, su, sv, jnp.int32(qindex))
-            planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
-            deb = None
-            if self.cfg.enable_deblocking or self.cfg.enable_cdef:
-                from svt_av1_tpu.ops import cdef as CDEF
-                lvls = self._lf_levels(qindex, True)
-                sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8),
-                                              ph, pw))
-                su = jnp.asarray(IE.pad_plane(
-                    frame.u.astype(np.uint8), ph // 2, pw // 2))
-                sv = jnp.asarray(IE.pad_plane(
-                    frame.v.astype(np.uint8), ph // 2, pw // 2))
-                deb = _intra_postproc_fn(ph, pw, False,
-                                         self.cfg.enable_cdef)(
-                    *planes, sy, su, sv, out[1], out[2], out[3],
-                    jnp.int32(lvls[0]), jnp.int32(lvls[2]),
-                    jnp.int32(lvls[3]),
-                    jnp.int32(CDEF.pick_damping(qindex)))
-                planes = deb[:3]
-            self._ref_dev = as_ref(*planes)
+            out, deb, ref_planes, nbh, nbw = self._intra_dispatch(frame,
+                                                                  qindex)
+            self._ref_dev = ref_planes
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
                                   deb))
         else:
@@ -231,17 +393,25 @@ class Encoder:
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]))
-            self._ref_dev = as_ref(out[5][:ph, :pw],
+            self._ref_dev = self._as_ref_planes(out[5][:ph, :pw],
                                    out[6][: ph // 2, : pw // 2],
                                    out[7][: ph // 2, : pw // 2])
             self._pending.append(("p", [frame], out, None, None, qindex))
 
     def _finish_one(self) -> None:
         entry = self._pending.pop(0)
+        if entry[0] == "se":
+            pkt = Packet(entry[1], entry[2], False, show=True,
+                         display_idx=entry[2])
+            self._packets.append(pkt)
+            if self._rc is not None:
+                self._rc.update(len(pkt.payload) * 8, False)
+            return
         kind, frames, out, nbh, nbw, qindex = entry[:6]
         deb = entry[6] if len(entry) > 6 else None
+        meta = entry[7] if len(entry) > 7 else None
         if kind == "p":
-            pkts = [self._make_inter_packet(frames[0], out, qindex)]
+            pkts = [self._make_inter_packet(frames[0], out, qindex, meta)]
         else:
             if kind == "key":
                 devs = [IE.materialize_frame(out, nbh, nbw)]
@@ -269,18 +439,25 @@ class Encoder:
                 # the reference's pooled EntropyCoding processes
                 with ThreadPoolExecutor(max_workers=min(8, len(frames))) as ex:
                     pkts = list(ex.map(
-                        lambda fd: self._make_packet(fd[0], fd[1], qindex),
+                        lambda fd: self._make_packet(fd[0], fd[1], qindex,
+                                                     meta),
                         zip(frames, devs)))
             else:
-                pkts = [self._make_packet(frames[0], devs[0], qindex)]
+                pkts = [self._make_packet(frames[0], devs[0], qindex, meta)]
         for p in pkts:
-            p.pts = self._frame_idx
+            if meta is not None:
+                p.show = meta["show"]
+                p.display_idx = meta["display"]
+                p.pts = meta["display"] if p.show else -1
+            else:
+                p.pts = self._frame_idx
             self._frame_idx += 1
             self._packets.append(p)
             if self._rc is not None:
                 self._rc.update(len(p.payload) * 8, p.is_keyframe)
 
-    def _make_inter_packet(self, frame: Frame, out, qindex: int) -> Packet:
+    def _make_inter_packet(self, frame: Frame, out, qindex: int,
+                           meta=None) -> Packet:
         cfg = self.cfg
         arrs = [np.asarray(a) for a in out]
         sizes, mv = arrs[0], arrs[1].astype(np.int32)
@@ -291,6 +468,10 @@ class Encoder:
                             for p in range(3))}
         ry, ru, rv = arrs[5], arrs[6], arrs[7]
         cdef_idx = arrs[8] if cfg.enable_cdef and len(arrs) > 8 else None
+        # per-cell ref types: device refsel 0/1 -> LAST/ALTREF
+        refs8 = None
+        if meta is not None and meta.get("nrefs", 1) == 2:
+            refs8 = np.where(arrs[9] == 0, 1, 7).astype(np.uint8)
         fc = FrameContext(qindex)
         tile = None
         if cfg.entropy_backend in ("auto", "cpp"):
@@ -298,19 +479,28 @@ class Encoder:
             if native.available():
                 tile = native.encode_tile_inter_cpp(
                     fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
-                    sizes, mv, levels, cdef_idx=cdef_idx)
+                    sizes, mv, levels, cdef_idx=cdef_idx, refs=refs8)
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
             tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
-            tile = tw.encode_inter(sizes, mv, levels, cdef_idx=cdef_idx)
+            tile = tw.encode_inter(sizes, mv, levels, cdef_idx=cdef_idx,
+                                   refs=refs8)
+        hdr = {}
+        if meta is not None:
+            hdr = {"show_frame": meta["show"],
+                   "order_hint": meta["order_hint"],
+                   "refresh_frame_flags": meta["refresh"],
+                   "ref_frame_idx": meta["ref_idx"],
+                   "ref_order_hints": meta["ref_hints"]}
+        else:
+            hdr = {"refresh_frame_flags": 0x01}
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,
                            frame_type=O.INTER_FRAME,
-                           refresh_frame_flags=0x01,
                            filter_levels=self._lf_levels(qindex, False),
-                           **self._cdef_params(qindex))
+                           **hdr, **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
         recon = Frame(
@@ -322,7 +512,8 @@ class Encoder:
         psnr = _psnr(frame, recon) if cfg.stat_report else None
         return Packet(payload, -1, False, recon, psnr)
 
-    def _make_packet(self, frame: Frame, dev: dict, qindex: int) -> Packet:
+    def _make_packet(self, frame: Frame, dev: dict, qindex: int,
+                     meta=None) -> Packet:
         cfg = self.cfg
         fc = FrameContext(qindex)
         cdef_idx = dev.get("cdef_idx") if cfg.enable_cdef else None
@@ -344,6 +535,8 @@ class Encoder:
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,
                            filter_levels=self._lf_levels(qindex, True),
+                           order_hint=(0 if meta is None
+                                       else meta["order_hint"]),
                            **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_sequence_header(self.seq)
@@ -400,10 +593,21 @@ class Encoder:
         return self._packets[0].recon if self._packets else None
 
     def encode_all(self, frames) -> Iterator[Packet]:
-        """Convenience: push frames, yield packets in order."""
+        """Convenience: push frames, yield packets in decode order
+        (hier-B buffers mini-GOPs, so packets may lag sends)."""
         for f in frames:
             self.send_picture(f)
-            yield self.get_packet()
+            while True:
+                pkt = self.get_packet()
+                if pkt is None:
+                    break
+                yield pkt
+        self.flush()
+        while True:
+            pkt = self.get_packet()
+            if pkt is None:
+                break
+            yield pkt
 
 
 def _unpack_levels(packed: np.ndarray, bs: int) -> np.ndarray:

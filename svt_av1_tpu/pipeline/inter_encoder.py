@@ -143,17 +143,25 @@ def _tiles8(x, t: int):
             .reshape(gh * k, gw * k, t, t))
 
 
-def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
-    """Build the (unjitted) P-frame encode step.
+def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
+                 nrefs: int = 1):
+    """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
-    fn(src_y [ph,pw], src_u, src_v [ph/2,pw/2], ref_y, ref_u, ref_v
+    fn(src_y [ph,pw], src_u, src_v [ph/2,pw/2],
+       ref0_y, ref0_u, ref0_v [, ref1_y, ref1_u, ref1_v when nrefs=2]
        [, qindex, lf_y, lf_u, lf_v — when built with qindex=None, rate
        control varies q per frame without recompiling])
     -> (sizes [nb8h,nb8w] u8 (8/16/32 leaf size covering each 8x8 cell),
         mv8   [nb8h,nb8w,2] i16 (selected leaf MV, replicated per cell),
         levels y/u/v at each size (9 arrays, i16),
-        recon_y [ph,pw] u8, recon_u, recon_v)
+        recon_y [ph,pw] u8, recon_u, recon_v, cdef idx
+        [, ref8 [nb8h,nb8w] u8 (0 = ref0/fwd, 1 = ref1/bwd) when nrefs=2])
+
+    With nrefs=2 the full ME pipeline runs against both references and
+    every leaf size picks the cheaper one per block (the TPU analog of
+    the reference's per-ref ME loop in EbMotionEstimation.c; the per-ref
+    results stay batched device arrays instead of per-PU loops).
     """
     pad = search + 1
     from svt_av1_tpu import tables as _tbl
@@ -161,7 +169,9 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
 
     nb8h, nb8w = ph // 8, pw // 8
 
-    def step(sy, su, sv, ry, ru, rv, *dyn):
+    def step(sy, su, sv, *rest):
+        refs = rest[: 3 * nrefs]
+        dyn = rest[3 * nrefs:]
         ph_mi, pw_mi = mi_extent[0], mi_extent[1]
         use_cdef = use_cdef_cell[0]
         if dynamic_q:
@@ -178,38 +188,54 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
         sy = sy.astype(jnp.int32)
         su = su.astype(jnp.int32)
         sv = sv.astype(jnp.int32)
-        ry = ry.astype(jnp.int32)
-        ru = ru.astype(jnp.int32)
-        rv = rv.astype(jnp.int32)
-
-        ref_pad = jnp.pad(ry, search, mode="edge")
-        bank_y = MC.phase_bank(jnp, MC.pad_for_filter(jnp, ry, pad), 4)
         cpad = pad // 2 + 1
-        bank_u = MC.phase_bank(jnp, MC.pad_for_filter(jnp, ru, cpad), 2)
-        bank_v = MC.phase_bank(jnp, MC.pad_for_filter(jnp, rv, cpad), 2)
+        banks = []
+        for i in range(nrefs):
+            banks.append((
+                MC.phase_bank(jnp, MC.pad_for_filter(
+                    jnp, refs[3 * i].astype(jnp.int32), pad), 4),
+                MC.phase_bank(jnp, MC.pad_for_filter(
+                    jnp, refs[3 * i + 1].astype(jnp.int32), cpad), 2),
+                MC.phase_bank(jnp, MC.pad_for_filter(
+                    jnp, refs[3 * i + 2].astype(jnp.int32), cpad), 2)))
 
-        # hierarchical full-pel ME: quarter-res center search, then a
-        # +-4 multi-size sweep on a center-warped reference (10x fewer
-        # offsets than exhaustive; ref HME levels 0-2)
-        r2 = 4
-        centers = ME.hme_centers(sy, ry, search_reach=search - r2)
-        warped = ME.warp_by_centers(ref_pad, centers, 32, search)
-        p1 = ME.refined_search_multisize(sy, warped, centers, 32, r2)
-        priors = {bs: ME.median3_mv_field(p1[bs][0]) for bs in SIZES}
-        p2 = ME.refined_search_multisize(sy, warped, centers, 32, r2,
-                                         lam, priors)
-        mv = {}
-        cost = {}
-        for bs in SIZES:
-            # re-score the winner against the TRUE reference (the warped
-            # sweep cost is approximate near tile seams)
-            pred0 = _mc_luma(bank_y, p2[bs][0] * 8, bs, pad)
-            true_cost = (jnp.abs(_block(sy, bs) - pred0).sum((-1, -2))
-                         + ((lam * ME.mv_rate_bits(
-                             (p2[bs][0] - priors[bs]) * 8)) >> 4))
-            mv[bs], cost[bs] = _subpel_refine(
-                _block(sy, bs), bank_y, p2[bs][0] * 8, true_cost, bs, pad,
-                lam, priors[bs] * 8)
+        def me_one_ref(ry_i, bank_y_i):
+            # hierarchical full-pel ME: quarter-res center search, then a
+            # +-4 multi-size sweep on a center-warped reference (10x fewer
+            # offsets than exhaustive; ref HME levels 0-2)
+            r2 = 4
+            ref_pad = jnp.pad(ry_i, search, mode="edge")
+            centers = ME.hme_centers(sy, ry_i, search_reach=search - r2)
+            warped = ME.warp_by_centers(ref_pad, centers, 32, search)
+            p1 = ME.refined_search_multisize(sy, warped, centers, 32, r2)
+            priors = {bs: ME.median3_mv_field(p1[bs][0]) for bs in SIZES}
+            p2 = ME.refined_search_multisize(sy, warped, centers, 32, r2,
+                                             lam, priors)
+            mv_i, cost_i = {}, {}
+            for bs in SIZES:
+                # re-score the winner against the TRUE reference (the
+                # warped sweep cost is approximate near tile seams)
+                pred0 = _mc_luma(bank_y_i, p2[bs][0] * 8, bs, pad)
+                true_cost = (jnp.abs(_block(sy, bs) - pred0).sum((-1, -2))
+                             + ((lam * ME.mv_rate_bits(
+                                 (p2[bs][0] - priors[bs]) * 8)) >> 4))
+                mv_i[bs], cost_i[bs] = _subpel_refine(
+                    _block(sy, bs), bank_y_i, p2[bs][0] * 8, true_cost, bs,
+                    pad, lam, priors[bs] * 8)
+            return mv_i, cost_i
+
+        per_ref = [me_one_ref(refs[3 * i].astype(jnp.int32), banks[i][0])
+                   for i in range(nrefs)]
+        mv, cost = per_ref[0]
+        refsel = {bs: None for bs in SIZES}
+        if nrefs == 2:
+            mv1, cost1 = per_ref[1]
+            mv, cost = dict(mv), dict(cost)
+            for bs in SIZES:
+                sel = cost1[bs] < cost[bs]
+                refsel[bs] = sel
+                mv[bs] = jnp.where(sel[..., None], mv1[bs], mv[bs])
+                cost[bs] = jnp.minimum(cost1[bs], cost[bs])
 
         # --- bottom-up merge decisions (rate-biased; static edge masks) ---
         oh = (lam * LEAF_OVERHEAD_BITS) >> 4
@@ -241,16 +267,30 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
                            jnp.where(up2(use16)[..., None], up2(mv[16]),
                                      mv[8])).astype(jnp.int16)
 
+        # selected-ref field (0 = ref0/forward, 1 = ref1/backward)
+        ref8 = None
+        if nrefs == 2:
+            ref8 = jnp.where(up2(up2(use32)), up2(up2(refsel[32])),
+                             jnp.where(up2(use16), up2(refsel[16]),
+                                       refsel[8])).astype(jnp.uint8)
+
         # --- residual coding at every size, all three planes -------------
+        def mc_sel(mc_fn, bank_idx, bs2, mv2, sel, pad2):
+            p0 = mc_fn(banks[0][bank_idx], mv2, bs2, pad2)
+            if nrefs == 1:
+                return p0
+            p1 = mc_fn(banks[1][bank_idx], mv2, bs2, pad2)
+            return jnp.where(sel[..., None, None], p1, p0)
+
         levels = {}
         rec_planes = {}
         for bs in SIZES:
-            pred_y = _mc_luma(bank_y, mv[bs], bs, pad)
+            pred_y = mc_sel(_mc_luma, 0, bs, mv[bs], refsel[bs], pad)
             ly, rec_y = _encode_plane(_block(sy, bs), pred_y, q,
                                       TX_OF[bs])
             cbs = bs // 2
-            pred_u = _mc_chroma(bank_u, mv[bs], cbs, cpad)
-            pred_v = _mc_chroma(bank_v, mv[bs], cbs, cpad)
+            pred_u = mc_sel(_mc_chroma, 1, cbs, mv[bs], refsel[bs], cpad)
+            pred_v = mc_sel(_mc_chroma, 2, cbs, mv[bs], refsel[bs], cpad)
             lu, rec_u = _encode_plane(_block(su, cbs), pred_u, q,
                                       TX_OF_C[bs])
             lv, rec_v = _encode_plane(_block(sv, cbs), pred_v, q,
@@ -308,10 +348,12 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
                                                             : sz8.shape[1]],
                                      skipmap(8)[: sz8.shape[0],
                                                 : sz8.shape[1]]))
+            # traced damping mirrors CD.pick_damping(q) so the header's
+            # per-frame damping matches under dynamic q (hier-B layers, RC)
+            damping = (3 + (q >> 6)) if dynamic_q else CD.pick_damping(qindex)
             (cy, cu, cv), idx_sb = CD.cdef_search_and_apply(
                 jnp, (cy, cu, cv),
-                (crop(sy, 0), crop(su, 1), crop(sv, 1)), sk,
-                CD.pick_damping(qindex if not dynamic_q else 128))
+                (crop(sy, 0), crop(su, 1), crop(sv, 1)), sk, damping)
             idx_sb = idx_sb.astype(jnp.uint8)
 
         rec_y = repad(cy, rec_y).astype(jnp.uint8)
@@ -339,8 +381,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE):
             ly_pack = ly_pack.astype(dt)
             lu_pack = lu_pack.astype(dt)
             lv_pack = lv_pack.astype(dt)
-        return (size8, mv_sel, ly_pack, lu_pack, lv_pack,
-                rec_y, rec_u, rec_v, idx_sb)
+        out = (size8, mv_sel, ly_pack, lu_pack, lv_pack,
+               rec_y, rec_u, rec_v, idx_sb)
+        if nrefs == 2:
+            out = out + (ref8,)
+        return out
 
     # static edge-legality masks in mi-grid terms are bound by the caller
     # via build_p_frame_encoder (closure cells patched below).
@@ -383,6 +428,17 @@ def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
+                          qindex: int, search: int = SEARCH_RANGE,
+                          deblock: bool = True, cdef: bool = False):
+    """Two-reference (fwd + bwd) step for hierarchical-B mini-GOPs.
+    fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u, r1v) -> P outputs + ref8."""
+    fn = p_frame_step(ph, pw, qindex, search, nrefs=2)
+    fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=4)
 def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
@@ -390,5 +446,17 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
     """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v); one compile
     serves every qindex (rate control)."""
     fn = p_frame_step(ph, pw, None, search)
+    fn.bind_masks(mi_rows, mi_cols, False, cdef)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=4)
+def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
+                              search: int = SEARCH_RANGE,
+                              cdef: bool = False):
+    """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
+    r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
+    (hier-B layer offsets, rate control)."""
+    fn = p_frame_step(ph, pw, None, search, nrefs=2)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -128,19 +128,22 @@ class TileWriter:
         return self.enc.done()
 
     def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
-                     levels: dict, cdef_idx=None) -> bytes:
-        """P-frame tile: variable-partition NEWMV/LAST blocks.
+                     levels: dict, cdef_idx=None, refs=None) -> bytes:
+        """P/B-frame tile: variable-partition single-ref NEWMV blocks.
 
         sizes:  [nb8h, nb8w] leaf size (8/16/32) covering each 8x8 cell
         mvs:    [nb8h, nb8w, 2] selected leaf MV in 1/8-pel (quarter-pel
                 granularity; even values; allow_high_precision_mv=0)
         levels: {bs: (ly, lu, lv)} per-size level grids
+        refs:   [nb8h, nb8w] per-cell ref frame type (1=LAST..7=ALTREF);
+                None = all LAST (flat low-delay P)
         Mirrors the reference inter write_modes_b path
         (EbEntropyCoding.c:5000-5290)."""
         tc = self.tc
         self.sizes = sizes
         self.mvs = mvs
         self.levels = levels
+        self.refs = refs
         self.inter = True
         self.cdef_idx = cdef_idx
         self.mi = MVP.MiInter(tc.mi_rows, tc.mi_cols)
@@ -206,12 +209,14 @@ class TileWriter:
         self._write_cdef(r4, c4, skip)
 
         # is_inter + ref frame
+        ref = (MVP.LAST_FRAME if self.refs is None
+               else int(self.refs[r4 // 2, c4 // 2]))
         S.code_is_inter(enc, None, fc, mi, tc, r4, c4, True)
         counts = S.neighbor_ref_counts(mi, tc, r4, c4)
-        S.code_single_ref(enc, None, fc, counts, MVP.LAST_FRAME)
+        S.code_single_ref(enc, None, fc, counts, ref)
 
         # mode + drl + MV (predictor from the shared ref-MV stack)
-        res = MVP.find_mv_stack(mi, r4, c4, n4, n4)
+        res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref)
         S.code_inter_mode(enc, None, fc, res, S.NEWMV)
         S.code_drl_idx(enc, None, fc, res, S.NEWMV, 0)
         pred_mv = MVP.lower_mv_precision(res.stack[0][0])
@@ -220,7 +225,7 @@ class TileWriter:
         tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), S.DC_PRED,
                      skip)
         mi.set_block(r4, c4, n4, n4, is_inter=True,
-                     ref_frame=MVP.LAST_FRAME, mode=S.NEWMV, mv=mv8)
+                     ref_frame=ref, mode=S.NEWMV, mv=mv8)
 
         for plane, (lvl, tx_size) in enumerate(
                 zip(lvls, (self._TX_OF[bs], self._TX_OF_C[bs],

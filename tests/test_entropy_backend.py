@@ -115,3 +115,13 @@ def test_cpp_inter_tile_byte_identical():
         cpp = B.encode_tile_inter_cpp(FrameContext(qindex), mi_rows, mi_cols,
                                       qindex, sizes, mv, levels)
         assert py == cpp
+
+        # per-cell refs (hier-B: mixed LAST/ALTREF single-ref blocks)
+        refs = np.where(rng.random((gh, gw)) < 0.5, 1, 7).astype(np.uint8)
+        tw2 = TileWriter(FrameContext(qindex), mi_rows, mi_cols, qindex)
+        py2 = tw2.encode_inter(sizes, mv, levels, refs=refs)
+        cpp2 = B.encode_tile_inter_cpp(FrameContext(qindex), mi_rows,
+                                       mi_cols, qindex, sizes, mv, levels,
+                                       refs=refs)
+        assert py2 == cpp2
+        assert py2 != py
