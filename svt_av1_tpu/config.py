@@ -110,9 +110,6 @@ class EncoderConfig:
                 "rate_control_mode must be CQP(0)/VBR(2)/CVBR(3)")
         if self.rate_control_mode != RC_MODE_CQP and self.target_bit_rate <= 0:
             raise ValueError("VBR/CVBR require target_bit_rate > 0")
-        if self.enable_cdef and self.rate_control_mode != RC_MODE_CQP:
-            # CDEF damping follows q; dynamic-q CDEF pending — downgrade
-            self.enable_cdef = False
         if self.bit_depth == 10:
             # 10-bit in-loop filters land next round; signal them off
             self.enable_cdef = False

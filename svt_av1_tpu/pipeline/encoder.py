@@ -386,10 +386,10 @@ class Encoder:
                                               cdef=self.cfg.enable_cdef)
                 out = fn(sy, su, sv, *self._ref_dev)
             else:
-                from svt_av1_tpu.ops import deblock as DB
                 lvls = self._lf_levels(qindex, False)
                 fn = PE.build_p_frame_encoder_dyn(
-                    ph32, pw32, self.seq.mi_rows, self.seq.mi_cols)
+                    ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
+                    cdef=self.cfg.enable_cdef)
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]))
