@@ -52,6 +52,11 @@ class Encoder:
         # and the skip-mode gate (ref Av1GenerateRpsInfo order hints)
         self._hier = (config.pred_structure == 2
                       and not config.intra_only)
+        # low-delay B: every frame references the previous frame (LAST)
+        # and the keyframe anchor (GOLDEN) — both forward, shown in order
+        # (ref EB_PRED_LOW_DELAY_B flat structure)
+        self._ldb = (config.pred_structure == 1
+                     and not config.intra_only)
         self.seq = O.SequenceParams(config.width, config.height,
                                     config.bit_depth, config.sb_size,
                                     enable_cdef=config.enable_cdef,
@@ -130,6 +135,8 @@ class Encoder:
                 self._dispatch_inbox()
         elif self._hier:
             self._hier_send(frame)
+        elif self._ldb:
+            self._ldb_send(frame)
         else:
             self._dispatch_one(frame)
 
@@ -213,6 +220,52 @@ class Encoder:
                 self._unpin(step.disp)
         self._anchor = hi
 
+    # -- low-delay B (ref EB_PRED_LOW_DELAY_B) ----------------------------------
+    def _ldb_send(self, frame: Frame) -> None:
+        import jax.numpy as jnp
+        d = self._send_idx
+        self._send_idx += 1
+        key = self._is_key(d) or self._scene_cut(frame)
+        qindex = self._frame_qindex(key)
+        if key or getattr(self, "_ldb_last", None) is None:
+            out, deb, planes, nbh, nbw = self._intra_dispatch(frame, qindex)
+            self._ldb_golden = (planes, 0)      # (dev planes, slot)
+            self._ldb_last = (planes, 0)
+            self._pending.append(("key", [frame], out, nbh, nbw, qindex,
+                                  deb, {"display": d, "show": True,
+                                        "order_hint": 0}))
+            return
+        cfg = self.cfg
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8), ph32, pw32))
+        su = jnp.asarray(IE.pad_plane(frame.u.astype(np.uint8),
+                                      ph32 // 2, pw32 // 2))
+        sv = jnp.asarray(IE.pad_plane(frame.v.astype(np.uint8),
+                                      ph32 // 2, pw32 // 2))
+        lvls = self._lf_levels(qindex, False)
+        fn = PE.build_b_frame_encoder_dyn(
+            ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
+            cdef=cfg.enable_cdef)
+        out = fn(sy, su, sv, *self._ldb_last[0], *self._ldb_golden[0],
+                 jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
+                 jnp.int32(lvls[3]))
+        last_slot, golden_slot = self._ldb_last[1], self._ldb_golden[1]
+        new_slot = 1 if last_slot != 1 else 2
+        planes = self._as_ref_planes(out[5][:ph, :pw],
+                                     out[6][: ph // 2, : pw // 2],
+                                     out[7][: ph // 2, : pw // 2])
+        self._ldb_last = (planes, new_slot)
+        ls = last_slot
+        meta = {"display": d, "show": True, "nrefs": 2,
+                "ref_types": (1, 4),            # LAST, GOLDEN
+                "order_hint": 0,
+                "refresh": 1 << new_slot,
+                "ref_idx": (ls, ls, ls, golden_slot, ls, ls, ls),
+                "ref_hints": (0,) * 7}
+        self._pending.append(("p", [frame], out, None, None, qindex, None,
+                              meta))
+
     def _dispatch_code(self, step, frame: Frame, qindex: int,
                        pins: int) -> None:
         """Device-dispatch one hier frame (P for the base layer, two-ref
@@ -253,6 +306,7 @@ class Encoder:
         fh = self._hint(step.fwd)
         bh = fh if step.bwd is None else self._hint(step.bwd)
         meta = {"display": step.disp, "show": False, "nrefs": nrefs,
+                "ref_types": (1, 7),            # LAST, ALTREF
                 "order_hint": self._hint(step.disp),
                 "refresh": 1 << slot,
                 "ref_idx": (fs, fs, fs, fs, bs, bs, bs),
@@ -468,10 +522,13 @@ class Encoder:
                             for p in range(3))}
         ry, ru, rv = arrs[5], arrs[6], arrs[7]
         cdef_idx = arrs[8] if cfg.enable_cdef and len(arrs) > 8 else None
-        # per-cell ref types: device refsel 0/1 -> LAST/ALTREF
+        # per-cell ref types from the device refsel map (0 -> ref0,
+        # 1 -> ref1); hier-B pairs (LAST, ALTREF), low-delay B (LAST,
+        # GOLDEN)
         refs8 = None
         if meta is not None and meta.get("nrefs", 1) == 2:
-            refs8 = np.where(arrs[9] == 0, 1, 7).astype(np.uint8)
+            t0, t1 = meta.get("ref_types", (1, 7))
+            refs8 = np.where(arrs[9] == 0, t0, t1).astype(np.uint8)
         fc = FrameContext(qindex)
         tile = None
         if cfg.entropy_backend in ("auto", "cpp"):

@@ -95,6 +95,23 @@ def test_hier_e2e_bit_exact_display_order():
     assert sorted(p.display_idx for p in se) == list(range(1, n))
 
 
+def test_low_delay_b_e2e_bit_exact():
+    """pred_structure=1: every frame refs LAST + GOLDEN (both forward),
+    shown in order, no buffering (ref EB_PRED_LOW_DELAY_B)."""
+    W, H = 192, 128
+    cfg = EncoderConfig(width=W, height=H, qp=45, intra_period=63,
+                        pred_structure=1, scene_change_detection=False,
+                        stat_report=True)
+    pkts, shown = _drive(cfg, _roll_frames(W, H, 5))
+    assert len(shown) == 5
+    assert [p.pts for p in pkts] == list(range(5))
+    assert all(p.show for p in pkts)
+    for d in range(5):
+        np.testing.assert_array_equal(shown[d].y, pkts[d].recon.y)
+        np.testing.assert_array_equal(shown[d].u, pkts[d].recon.u)
+        np.testing.assert_array_equal(shown[d].v, pkts[d].recon.v)
+
+
 def test_hier_keyframe_interval_flushes_gop():
     W, H = 128, 96
     cfg = EncoderConfig(width=W, height=H, qp=45, intra_period=3,
