@@ -373,7 +373,9 @@ struct TileWriter {
     mi_w4.assign(n, 0);
     mi_h4.assign(n, 0);
     mi_ref.assign(n, 0);
+    mi_ref2.assign(n, -1);
     mi_mv.assign(n * 2, 0);
+    mi_mv2.assign(n * 2, 0);
     mi_valid.assign(n, 0);
   }
 
@@ -672,7 +674,10 @@ struct TileWriter {
   // per-mi inter grids (twin of MiInter)
   std::vector<uint8_t> mi_inter, mi_mode, mi_w4, mi_h4;
   std::vector<int8_t> mi_ref;
+  std::vector<int8_t> mi_ref2;           // -1 = single-ref block
   std::vector<int16_t> mi_mv;            // [mr*mc*2] (row, col) 1/8 pel
+  std::vector<int16_t> mi_mv2;           // compound second MV
+  uint8_t sign_bias[8] = {0};            // per ref type (backward = 1)
   std::vector<int8_t> mi_valid;          // coded yet (tc.mi_sizes >= 0)
 
   static constexpr int NEWMV = 16, NEARESTMV = 13, NEARMV = 14, GLOBALMV = 15;
@@ -722,25 +727,37 @@ struct TileWriter {
     int n_stack = 0;
     int newmv_count = 0, row_match = 0, col_match = 0;
 
+    auto is_newmv_mode = [](int m) {
+      return m == NEWMV || (m >= 19 && m <= 22) || m == 24;
+    };
     auto add_cand = [&](int r, int c, int len, int weight,
                         bool count_newmv) -> bool {
       size_t p = static_cast<size_t>(r) * mi_cols + c;
-      if (!mi_inter[p] || mi_ref[p] != ref_frame) return false;
-      int16_t mr = mi_mv[p * 2], mc2 = mi_mv[p * 2 + 1];
-      int i = 0;
-      for (; i < n_stack; ++i)
-        if (stack[i].mv[0] == mr && stack[i].mv[1] == mc2) {
-          stack[i].weight += weight * len;
-          break;
+      if (!mi_inter[p]) return false;
+      bool matched = false;
+      // either reference slot of the neighbor may match (ref
+      // add_ref_mv_candidate single path: for ref in 0..1)
+      for (int slot = 0; slot < 2; ++slot) {
+        int cref = slot ? mi_ref2[p] : mi_ref[p];
+        if (cref != ref_frame) continue;
+        matched = true;
+        int16_t mr = slot ? mi_mv2[p * 2] : mi_mv[p * 2];
+        int16_t mc2 = slot ? mi_mv2[p * 2 + 1] : mi_mv[p * 2 + 1];
+        int i = 0;
+        for (; i < n_stack; ++i)
+          if (stack[i].mv[0] == mr && stack[i].mv[1] == mc2) {
+            stack[i].weight += weight * len;
+            break;
+          }
+        if (i == n_stack && n_stack < MAX_STACK) {
+          stack[n_stack].mv[0] = mr;
+          stack[n_stack].mv[1] = mc2;
+          stack[n_stack].weight = weight * len;
+          ++n_stack;
         }
-      if (i == n_stack && n_stack < MAX_STACK) {
-        stack[n_stack].mv[0] = mr;
-        stack[n_stack].mv[1] = mc2;
-        stack[n_stack].weight = weight * len;
-        ++n_stack;
+        if (count_newmv && is_newmv_mode(mi_mode[p])) ++newmv_count;
       }
-      if (count_newmv && mi_mode[p] == NEWMV) ++newmv_count;
-      return true;
+      return matched;
     };
 
     bool row_adj = (h4 < 2) && (mi_row & 1);
@@ -883,16 +900,28 @@ struct TileWriter {
             step = std::max<int>(1, mi_h4[static_cast<size_t>(r) * mi_cols + c]);
           }
           size_t p = static_cast<size_t>(r) * mi_cols + c;
-          if (mi_inter[p] && mi_ref[p] > 0) {
-            int16_t mr = mi_mv[p * 2], mc2 = mi_mv[p * 2 + 1];
-            bool dup = false;
-            for (int i = 0; i < n_stack; ++i)
-              if (stack[i].mv[0] == mr && stack[i].mv[1] == mc2) dup = true;
-            if (!dup) {
-              stack[n_stack].mv[0] = mr;
-              stack[n_stack].mv[1] = mc2;
-              stack[n_stack].weight = 2;
-              ++n_stack;
+          if (mi_inter[p]) {
+            for (int slot = 0; slot < 2; ++slot) {
+              int cref = slot ? mi_ref2[p] : mi_ref[p];
+              if (cref <= 0) continue;
+              int16_t mr = slot ? mi_mv2[p * 2] : mi_mv[p * 2];
+              int16_t mc2 = slot ? mi_mv2[p * 2 + 1] : mi_mv[p * 2 + 1];
+              if (sign_bias[cref] != sign_bias[ref_frame]) {
+                mr = static_cast<int16_t>(-mr);
+                mc2 = static_cast<int16_t>(-mc2);
+              }
+              // NOTE: the <2 guard is at the candidate level (outer
+              // loop), so both slots of one candidate may append —
+              // count can reach 3 here, exactly like the reference
+              bool dup = false;
+              for (int i = 0; i < n_stack; ++i)
+                if (stack[i].mv[0] == mr && stack[i].mv[1] == mc2) dup = true;
+              if (!dup && n_stack < MAX_STACK) {
+                stack[n_stack].mv[0] = mr;
+                stack[n_stack].mv[1] = mc2;
+                stack[n_stack].weight = 2;
+                ++n_stack;
+              }
             }
           }
           idx += step;
@@ -1173,13 +1202,15 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            const int32_t* const* levels9, int nb8h,
                            int nb8w, uint8_t* out, long out_cap,
                            const uint8_t* cdef_idx, int cdef_bits,
-                           const uint8_t* refs) {
+                           const uint8_t* refs, const uint8_t* sign_bias) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
   tw.size_map = sizes;
   tw.mvs = mvs;
   tw.ref_map = refs;
+  if (sign_bias)
+    for (int i = 0; i < 8; ++i) tw.sign_bias[i] = sign_bias[i];
   for (int s = 0; s < 3; ++s)
     for (int p = 0; p < 3; ++p) tw.lv_inter[s][p] = levels9[s * 3 + p];
   tw.nb8w = nb8w;

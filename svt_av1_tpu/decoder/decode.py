@@ -100,6 +100,8 @@ class Decoder:
         self.is_inter_frame = not fp.is_intra
         if self.is_inter_frame:
             self.mi = MVP.MiInter(mi_rows, mi_cols)
+            self.sign_bias = O.ref_sign_biases(sp, fp.order_hint,
+                                               fp.ref_order_hints)
             # subpel phase banks per distinct referenced slot (must mirror
             # the encoder's MC exactly: pipeline.inter_encoder
             # _mc_luma/_mc_chroma).  The encoder runs on 32-padded planes;
@@ -223,7 +225,8 @@ class Decoder:
         ref = S.code_single_ref(None, dec, fc, counts)
         bank_y, bank_u, bank_v = self.banks[self.fp.ref_frame_idx[ref - 1]]
 
-        res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref)
+        res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
+                                sign_bias=self.sign_bias)
         mode = S.code_inter_mode(None, dec, fc, res)
         if mode in (S.NEWMV, S.NEARMV):
             ref_mv_idx = S.code_drl_idx(None, dec, fc, res, mode)

@@ -70,7 +70,7 @@ def _lib():
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
     ]
     return lib
 
@@ -120,7 +120,7 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                           qindex: int, sizes: np.ndarray, mvs: np.ndarray,
                           levels: dict, reduced_tx_set: bool = True,
                           cdef_idx=None, cdef_bits: int = 2,
-                          refs=None) -> bytes:
+                          refs=None, sign_bias=None) -> bytes:
     """levels: {8: (ly,lu,lv), 16: (...), 32: (...)} per-size level grids."""
     lib = _lib()
     blob = build_blob(fc)
@@ -143,13 +143,16 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
     ci = None if cdef_idx is None else np.ascontiguousarray(cdef_idx,
                                                             np.uint8)
     rf = None if refs is None else np.ascontiguousarray(refs, np.uint8)
+    sb = None if sign_bias is None else np.ascontiguousarray(sign_bias,
+                                                             np.uint8)
     n = lib.svt_encode_tile_inter(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(sz, ctypes.c_uint8),
         p(mv, ctypes.c_int32), ptrs,
         nb8h, nb8w, p(out, ctypes.c_uint8), cap,
         None if ci is None else p(ci, ctypes.c_uint8), cdef_bits,
-        None if rf is None else p(rf, ctypes.c_uint8))
+        None if rf is None else p(rf, ctypes.c_uint8),
+        None if sb is None else p(sb, ctypes.c_uint8))
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

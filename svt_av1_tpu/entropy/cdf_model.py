@@ -93,6 +93,11 @@ class FrameContext:
         self.intra_inter = conv(t["default_intra_inter_cdf"])      # [4][3]
         self.single_ref = conv(t["default_single_ref_cdf"])        # [3][6][3]
         self.comp_inter = conv(t["default_comp_inter_cdf"])        # [5][3]
+        self.comp_ref_type = conv(t["default_comp_ref_type_cdf"])  # [5][3]
+        self.comp_ref = conv(t["default_comp_ref_cdf"])            # [3][3][3]
+        self.comp_bwdref = conv(t["default_comp_bwdref_cdf"])      # [3][2][3]
+        self.inter_compound_mode = conv(
+            t["default_inter_compound_mode_cdf"])                  # [8][9]
         self.skip_mode = conv(t["default_skip_mode_cdfs"])         # [3][3]
         self.switchable_interp = conv(t["default_switchable_interp_cdf"])
         self.inter_ext_tx = conv(t["default_inter_ext_tx_cdf"])    # [4][4][17]

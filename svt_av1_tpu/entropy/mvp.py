@@ -26,8 +26,15 @@ MAX_MV_REF_CANDIDATES = 2
 MV_BORDER = 16 * 8
 NONE_FRAME, INTRA_FRAME, LAST_FRAME = -1, 0, 1
 
-# inter modes (AV1 enum order, single-ref subset; ref EbDefinitions.h)
+# inter modes (AV1 enum order; ref EbDefinitions.h PredictionMode)
 NEARESTMV, NEARMV, GLOBALMV, NEWMV = 13, 14, 15, 16
+NEAREST_NEARESTMV, NEAR_NEARMV = 17, 18
+NEAREST_NEWMV, NEW_NEARESTMV, NEAR_NEWMV, NEW_NEARMV = 19, 20, 21, 22
+GLOBAL_GLOBALMV, NEW_NEWMV = 23, 24
+
+# modes that code a NEWMV component (ref have_newmv_in_inter_mode)
+_NEWMV_MODES = {NEWMV, NEW_NEWMV, NEAREST_NEWMV, NEW_NEARESTMV,
+                NEAR_NEWMV, NEW_NEARMV}
 
 
 @dataclass
@@ -37,8 +44,10 @@ class MiInter:
     mi_cols: int
     is_inter: np.ndarray = field(init=False)
     ref_frame: np.ndarray = field(init=False)   # 0 = intra
+    ref_frame2: np.ndarray = field(init=False)  # -1 = single-ref
     mode: np.ndarray = field(init=False)        # pred mode enum
     mv: np.ndarray = field(init=False)          # [mr, mc, 2] (row, col) 1/8pel
+    mv2: np.ndarray = field(init=False)         # compound second MV
     w4: np.ndarray = field(init=False)          # block width in mi units
     h4: np.ndarray = field(init=False)
 
@@ -46,20 +55,35 @@ class MiInter:
         mr, mc = self.mi_rows, self.mi_cols
         self.is_inter = np.zeros((mr, mc), np.bool_)
         self.ref_frame = np.zeros((mr, mc), np.int8)
+        self.ref_frame2 = np.full((mr, mc), NONE_FRAME, np.int8)
         self.mode = np.zeros((mr, mc), np.uint8)
         self.mv = np.zeros((mr, mc, 2), np.int16)
+        self.mv2 = np.zeros((mr, mc, 2), np.int16)
         self.w4 = np.zeros((mr, mc), np.uint8)
         self.h4 = np.zeros((mr, mc), np.uint8)
 
     def set_block(self, r: int, c: int, w4: int, h4: int, *, is_inter: bool,
-                  ref_frame: int, mode: int, mv=(0, 0)) -> None:
+                  ref_frame: int, mode: int, mv=(0, 0),
+                  ref_frame2: int = NONE_FRAME, mv2=(0, 0)) -> None:
         sl = np.s_[r : r + h4, c : c + w4]
         self.is_inter[sl] = is_inter
         self.ref_frame[sl] = ref_frame
+        self.ref_frame2[sl] = ref_frame2
         self.mode[sl] = mode
         self.mv[sl] = mv
+        self.mv2[sl] = mv2
         self.w4[sl] = w4
         self.h4[sl] = h4
+
+    def cand_refs(self, r: int, c: int):
+        """(ref, mv) pairs of the candidate's used reference slots."""
+        out = [(int(self.ref_frame[r, c]),
+                (int(self.mv[r, c, 0]), int(self.mv[r, c, 1])))]
+        r2 = int(self.ref_frame2[r, c])
+        if r2 > INTRA_FRAME:
+            out.append((r2, (int(self.mv2[r, c, 0]),
+                             int(self.mv2[r, c, 1]))))
+        return out
 
 
 def _has_top_right(sb_mi: int, mi_row: int, mi_col: int, w4: int, h4: int,
@@ -126,35 +150,74 @@ class MvStackResult:
 
 
 def find_mv_stack(mi: MiInter, mi_row: int, mi_col: int, w4: int, h4: int,
-                  ref_frame: int = LAST_FRAME, sb_mi: int = 16
-                  ) -> MvStackResult:
-    """Single-ref ref-MV stack + mode context (ref setup_ref_mv_list)."""
+                  ref_frame: int = LAST_FRAME, sb_mi: int = 16,
+                  sign_bias=None) -> MvStackResult:
+    """Single-ref ref-MV stack + mode context (ref setup_ref_mv_list).
+    sign_bias[ref 0..7]: 1 for backward refs (order hint > current) —
+    drives MV sign flips in the relaxed extension scans."""
+    return _find_stack(mi, mi_row, mi_col, w4, h4, (ref_frame,), sb_mi,
+                       sign_bias or (0,) * 8)
+
+
+def find_mv_stack_comp(mi: MiInter, mi_row: int, mi_col: int, w4: int,
+                       h4: int, rf=(1, 7), sb_mi: int = 16,
+                       sign_bias=None) -> MvStackResult:
+    """Compound ref-MV stack for the ref pair rf (ref setup_ref_mv_list
+    compound path).  Stack entries are ((mv0, mv1), weight)."""
+    return _find_stack(mi, mi_row, mi_col, w4, h4, tuple(rf), sb_mi,
+                       sign_bias or (0,) * 8)
+
+
+def _find_stack(mi: MiInter, mi_row: int, mi_col: int, w4: int, h4: int,
+                rf: tuple, sb_mi: int, sign_bias) -> MvStackResult:
+    is_comp = len(rf) == 2
+    ref_frame = rf[0]
     global_mv = (0, 0)  # identity global motion
 
-    stack: list[list] = []  # [mv, weight]
+    stack: list[list] = []  # [mv | (mv0, mv1), weight]
     newmv_count = 0
     row_match = 0
     col_match = 0
 
     def add_candidate(r: int, c: int, length: int, weight: int,
                       count_newmv: bool) -> bool:
-        """Returns True if the candidate references ref_frame."""
+        """Returns True if the candidate references rf (ref
+        add_ref_mv_candidate)."""
         nonlocal newmv_count
         if not mi.is_inter[r, c]:
             return False
-        if int(mi.ref_frame[r, c]) != ref_frame:
-            return False
-        this_mv = (int(mi.mv[r, c, 0]), int(mi.mv[r, c, 1]))
-        for ent in stack:
-            if ent[0] == this_mv:
-                ent[1] += weight * length
-                break
+        matched = False
+        if not is_comp:
+            # single path: either slot of the neighbor may match
+            for cref, cmv in mi.cand_refs(r, c):
+                if cref != ref_frame:
+                    continue
+                matched = True
+                for ent in stack:
+                    if ent[0] == cmv:
+                        ent[1] += weight * length
+                        break
+                else:
+                    if len(stack) < MAX_REF_MV_STACK_SIZE:
+                        stack.append([cmv, weight * length])
+                if count_newmv and int(mi.mode[r, c]) in _NEWMV_MODES:
+                    newmv_count += 1
         else:
-            if len(stack) < MAX_REF_MV_STACK_SIZE:
-                stack.append([this_mv, weight * length])
-        if count_newmv and int(mi.mode[r, c]) == NEWMV:
-            newmv_count += 1
-        return True
+            if (int(mi.ref_frame[r, c]) == rf[0]
+                    and int(mi.ref_frame2[r, c]) == rf[1]):
+                matched = True
+                pair = ((int(mi.mv[r, c, 0]), int(mi.mv[r, c, 1])),
+                        (int(mi.mv2[r, c, 0]), int(mi.mv2[r, c, 1])))
+                for ent in stack:
+                    if ent[0] == pair:
+                        ent[1] += weight * length
+                        break
+                else:
+                    if len(stack) < MAX_REF_MV_STACK_SIZE:
+                        stack.append([pair, weight * length])
+                if count_newmv and int(mi.mode[r, c]) in _NEWMV_MODES:
+                    newmv_count += 1
+        return matched
 
     row_adj = (h4 < 2) and (mi_row & 1)
     col_adj = (w4 < 2) and (mi_col & 1)
@@ -305,31 +368,91 @@ def find_mv_stack(mi: MiInter, mi_row: int, mi_col: int, w4: int, h4: int,
     bubble(0, num_nearest)
     bubble(num_nearest, len(stack))
 
-    # --- single-ref extension scans (relaxed row/col -1; ref :970-1046) ----
-    if len(stack) < MAX_MV_REF_CANDIDATES:
-        mi_w = min(16, w4, mi.mi_cols - mi_col)
-        mi_h = min(16, h4, mi.mi_rows - mi_row)
-        mi_size = min(mi_w, mi_h)
+    # --- extension scans (relaxed row/col -1; ref :848-1046) ---------------
+    mi_w = min(16, w4, mi.mi_cols - mi_col)
+    mi_h = min(16, h4, mi.mi_rows - mi_row)
+    mi_size = min(mi_w, mi_h)
 
-        def relaxed(row_scan: bool) -> None:
+    def flip(mv, cref, target):
+        if sign_bias[cref] != sign_bias[target]:
+            return (-mv[0], -mv[1])
+        return mv
+
+    if not is_comp:
+        if len(stack) < MAX_MV_REF_CANDIDATES:
+            def relaxed(row_scan: bool) -> None:
+                idx = 0
+                while idx < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+                    if row_scan:
+                        r, c = mi_row - 1, mi_col + idx
+                        step = max(1, int(mi.w4[r, c]))
+                    else:
+                        r, c = mi_row + idx, mi_col - 1
+                        step = max(1, int(mi.h4[r, c]))
+                    if mi.is_inter[r, c]:
+                        for cref, cmv in mi.cand_refs(r, c):
+                            if cref <= INTRA_FRAME:
+                                continue
+                            this_mv = flip(cmv, cref, ref_frame)
+                            if all(ent[0] != this_mv for ent in stack):
+                                stack.append([this_mv, 2])
+                    idx += step
+
+            if abs(max_row_offset) >= 1:
+                relaxed(True)
+            if abs(max_col_offset) >= 1:
+                relaxed(False)
+    elif len(stack) < MAX_MV_REF_CANDIDATES:
+        # compound extension (ref :845-955): collect exact-ref (ref_id)
+        # and other-inter (ref_diff, sign-corrected) per pair side from
+        # the immediate row/col, then synthesize combined candidates
+        ref_id = [[], []]
+        ref_diff = [[], []]
+
+        def gather(row_scan: bool) -> None:
             idx = 0
-            while idx < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+            while idx < mi_size:
                 if row_scan:
                     r, c = mi_row - 1, mi_col + idx
                     step = max(1, int(mi.w4[r, c]))
                 else:
                     r, c = mi_row + idx, mi_col - 1
                     step = max(1, int(mi.h4[r, c]))
-                if mi.is_inter[r, c] and int(mi.ref_frame[r, c]) > INTRA_FRAME:
-                    this_mv = (int(mi.mv[r, c, 0]), int(mi.mv[r, c, 1]))
-                    if all(ent[0] != this_mv for ent in stack):
-                        stack.append([this_mv, 2])
+                if mi.is_inter[r, c]:
+                    for cref, cmv in mi.cand_refs(r, c):
+                        for side in range(2):
+                            if cref == rf[side] and len(ref_id[side]) < 2:
+                                ref_id[side].append(cmv)
+                            elif (cref > INTRA_FRAME
+                                  and len(ref_diff[side]) < 2):
+                                ref_diff[side].append(
+                                    flip(cmv, cref, rf[side]))
                 idx += step
 
         if abs(max_row_offset) >= 1:
-            relaxed(True)
+            gather(True)
         if abs(max_col_offset) >= 1:
-            relaxed(False)
+            gather(False)
+
+        comp_list = [[global_mv] * 2 for _ in range(3)]
+        for side in range(2):
+            ci = 0
+            for mv_ in ref_id[side][:3]:
+                comp_list[ci][side] = mv_
+                ci += 1
+            for mv_ in ref_diff[side]:
+                if ci >= 3:
+                    break
+                comp_list[ci][side] = mv_
+                ci += 1
+        if stack:  # one real entry: append the first non-duplicate combo
+            if (comp_list[0][0], comp_list[0][1]) == stack[0][0]:
+                stack.append([(comp_list[1][0], comp_list[1][1]), 2])
+            else:
+                stack.append([(comp_list[0][0], comp_list[0][1]), 2])
+        else:
+            for idx in range(MAX_MV_REF_CANDIDATES):
+                stack.append([(comp_list[idx][0], comp_list[idx][1]), 2])
 
     num_mv_found = len(stack)
 
@@ -340,13 +463,19 @@ def find_mv_stack(mi: MiInter, mi_row: int, mi_col: int, w4: int, h4: int,
     hi_row = (mi.mi_rows - h4 - mi_row) * 32 + bh8 + MV_BORDER
     lo_col = -(mi_col * 32) - bw8 - MV_BORDER
     hi_col = (mi.mi_cols - w4 - mi_col) * 32 + bw8 + MV_BORDER
+
+    def clamp(mv):
+        return (int(np.clip(mv[0], lo_row, hi_row)),
+                int(np.clip(mv[1], lo_col, hi_col)))
+
     out = []
     for ent in stack:
-        mv = (int(np.clip(ent[0][0], lo_row, hi_row)),
-              int(np.clip(ent[0][1], lo_col, hi_col)))
-        out.append((mv, ent[1]))
+        if is_comp:
+            out.append(((clamp(ent[0][0]), clamp(ent[0][1])), ent[1]))
+        else:
+            out.append((clamp(ent[0]), ent[1]))
     while len(out) < MAX_MV_REF_CANDIDATES:
-        out.append((global_mv, 2))
+        out.append(((global_mv, global_mv) if is_comp else global_mv, 2))
 
     return MvStackResult(out, num_mv_found, num_nearest, mode_context,
                          global_mv)

@@ -171,6 +171,19 @@ def get_relative_dist(sp: SequenceParams, a: int, b: int) -> int:
     return (diff & (m - 1)) - (diff & m)
 
 
+def ref_sign_biases(sp: SequenceParams, order_hint: int,
+                    ref_order_hints) -> tuple:
+    """RefFrameSignBias per ref type 1..7 (index 0 unused): 1 when the
+    reference is backward (its order hint is after the current frame's).
+    Shared by the tile writer and the mirror decoder so MV sign flips in
+    the ref-MV stack cannot diverge (spec 5.9.2 ref_frame_sign_bias)."""
+    out = [0] * 8
+    for i in range(7):
+        out[i + 1] = int(get_relative_dist(sp, ref_order_hints[i],
+                                           order_hint) > 0)
+    return tuple(out)
+
+
 def skip_mode_allowed(sp: SequenceParams, order_hint: int,
                       ref_order_hints) -> bool:
     """spec 5.9.22 skip_mode_params gate: needs one forward + one

@@ -709,13 +709,143 @@ def code_is_inter(enc, dec, fc: FrameContext, mi, tc: TileContexts,
 
 def neighbor_ref_counts(mi: "_mvp.MiInter", tc: TileContexts,
                         r: int, c: int) -> np.ndarray:
-    """ref Av1CollectNeighborsRefCounts: top/left single-mi refs."""
+    """ref Av1CollectNeighborsRefCounts: top/left mi refs (both refs of
+    compound neighbors count)."""
     counts = np.zeros(8, np.int32)
-    if r > 0 and tc.mi_sizes[r - 1, c] >= 0 and mi.is_inter[r - 1, c]:
-        counts[int(mi.ref_frame[r - 1, c])] += 1
-    if c > 0 and tc.mi_sizes[r, c - 1] >= 0 and mi.is_inter[r, c - 1]:
-        counts[int(mi.ref_frame[r, c - 1])] += 1
+    for nr, nc in ((r - 1, c), (r, c - 1)):
+        if nr < 0 or nc < 0 or tc.mi_sizes[nr, nc] < 0 \
+                or not mi.is_inter[nr, nc]:
+            continue
+        counts[int(mi.ref_frame[nr, nc])] += 1
+        r2 = int(mi.ref_frame2[nr, nc])
+        if r2 > 0:
+            counts[r2] += 1
     return counts
+
+
+def _nbr_state(mi: "_mvp.MiInter", tc: TileContexts, r: int, c: int):
+    """(available, is_intra, is_comp, is_backward_single) of one
+    neighbor mi."""
+    if r < 0 or c < 0 or tc.mi_sizes[r, c] < 0:
+        return (False, False, False, False)
+    if not mi.is_inter[r, c]:
+        return (True, True, False, False)
+    comp = int(mi.ref_frame2[r, c]) > 0
+    bwd = not comp and int(mi.ref_frame[r, c]) >= 5   # BWDREF..ALTREF
+    return (True, False, comp, bwd)
+
+
+def comp_inter_ctx(mi: "_mvp.MiInter", tc: TileContexts,
+                   r: int, c: int) -> int:
+    """reference-select (single vs compound) context
+    (ref Av1GetReferenceModeContext EbEntropyCoding.c:1972)."""
+    aa, ai, ac, ab = _nbr_state(mi, tc, r - 1, c)
+    la, li, lc, lb = _nbr_state(mi, tc, r, c - 1)
+    if aa and la:
+        if not ac and not lc:
+            return int(ab) ^ int(lb)
+        if not ac:
+            return 2 + int(ab or ai)
+        if not lc:
+            return 2 + int(lb or li)
+        return 4
+    if la:
+        return 3 if lc else int(lb)
+    if aa:
+        return 3 if ac else int(ab)
+    return 1
+
+
+def code_comp_inter(enc, dec, fc: FrameContext, mi, tc: TileContexts,
+                    r: int, c: int, is_comp=None) -> int:
+    cdf = fc.comp_inter[comp_inter_ctx(mi, tc, r, c)]
+    return _code_bin(enc, dec, cdf, is_comp)
+
+
+def comp_ref_type_ctx(mi: "_mvp.MiInter", tc: TileContexts,
+                      r: int, c: int) -> int:
+    """ref Av1GetCompReferenceTypeContext (unidir compounds never
+    coded, so has_uni_comp_refs == 0 throughout)."""
+    aa, ai, ac, ab = _nbr_state(mi, tc, r - 1, c)
+    la, li, lc, lb = _nbr_state(mi, tc, r, c - 1)
+    if aa and la:
+        if ai and li:
+            return 2
+        if li:
+            return 2 if not ac else 1
+        if ai:
+            return 2 if not lc else 1
+        # inter/inter
+        if not ac and not lc:
+            return 1 + 2 * int(not (ab ^ lb))
+        if not ac or not lc:
+            return 1     # single/comp, comp is bidir
+        return 0         # comp/comp, both bidir
+    if la:
+        return 2 if (li or not lc) else 0
+    if aa:
+        return 2 if (ai or not ac) else 0
+    return 2
+
+
+def code_comp_refs(enc, dec, fc: FrameContext, mi, tc: TileContexts,
+                   counts: np.ndarray, r: int, c: int,
+                   refs=None):
+    """Compound ref pair (BIDIR only): comp_ref_type + comp_ref tree +
+    comp_bwdref tree (ref WriteRefFrames compound path).  refs = (fwd
+    1..4, bwd 5..7) or None to decode."""
+    LA, L2, L3, GD, BW, A2, AL = 1, 2, 3, 4, 5, 6, 7
+    tctx = comp_ref_type_ctx(mi, tc, r, c)
+    t = _code_bin(enc, dec, fc.comp_ref_type[tctx],
+                  None if refs is None else 1)   # BIDIR_COMP_REFERENCE
+    assert t == 1, "unidirectional compound not supported"
+    # forward side
+    p = _ref_ctx(int(counts[LA] + counts[L2]), int(counts[L3] + counts[GD]))
+    bit = _code_bin(enc, dec, fc.comp_ref[p][0],
+                    None if refs is None else int(refs[0] in (L3, GD)))
+    if not bit:
+        p1 = _ref_ctx(int(counts[LA]), int(counts[L2]))
+        b1 = _code_bin(enc, dec, fc.comp_ref[p1][1],
+                       None if refs is None else int(refs[0] == L2))
+        fwd = L2 if b1 else LA
+    else:
+        p2 = _ref_ctx(int(counts[L3]), int(counts[GD]))
+        b2 = _code_bin(enc, dec, fc.comp_ref[p2][2],
+                       None if refs is None else int(refs[0] == GD))
+        fwd = GD if b2 else L3
+    # backward side
+    pb = _ref_ctx(int(counts[BW] + counts[A2]), int(counts[AL]))
+    bb = _code_bin(enc, dec, fc.comp_bwdref[pb][0],
+                   None if refs is None else int(refs[1] == AL))
+    if bb:
+        bwd = AL
+    else:
+        pb1 = _ref_ctx(int(counts[BW]), int(counts[A2]))
+        b3 = _code_bin(enc, dec, fc.comp_bwdref[pb1][1],
+                       None if refs is None else int(refs[1] == A2))
+        bwd = A2 if b3 else BW
+    return (fwd, bwd)
+
+
+# compound inter modes (AV1 enum; INTER_COMPOUND_OFFSET base)
+NEAREST_NEARESTMV, NEAR_NEARMV = 17, 18
+NEAREST_NEWMV, NEW_NEARESTMV, NEAR_NEWMV, NEW_NEARMV = 19, 20, 21, 22
+GLOBAL_GLOBALMV, NEW_NEWMV = 23, 24
+
+_COMP_MODE_CTX_MAP = ((0, 1, 1, 1, 1), (1, 2, 3, 4, 4), (4, 4, 5, 6, 7))
+
+
+def compound_mode_ctx(res) -> int:
+    """ref Av1ModeContextAnalyzer for rf[1] > INTRA_FRAME."""
+    return _COMP_MODE_CTX_MAP[res.refmv_ctx >> 1][min(res.newmv_ctx, 4)]
+
+
+def code_compound_mode(enc, dec, fc: FrameContext, res, mode=None) -> int:
+    """inter_compound_mode symbol (ref WriteInterCompoundMode)."""
+    cdf = fc.inter_compound_mode[compound_mode_ctx(res)]
+    sym = _code_sym(enc, dec, cdf, 8,
+                    None if mode is None else mode - NEAREST_NEARESTMV)
+    return sym + NEAREST_NEARESTMV
 
 
 def _ref_ctx(a: int, b: int) -> int:
@@ -775,6 +905,10 @@ def code_drl_idx(enc, dec, fc: FrameContext, res, mode: int,
                  drl_idx=None) -> int:
     """ref WriteDrlIdx; returns ref_mv_idx."""
     out = 0 if drl_idx is None else drl_idx
+    if mode == 24:                        # NEW_NEWMV (ref WriteDrlIdx
+        mode = NEWMV                      # new_mv gate)
+    elif mode in (18, 21, 22):            # have_nearmv compound modes
+        mode = NEARMV
     if mode == NEWMV:
         for idx in range(2):
             if res.num_mv_found > idx + 1:

@@ -529,6 +529,10 @@ class Encoder:
         if meta is not None and meta.get("nrefs", 1) == 2:
             t0, t1 = meta.get("ref_types", (1, 7))
             refs8 = np.where(arrs[9] == 0, t0, t1).astype(np.uint8)
+        sign_bias = None
+        if meta is not None:
+            sign_bias = O.ref_sign_biases(self.seq, meta["order_hint"],
+                                          meta["ref_hints"])
         fc = FrameContext(qindex)
         tile = None
         if cfg.entropy_backend in ("auto", "cpp"):
@@ -536,13 +540,14 @@ class Encoder:
             if native.available():
                 tile = native.encode_tile_inter_cpp(
                     fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
-                    sizes, mv, levels, cdef_idx=cdef_idx, refs=refs8)
+                    sizes, mv, levels, cdef_idx=cdef_idx, refs=refs8,
+                    sign_bias=sign_bias)
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
             tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
             tile = tw.encode_inter(sizes, mv, levels, cdef_idx=cdef_idx,
-                                   refs=refs8)
+                                   refs=refs8, sign_bias=sign_bias)
         hdr = {}
         if meta is not None:
             hdr = {"show_frame": meta["show"],

@@ -128,7 +128,8 @@ class TileWriter:
         return self.enc.done()
 
     def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
-                     levels: dict, cdef_idx=None, refs=None) -> bytes:
+                     levels: dict, cdef_idx=None, refs=None,
+                     sign_bias=None) -> bytes:
         """P/B-frame tile: variable-partition single-ref NEWMV blocks.
 
         sizes:  [nb8h, nb8w] leaf size (8/16/32) covering each 8x8 cell
@@ -144,6 +145,7 @@ class TileWriter:
         self.mvs = mvs
         self.levels = levels
         self.refs = refs
+        self.sign_bias = sign_bias or (0,) * 8
         self.inter = True
         self.cdef_idx = cdef_idx
         self.mi = MVP.MiInter(tc.mi_rows, tc.mi_cols)
@@ -216,7 +218,8 @@ class TileWriter:
         S.code_single_ref(enc, None, fc, counts, ref)
 
         # mode + drl + MV (predictor from the shared ref-MV stack)
-        res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref)
+        res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
+                                sign_bias=self.sign_bias)
         S.code_inter_mode(enc, None, fc, res, S.NEWMV)
         S.code_drl_idx(enc, None, fc, res, S.NEWMV, 0)
         pred_mv = MVP.lower_mv_precision(res.stack[0][0])

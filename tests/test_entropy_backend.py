@@ -116,12 +116,16 @@ def test_cpp_inter_tile_byte_identical():
                                       qindex, sizes, mv, levels)
         assert py == cpp
 
-        # per-cell refs (hier-B: mixed LAST/ALTREF single-ref blocks)
+        # per-cell refs (hier-B: mixed LAST/ALTREF single-ref blocks),
+        # with the backward ref sign-biased (MV flips in the relaxed
+        # ref-MV-stack extension must match bit-for-bit)
         refs = np.where(rng.random((gh, gw)) < 0.5, 1, 7).astype(np.uint8)
+        bias = (0, 0, 0, 0, 0, 0, 0, 1)
         tw2 = TileWriter(FrameContext(qindex), mi_rows, mi_cols, qindex)
-        py2 = tw2.encode_inter(sizes, mv, levels, refs=refs)
+        py2 = tw2.encode_inter(sizes, mv, levels, refs=refs,
+                               sign_bias=bias)
         cpp2 = B.encode_tile_inter_cpp(FrameContext(qindex), mi_rows,
                                        mi_cols, qindex, sizes, mv, levels,
-                                       refs=refs)
+                                       refs=refs, sign_bias=bias)
         assert py2 == cpp2
         assert py2 != py
