@@ -67,6 +67,8 @@ class EncoderConfig:
     enable_film_grain: bool = False
     screen_content_mode: int = 0
     enable_warped_motion: bool = False
+    compound_mode: int = 1            # 0 off, 1 COMPOUND_AVERAGE in
+                                      # hier-B (ref compound_level)
     disable_cdf_update: bool = False  # keep per-symbol CDF adaptation on
 
     # --- TPU build specific ---

@@ -115,17 +115,18 @@ class Decoder:
                               mode="edge")
 
             cpad = PAD // 2 + 1
-            self.banks = {}   # slot -> (bank_y, bank_u, bank_v)
+            self.banks = {}       # slot -> (bank_y, bank_u, bank_v)
+            self.planes_pad = {}  # slot -> full-pel padded (compound jnt)
             for slot in set(fp.ref_frame_idx):
                 ref = self.ref_slots[slot]
                 assert ref is not None, f"missing reference in slot {slot}"
-                self.banks[slot] = (
-                    MC.phase_bank(
-                        np, MC.pad_for_filter(np, pad32(ref[0], 0), PAD), 4),
-                    MC.phase_bank(
-                        np, MC.pad_for_filter(np, pad32(ref[1], 1), cpad), 2),
-                    MC.phase_bank(
-                        np, MC.pad_for_filter(np, pad32(ref[2], 1), cpad), 2))
+                py = MC.pad_for_filter(np, pad32(ref[0], 0), PAD)
+                pu = MC.pad_for_filter(np, pad32(ref[1], 1), cpad)
+                pv = MC.pad_for_filter(np, pad32(ref[2], 1), cpad)
+                self.planes_pad[slot] = (py, pu, pv)
+                self.banks[slot] = (MC.phase_bank(np, py, 4),
+                                    MC.phase_bank(np, pu, 2),
+                                    MC.phase_bank(np, pv, 2))
 
         self.cdef_idx_map = np.zeros((-(-mi_rows // SB_MI),
                                       -(-mi_cols // SB_MI)), np.int32)
@@ -221,37 +222,61 @@ class Decoder:
 
         is_inter = S.code_is_inter(None, dec, fc, mi, tc, r4, c4)
         assert is_inter, "intra blocks in inter frames not yet supported"
+        is_comp = False
+        if self.fp.reference_select:
+            is_comp = bool(S.code_comp_inter(None, dec, fc, mi, tc, r4, c4))
         counts = S.neighbor_ref_counts(mi, tc, r4, c4)
-        ref = S.code_single_ref(None, dec, fc, counts)
+        mv8b = None
+        if is_comp:
+            rf = S.code_comp_refs(None, dec, fc, mi, tc, counts, r4, c4)
+            res = MVP.find_mv_stack_comp(mi, r4, c4, n4, n4, rf,
+                                         sign_bias=self.sign_bias)
+            mode = S.code_compound_mode(None, dec, fc, res)
+            if mode == S.NEW_NEWMV:
+                ref_mv_idx = S.code_drl_idx(None, dec, fc, res, mode)
+                pmv0 = MVP.lower_mv_precision(res.stack[ref_mv_idx][0][0])
+                pmv1 = MVP.lower_mv_precision(res.stack[ref_mv_idx][0][1])
+                mv8 = S.code_mv(None, dec, fc, pmv0)
+                mv8b = S.code_mv(None, dec, fc, pmv1)
+            elif mode == S.NEAREST_NEARESTMV:
+                mv8 = MVP.lower_mv_precision(res.stack[0][0][0])
+                mv8b = MVP.lower_mv_precision(res.stack[0][0][1])
+            else:
+                raise AssertionError(f"unsupported compound mode {mode}")
+            ref, ref2 = rf
+        else:
+            ref = S.code_single_ref(None, dec, fc, counts)
+            ref2 = MVP.NONE_FRAME
+            res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
+                                    sign_bias=self.sign_bias)
+            mode = S.code_inter_mode(None, dec, fc, res)
+            if mode in (S.NEWMV, S.NEARMV):
+                ref_mv_idx = S.code_drl_idx(None, dec, fc, res, mode)
+            else:
+                ref_mv_idx = 0
+            if mode == S.NEWMV:
+                pred_mv = MVP.lower_mv_precision(res.stack[ref_mv_idx][0])
+                mv8 = S.code_mv(None, dec, fc, pred_mv)
+            elif mode == S.NEARESTMV:
+                mv8 = MVP.lower_mv_precision(res.stack[0][0])
+            elif mode == S.NEARMV:
+                mv8 = MVP.lower_mv_precision(res.stack[ref_mv_idx + 1][0])
+            else:
+                mv8 = res.global_mv
         bank_y, bank_u, bank_v = self.banks[self.fp.ref_frame_idx[ref - 1]]
-
-        res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
-                                sign_bias=self.sign_bias)
-        mode = S.code_inter_mode(None, dec, fc, res)
-        if mode in (S.NEWMV, S.NEARMV):
-            ref_mv_idx = S.code_drl_idx(None, dec, fc, res, mode)
-        else:
-            ref_mv_idx = 0
-        if mode == S.NEWMV:
-            pred_mv = MVP.lower_mv_precision(res.stack[ref_mv_idx][0])
-            mv8 = S.code_mv(None, dec, fc, pred_mv)
-        elif mode == S.NEARESTMV:
-            mv8 = MVP.lower_mv_precision(res.stack[0][0])
-        elif mode == S.NEARMV:
-            mv8 = MVP.lower_mv_precision(res.stack[ref_mv_idx + 1][0])
-        else:
-            mv8 = res.global_mv
 
         tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), S.DC_PRED,
                      skip)
         mi.set_block(r4, c4, n4, n4, is_inter=True, ref_frame=ref,
-                     mode=mode, mv=mv8)
+                     mode=mode, mv=mv8, ref_frame2=ref2,
+                     mv2=mv8b if mv8b is not None else (0, 0))
 
-        assert mv8[0] % 2 == 0 and mv8[1] % 2 == 0, \
-            "high-precision MVs not supported (allow_high_precision_mv=0)"
         lim = SEARCH_RANGE * 8 + 6
-        assert abs(mv8[0]) <= lim and abs(mv8[1]) <= lim, \
-            f"MV {mv8} beyond decoder reference padding"
+        for m in ([mv8, mv8b] if mv8b is not None else [mv8]):
+            assert m[0] % 2 == 0 and m[1] % 2 == 0, \
+                "high-precision MVs unsupported (allow_high_precision_mv=0)"
+            assert abs(m[0]) <= lim and abs(m[1]) <= lim, \
+                f"MV {m} beyond decoder reference padding"
         for plane, tx_size in enumerate(
                 (self._TX_OF[bs], self._TX_OF_C[bs], self._TX_OF_C[bs])):
             pr = r4 >> (plane > 0)
@@ -272,14 +297,24 @@ class Decoder:
                 tc.set_txb(plane, pr, pc, w4, w4, cul)
 
             py, px = pr * 4, pc * 4
-            if plane == 0:
+            cpad = PAD // 2 + 1
+            if is_comp:
+                pp0 = self.planes_pad[self.fp.ref_frame_idx[ref - 1]]
+                pp1 = self.planes_pad[self.fp.ref_frame_idx[ref2 - 1]]
+                ppad = PAD if plane == 0 else cpad
+                pred = MC.jnt_average(
+                    np,
+                    MC.jnt_pred_np(pp0[plane], py, px, mv8, pbs, ppad,
+                                   plane > 0),
+                    MC.jnt_pred_np(pp1[plane], py, px, mv8b, pbs, ppad,
+                                   plane > 0))
+            elif plane == 0:
                 r0 = py + PAD + (mv8[0] >> 3)
                 c0 = px + PAD + (mv8[1] >> 3)
                 pred = bank_y[((mv8[0] * 2) & 15) >> 2,
                               ((mv8[1] * 2) & 15) >> 2][
                     r0 : r0 + pbs, c0 : c0 + pbs]
             else:
-                cpad = PAD // 2 + 1
                 r0 = py + cpad + (mv8[0] >> 4)
                 c0 = px + cpad + (mv8[1] >> 4)
                 bank_c = bank_u if plane == 1 else bank_v

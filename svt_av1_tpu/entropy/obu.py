@@ -231,6 +231,7 @@ class FrameParams:
     # RefOrderHint[ref_frame_idx[i]] for i=0..6 — drives the skip-mode
     # header gate (spec 5.9.22); filled by the scheduler for hier-B
     ref_order_hints: tuple = (0,) * 7
+    reference_select: bool = False    # compound blocks allowed
     # loop filter levels (y-vert, y-horz, u, v); 0 = off
     filter_levels: tuple = (0, 0, 0, 0)
     # cdef (present in headers only when the sequence enables cdef)
@@ -372,7 +373,7 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     # lr: disabled in sequence -> no bits
     w.f(fp.tx_mode_select, 1)    # read_tx_mode (0 = LARGEST)
     if not fp.is_intra:
-        w.f(0, 1)                # reference_select (single ref only)
+        w.f(int(fp.reference_select), 1)
     # skip_mode_params (spec 5.9.22): gate depends on ref order hints
     if (not fp.is_intra and skip_mode_allowed(sp, fp.order_hint,
                                               fp.ref_order_hints)):
@@ -452,8 +453,9 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
             y_str.append((r.f(4), r.f(2)))
             uv_str.append((r.f(4), r.f(2)))
     tx_mode_select = r.f(1)
+    reference_select = False
     if not is_intra:
-        assert r.f(1) == 0  # reference_select
+        reference_select = bool(r.f(1))
     if not is_intra and skip_mode_allowed(sp, order_hint, ref_hints):
         assert r.f(1) == 0, "skip_mode_present"
     reduced_tx_set = bool(r.f(1))
@@ -463,7 +465,7 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
     return FrameParams(base_q_idx, disable_cdf_update, reduced_tx_set,
                        tx_mode_select, cols_log2, rows_log2, frame_type,
                        refresh, ref_idx, show_frame, order_hint, ref_hints,
-                       (l0, l1, lu, lv_),
+                       reference_select, (l0, l1, lu, lv_),
                        cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str))
 
 

@@ -129,6 +129,63 @@ def phase_bank(xp, plane_padded, step: int):
     return xp.stack(rows)
 
 
+# ---- compound (jnt) convolve: round_1 = 7, CONV_BUF intermediate ------
+# ref av1_jnt_convolve_2d_c (EbInterPrediction.c:267): im and res keep
+# the compound offsets; the average path removes them.  The 2-D form
+# with phase-0 kernels reproduces the x/y/copy jnt variants exactly
+# (pure integer algebra: 128-weight taps shift out of the rounds), so
+# ONE formula serves every phase — no per-variant control flow on TPU.
+JNT_ROUND1 = 7
+JNT_OFFSET_BITS = BD + 2 * FILTER_BITS - ROUND0          # 19
+JNT_ROUND_OFFSET = ((1 << (JNT_OFFSET_BITS - JNT_ROUND1))
+                    + (1 << (JNT_OFFSET_BITS - JNT_ROUND1 - 1)))  # 6144
+JNT_ROUND_BITS = 2 * FILTER_BITS - ROUND0 - JNT_ROUND1   # 4
+
+
+def jnt_block(xp, patch, kx, ky):
+    """One block's compound-domain prediction.
+
+    patch: int32 [bs+7, bs+7] full-pel window (top-left at fullpel
+    position - 3); kx, ky: 8-tap kernels.  Returns CONV_BUF int32
+    [bs, bs] (ref av1_jnt_convolve_2d_c non-averaging pass).
+    """
+    bs = patch.shape[0] - 7
+    offset0 = 1 << (BD + FILTER_BITS - 1)
+    im = None
+    for k in range(8):
+        term = kx[k] * patch[:, k : k + bs]
+        im = term if im is None else im + term
+    im = _round_shift(im + offset0, ROUND0)
+    res = None
+    for k in range(8):
+        term = ky[k] * im[k : k + bs, :]
+        res = term if res is None else res + term
+    return _round_shift(res + (1 << JNT_OFFSET_BITS), JNT_ROUND1)
+
+
+def jnt_average(xp, res0, res1):
+    """COMPOUND_AVERAGE of two CONV_BUF blocks -> pixels (ref
+    av1_jnt_convolve_*_c do_average path, use_jnt_comp_avg=0)."""
+    tmp = ((res0 + res1) >> 1) - JNT_ROUND_OFFSET
+    return xp.clip(_round_shift(tmp, JNT_ROUND_BITS), 0, 255)
+
+
+def jnt_pred_np(plane_pad, py: int, px: int, mv8: tuple, bs: int,
+                pad: int, chroma: bool):
+    """Decoder-side per-block compound-domain prediction (numpy twin of
+    the device path).  plane_pad is pad_for_filter(np, plane, pad)."""
+    if chroma:
+        fy, fx = mv8[0] >> 4, mv8[1] >> 4
+        phy, phx = mv8[0] & 15, mv8[1] & 15
+    else:
+        fy, fx = mv8[0] >> 3, mv8[1] >> 3
+        phy, phx = (mv8[0] * 2) & 15, (mv8[1] * 2) & 15
+    r0 = py + fy + pad
+    c0 = px + fx + pad
+    patch = plane_pad[r0 : r0 + bs + 7, c0 : c0 + bs + 7]
+    return jnt_block(np, patch, regular_kernel(phx), regular_kernel(phy))
+
+
 def pad_for_filter(xp, plane, pad: int):
     """Edge-replicate pad by (pad+3) left/top and (pad+4) right/bottom.
 

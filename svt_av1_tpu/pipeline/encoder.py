@@ -283,6 +283,7 @@ class Encoder:
         lvls = self._lf_levels(qindex, False)
         dyn = (jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                jnp.int32(lvls[3]))
+        compound = False
         if step.bwd is None:
             fn = PE.build_p_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
@@ -291,9 +292,10 @@ class Encoder:
             nrefs = 1
         else:
             bwd = self._store[step.bwd]
+            compound = cfg.compound_mode > 0
             fn = PE.build_b_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                cdef=cfg.enable_cdef)
+                cdef=cfg.enable_cdef, compound=compound)
             out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
             nrefs = 2
         slot = self._free_slots.pop(0)
@@ -307,6 +309,7 @@ class Encoder:
         bh = fh if step.bwd is None else self._hint(step.bwd)
         meta = {"display": step.disp, "show": False, "nrefs": nrefs,
                 "ref_types": (1, 7),            # LAST, ALTREF
+                "compound": compound,
                 "order_hint": self._hint(step.disp),
                 "refresh": 1 << slot,
                 "ref_idx": (fs, fs, fs, fs, bs, bs, bs),
@@ -526,16 +529,32 @@ class Encoder:
         # 1 -> ref1); hier-B pairs (LAST, ALTREF), low-delay B (LAST,
         # GOLDEN)
         refs8 = None
+        mvs2 = None
+        comp_pair = None
+        ref_select = False
         if meta is not None and meta.get("nrefs", 1) == 2:
             t0, t1 = meta.get("ref_types", (1, 7))
-            refs8 = np.where(arrs[9] == 0, t0, t1).astype(np.uint8)
+            if meta.get("compound"):
+                mode8 = arrs[9]
+                # 0 in refs8 marks a compound cell (frame-level pair)
+                refs8 = np.where(mode8 == 0, t0,
+                                 np.where(mode8 == 1, t1, 0)).astype(
+                                     np.uint8)
+                # reference_select only when compound blocks exist —
+                # single-ref-only frames keep the C++ fast path
+                ref_select = bool((mode8 == 2).any())
+                if ref_select:
+                    mvs2 = arrs[10].astype(np.int32)
+                    comp_pair = (t0, t1)
+            else:
+                refs8 = np.where(arrs[9] == 0, t0, t1).astype(np.uint8)
         sign_bias = None
         if meta is not None:
             sign_bias = O.ref_sign_biases(self.seq, meta["order_hint"],
                                           meta["ref_hints"])
         fc = FrameContext(qindex)
         tile = None
-        if cfg.entropy_backend in ("auto", "cpp"):
+        if not ref_select and cfg.entropy_backend in ("auto", "cpp"):
             from svt_av1_tpu.entropy import backend as native
             if native.available():
                 tile = native.encode_tile_inter_cpp(
@@ -547,14 +566,16 @@ class Encoder:
         if tile is None:
             tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
             tile = tw.encode_inter(sizes, mv, levels, cdef_idx=cdef_idx,
-                                   refs=refs8, sign_bias=sign_bias)
+                                   refs=refs8, sign_bias=sign_bias,
+                                   comp_pair=comp_pair, mvs2=mvs2)
         hdr = {}
         if meta is not None:
             hdr = {"show_frame": meta["show"],
                    "order_hint": meta["order_hint"],
                    "refresh_frame_flags": meta["refresh"],
                    "ref_frame_idx": meta["ref_idx"],
-                   "ref_order_hints": meta["ref_hints"]}
+                   "ref_order_hints": meta["ref_hints"],
+                   "reference_select": ref_select}
         else:
             hdr = {"refresh_frame_flags": 0x01}
         fp = O.FrameParams(base_q_idx=qindex,

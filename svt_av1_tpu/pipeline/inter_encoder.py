@@ -129,6 +129,47 @@ def _subpel_refine(src_blocks, bank, mv8, cost, bs: int, pad: int, lam: int,
     return mv8, cost
 
 
+def _jnt_pred_grid(plane_pad, mv8, bs: int, pad: int, chroma: bool):
+    """Batched compound-domain (CONV_BUF) prediction: one bs x bs block
+    per grid cell from the full-pel padded plane, per-block subpel
+    kernels selected arithmetically (no per-block control flow).
+    Mirrors ops.mc.jnt_block / jnt_pred_np exactly."""
+    from svt_av1_tpu import tables as _tbl
+    table = jnp.asarray(_tbl.spec_tables()["subpel_filters_regular"],
+                        jnp.int32)                       # [16][8]
+    gh, gw = mv8.shape[:2]
+    if chroma:
+        f = mv8 >> 4
+        ph = mv8 & 15
+    else:
+        f = mv8 >> 3
+        ph = (mv8 * 2) & 15
+    win = bs + 7
+    r0 = (jnp.arange(gh)[:, None] * bs + f[..., 0] + pad).reshape(-1)
+    c0 = (jnp.arange(gw)[None, :] * bs + f[..., 1] + pad).reshape(-1)
+
+    def slc(r, c):
+        return jax.lax.dynamic_slice(plane_pad, (r, c), (win, win))
+
+    patches = jax.vmap(slc)(r0, c0).reshape(gh, gw, win, win)
+    onehot = lambda p: (p[..., None] == jnp.arange(16)).astype(jnp.int32)
+    kx = jnp.einsum("ghp,pk->ghk", onehot(ph[..., 1]), table)
+    ky = jnp.einsum("ghp,pk->ghk", onehot(ph[..., 0]), table)
+    im = None
+    for k in range(8):
+        term = kx[..., k, None, None] * patches[..., :, k : k + bs]
+        im = term if im is None else im + term
+    im = (im + (1 << 14) + 4) >> 3                       # round_0 = 3
+    res = None
+    for k in range(8):
+        term = ky[..., k, None, None] * im[..., k : k + bs, :]
+        res = term if res is None else res + term
+    return (res + (1 << 19) + 64) >> 7                   # round_1 = 7
+
+
+COMP_EXTRA_BITS = 8  # comp_inter + ref pair + compound mode signaling
+
+
 def _sum4(a):
     """[2H, 2W] -> [H, W] 2x2 block sum."""
     return a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2).sum((1, 3))
@@ -144,7 +185,7 @@ def _tiles8(x, t: int):
 
 
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
-                 nrefs: int = 1):
+                 nrefs: int = 1, compound: bool = False):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
@@ -190,14 +231,17 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         sv = sv.astype(jnp.int32)
         cpad = pad // 2 + 1
         banks = []
+        padded = []   # full-pel padded planes (compound jnt path)
         for i in range(nrefs):
-            banks.append((
-                MC.phase_bank(jnp, MC.pad_for_filter(
-                    jnp, refs[3 * i].astype(jnp.int32), pad), 4),
-                MC.phase_bank(jnp, MC.pad_for_filter(
-                    jnp, refs[3 * i + 1].astype(jnp.int32), cpad), 2),
-                MC.phase_bank(jnp, MC.pad_for_filter(
-                    jnp, refs[3 * i + 2].astype(jnp.int32), cpad), 2)))
+            py_ = MC.pad_for_filter(jnp, refs[3 * i].astype(jnp.int32), pad)
+            pu_ = MC.pad_for_filter(jnp, refs[3 * i + 1].astype(jnp.int32),
+                                    cpad)
+            pv_ = MC.pad_for_filter(jnp, refs[3 * i + 2].astype(jnp.int32),
+                                    cpad)
+            padded.append((py_, pu_, pv_))
+            banks.append((MC.phase_bank(jnp, py_, 4),
+                          MC.phase_bank(jnp, pu_, 2),
+                          MC.phase_bank(jnp, pv_, 2)))
 
         def me_one_ref(ry_i, bank_y_i):
             # hierarchical full-pel ME: quarter-res center search, then a
@@ -222,20 +266,45 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 mv_i[bs], cost_i[bs] = _subpel_refine(
                     _block(sy, bs), bank_y_i, p2[bs][0] * 8, true_cost, bs,
                     pad, lam, priors[bs] * 8)
-            return mv_i, cost_i
+            return mv_i, cost_i, priors
 
         per_ref = [me_one_ref(refs[3 * i].astype(jnp.int32), banks[i][0])
                    for i in range(nrefs)]
-        mv, cost = per_ref[0]
+        mv, cost = per_ref[0][:2]
         refsel = {bs: None for bs in SIZES}
+        mv_c = {bs: None for bs in SIZES}   # compound second (bwd) MV
         if nrefs == 2:
-            mv1, cost1 = per_ref[1]
+            mv1, cost1 = per_ref[1][:2]
             mv, cost = dict(mv), dict(cost)
             for bs in SIZES:
-                sel = cost1[bs] < cost[bs]
-                refsel[bs] = sel
-                mv[bs] = jnp.where(sel[..., None], mv1[bs], mv[bs])
-                cost[bs] = jnp.minimum(cost1[bs], cost[bs])
+                sel = (cost1[bs] < cost[bs]).astype(jnp.uint8)
+                mv_sel_single = jnp.where(sel[..., None].astype(bool),
+                                          mv1[bs], mv[bs])
+                cost_single = jnp.minimum(cost1[bs], cost[bs])
+                if compound:
+                    # COMPOUND_AVERAGE candidate from the per-ref best
+                    # MVs (ref per-ref ME + BI candidate injection)
+                    mid0 = _jnt_pred_grid(padded[0][0], mv[bs], bs, pad,
+                                          False)
+                    mid1 = _jnt_pred_grid(padded[1][0], mv1[bs], bs, pad,
+                                          False)
+                    pred_c = MC.jnt_average(jnp, mid0, mid1)
+                    rate = (ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
+                            + ME.mv_rate_bits(mv1[bs]
+                                              - per_ref[1][2][bs] * 8)
+                            + COMP_EXTRA_BITS)
+                    cost_c = (jnp.abs(_block(sy, bs) - pred_c).sum((-1, -2))
+                              + ((lam * rate) >> 4))
+                    use_c = cost_c < cost_single
+                    refsel[bs] = jnp.where(use_c, 2, sel).astype(jnp.uint8)
+                    mv[bs] = jnp.where(use_c[..., None], mv[bs],
+                                       mv_sel_single)
+                    mv_c[bs] = mv1[bs]
+                    cost[bs] = jnp.minimum(cost_c, cost_single)
+                else:
+                    refsel[bs] = sel
+                    mv[bs] = mv_sel_single
+                    cost[bs] = cost_single
 
         # --- bottom-up merge decisions (rate-biased; static edge masks) ---
         oh = (lam * LEAF_OVERHEAD_BITS) >> 4
@@ -267,30 +336,49 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                            jnp.where(up2(use16)[..., None], up2(mv[16]),
                                      mv[8])).astype(jnp.int16)
 
-        # selected-ref field (0 = ref0/forward, 1 = ref1/backward)
+        # selected-ref/mode field (0 = ref0/fwd, 1 = ref1/bwd,
+        # 2 = compound average) + second MV for compound leaves
         ref8 = None
+        mv2_sel = None
         if nrefs == 2:
             ref8 = jnp.where(up2(up2(use32)), up2(up2(refsel[32])),
                              jnp.where(up2(use16), up2(refsel[16]),
                                        refsel[8])).astype(jnp.uint8)
+            if compound:
+                mv2_sel = jnp.where(
+                    up2(up2(use32))[..., None], up2(up2(mv_c[32])),
+                    jnp.where(up2(use16)[..., None], up2(mv_c[16]),
+                              mv_c[8])).astype(jnp.int16)
 
         # --- residual coding at every size, all three planes -------------
-        def mc_sel(mc_fn, bank_idx, bs2, mv2, sel, pad2):
-            p0 = mc_fn(banks[0][bank_idx], mv2, bs2, pad2)
+        def mc_sel(mc_fn, plane_idx, bs2, mvs2, mvs_c, sel, pad2,
+                   chroma):
+            p0 = mc_fn(banks[0][plane_idx], mvs2, bs2, pad2)
             if nrefs == 1:
                 return p0
-            p1 = mc_fn(banks[1][bank_idx], mv2, bs2, pad2)
-            return jnp.where(sel[..., None, None], p1, p0)
+            p1 = mc_fn(banks[1][plane_idx], mvs2, bs2, pad2)
+            out = jnp.where((sel == 1)[..., None, None], p1, p0)
+            if compound:
+                m0 = _jnt_pred_grid(padded[0][plane_idx], mvs2, bs2, pad2,
+                                    chroma)
+                m1 = _jnt_pred_grid(padded[1][plane_idx], mvs_c, bs2,
+                                    pad2, chroma)
+                pc = MC.jnt_average(jnp, m0, m1)
+                out = jnp.where((sel == 2)[..., None, None], pc, out)
+            return out
 
         levels = {}
         rec_planes = {}
         for bs in SIZES:
-            pred_y = mc_sel(_mc_luma, 0, bs, mv[bs], refsel[bs], pad)
+            pred_y = mc_sel(_mc_luma, 0, bs, mv[bs], mv_c[bs], refsel[bs],
+                            pad, False)
             ly, rec_y = _encode_plane(_block(sy, bs), pred_y, q,
                                       TX_OF[bs])
             cbs = bs // 2
-            pred_u = mc_sel(_mc_chroma, 1, cbs, mv[bs], refsel[bs], cpad)
-            pred_v = mc_sel(_mc_chroma, 2, cbs, mv[bs], refsel[bs], cpad)
+            pred_u = mc_sel(_mc_chroma, 1, cbs, mv[bs], mv_c[bs],
+                            refsel[bs], cpad, True)
+            pred_v = mc_sel(_mc_chroma, 2, cbs, mv[bs], mv_c[bs],
+                            refsel[bs], cpad, True)
             lu, rec_u = _encode_plane(_block(su, cbs), pred_u, q,
                                       TX_OF_C[bs])
             lv, rec_v = _encode_plane(_block(sv, cbs), pred_v, q,
@@ -385,6 +473,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                rec_y, rec_u, rec_v, idx_sb)
         if nrefs == 2:
             out = out + (ref8,)
+        if compound:
+            out = out + (mv2_sel,)
         return out
 
     # static edge-legality masks in mi-grid terms are bound by the caller
@@ -453,10 +543,11 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
 @functools.lru_cache(maxsize=4)
 def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
-                              cdef: bool = False):
+                              cdef: bool = False, compound: bool = False):
     """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
     r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
-    (hier-B layer offsets, rate control)."""
-    fn = p_frame_step(ph, pw, None, search, nrefs=2)
+    (hier-B layer offsets, rate control).  compound=True adds the
+    COMPOUND_AVERAGE candidate (fwd+bwd pairs only)."""
+    fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -129,7 +129,7 @@ class TileWriter:
 
     def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
                      levels: dict, cdef_idx=None, refs=None,
-                     sign_bias=None) -> bytes:
+                     sign_bias=None, comp_pair=None, mvs2=None) -> bytes:
         """P/B-frame tile: variable-partition single-ref NEWMV blocks.
 
         sizes:  [nb8h, nb8w] leaf size (8/16/32) covering each 8x8 cell
@@ -146,6 +146,11 @@ class TileWriter:
         self.levels = levels
         self.refs = refs
         self.sign_bias = sign_bias or (0,) * 8
+        # compound: refs cell value COMP_CELL marks a compound block
+        # using the frame-level BIDIR pair comp_pair with second MV mvs2
+        self.comp_pair = comp_pair
+        self.mvs2 = mvs2
+        self.ref_select = comp_pair is not None
         self.inter = True
         self.cdef_idx = cdef_idx
         self.mi = MVP.MiInter(tc.mi_rows, tc.mi_cols)
@@ -210,25 +215,51 @@ class TileWriter:
         update_icdf(cdf, skip, 2)
         self._write_cdef(r4, c4, skip)
 
-        # is_inter + ref frame
+        # is_inter + ref frame(s)
         ref = (MVP.LAST_FRAME if self.refs is None
                else int(self.refs[r4 // 2, c4 // 2]))
+        is_comp = self.ref_select and ref == 0
         S.code_is_inter(enc, None, fc, mi, tc, r4, c4, True)
+        if self.ref_select:
+            S.code_comp_inter(enc, None, fc, mi, tc, r4, c4, int(is_comp))
         counts = S.neighbor_ref_counts(mi, tc, r4, c4)
-        S.code_single_ref(enc, None, fc, counts, ref)
+        if is_comp:
+            rf = self.comp_pair
+            S.code_comp_refs(enc, None, fc, mi, tc, counts, r4, c4, rf)
+            res = MVP.find_mv_stack_comp(mi, r4, c4, n4, n4, rf,
+                                         sign_bias=self.sign_bias)
+            mv8b = (int(self.mvs2[r4 // 2, c4 // 2, 0]),
+                    int(self.mvs2[r4 // 2, c4 // 2, 1]))
+            pmv0 = MVP.lower_mv_precision(res.stack[0][0][0])
+            pmv1 = MVP.lower_mv_precision(res.stack[0][0][1])
+            if (mv8, mv8b) == (pmv0, pmv1):
+                mode = S.NEAREST_NEARESTMV
+                S.code_compound_mode(enc, None, fc, res, mode)
+            else:
+                mode = S.NEW_NEWMV
+                S.code_compound_mode(enc, None, fc, res, mode)
+                S.code_drl_idx(enc, None, fc, res, mode, 0)
+                S.code_mv(enc, None, fc, pmv0, mv8)
+                S.code_mv(enc, None, fc, pmv1, mv8b)
+            tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4),
+                         S.DC_PRED, skip)
+            mi.set_block(r4, c4, n4, n4, is_inter=True, ref_frame=rf[0],
+                         ref_frame2=rf[1], mode=mode, mv=mv8, mv2=mv8b)
+        else:
+            S.code_single_ref(enc, None, fc, counts, ref)
 
-        # mode + drl + MV (predictor from the shared ref-MV stack)
-        res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
-                                sign_bias=self.sign_bias)
-        S.code_inter_mode(enc, None, fc, res, S.NEWMV)
-        S.code_drl_idx(enc, None, fc, res, S.NEWMV, 0)
-        pred_mv = MVP.lower_mv_precision(res.stack[0][0])
-        S.code_mv(enc, None, fc, pred_mv, mv8)
+            # mode + drl + MV (predictor from the shared ref-MV stack)
+            res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
+                                    sign_bias=self.sign_bias)
+            S.code_inter_mode(enc, None, fc, res, S.NEWMV)
+            S.code_drl_idx(enc, None, fc, res, S.NEWMV, 0)
+            pred_mv = MVP.lower_mv_precision(res.stack[0][0])
+            S.code_mv(enc, None, fc, pred_mv, mv8)
 
-        tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), S.DC_PRED,
-                     skip)
-        mi.set_block(r4, c4, n4, n4, is_inter=True,
-                     ref_frame=ref, mode=S.NEWMV, mv=mv8)
+            tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4),
+                         S.DC_PRED, skip)
+            mi.set_block(r4, c4, n4, n4, is_inter=True,
+                         ref_frame=ref, mode=S.NEWMV, mv=mv8)
 
         for plane, (lvl, tx_size) in enumerate(
                 zip(lvls, (self._TX_OF[bs], self._TX_OF_C[bs],

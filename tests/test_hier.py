@@ -112,6 +112,33 @@ def test_low_delay_b_e2e_bit_exact():
         np.testing.assert_array_equal(shown[d].v, pkts[d].recon.v)
 
 
+def test_hier_compound_e2e_bit_exact():
+    """Compound average blocks: the middle frame is a literal blend of
+    its two references, so COMPOUND_AVERAGE must win on most blocks.
+    Parity invariant unchanged: decoded == recon bit-exact."""
+    W, H = 192, 128
+    rng = np.random.default_rng(7)
+    f0 = synthetic_frame(W, H, seed=0)
+    f2 = synthetic_frame(W, H, seed=3)
+    f1 = synthetic_frame(W, H, seed=0)
+    for pl in "yuv":
+        a = getattr(f0, pl).astype(np.int32)
+        b = getattr(f2, pl).astype(np.int32)
+        blend = ((a + b + 1) // 2
+                 + rng.integers(-2, 3, a.shape)).clip(0, 255)
+        getattr(f1, pl)[:] = blend.astype(np.uint8)
+    cfg = EncoderConfig(width=W, height=H, qp=45, intra_period=63,
+                        pred_structure=2, hierarchical_levels=1,
+                        scene_change_detection=False)
+    pkts, shown = _drive(cfg, [f0, f1, f2])
+    assert len(shown) == 3
+    recs = {p.display_idx: p.recon for p in pkts if p.recon is not None}
+    for d in range(3):
+        np.testing.assert_array_equal(shown[d].y, recs[d].y)
+        np.testing.assert_array_equal(shown[d].u, recs[d].u)
+        np.testing.assert_array_equal(shown[d].v, recs[d].v)
+
+
 def test_hier_keyframe_interval_flushes_gop():
     W, H = 128, 96
     cfg = EncoderConfig(width=W, height=H, qp=45, intra_period=3,
