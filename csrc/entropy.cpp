@@ -150,6 +150,11 @@ struct Tables {
   int32_t* intra_inter;   // [4][3]
   int32_t* single_ref;    // [3][6][3]
   int32_t* inter_ext_tx;  // [4][4][17]
+  int32_t* comp_inter;       // [5][3]
+  int32_t* comp_ref_type;    // [5][3]
+  int32_t* comp_ref;         // [3][3][3]
+  int32_t* comp_bwdref;      // [3][2][3]
+  int32_t* inter_comp_mode;  // [8][9]
   int32_t* nmv_joints;    // [5]
   int32_t* nmv_classes;   // [2][12]
   int32_t* nmv_class0_fp; // [2][2][5]
@@ -168,6 +173,7 @@ constexpr long TABLE_SIZES[] = {
     2 * 2 * 6, 2 * 2 * 7, 2 * 2 * 8, 2 * 2 * 9, 2 * 2 * 10, 2 * 2 * 11,
     2 * 2 * 12,
     6 * 3, 2 * 3, 6 * 3, 3 * 3, 4 * 3, 3 * 6 * 3, 4 * 4 * 17,
+    5 * 3, 5 * 3, 3 * 3 * 3, 3 * 2 * 3, 8 * 9,
     5, 2 * 12, 2 * 2 * 5, 2 * 5, 2 * 3, 2 * 3, 2 * 3, 2 * 3, 2 * 10 * 3,
 };
 constexpr int N_TABLES = sizeof(TABLE_SIZES) / sizeof(long);
@@ -188,6 +194,8 @@ void bind_tables(Tables* t, int32_t* blob) {
       &t->eob_pt[4], &t->eob_pt[5], &t->eob_pt[6],
       &t->newmv, &t->zeromv, &t->refmv, &t->drl, &t->intra_inter,
       &t->single_ref, &t->inter_ext_tx,
+      &t->comp_inter, &t->comp_ref_type, &t->comp_ref, &t->comp_bwdref,
+      &t->inter_comp_mode,
       &t->nmv_joints, &t->nmv_classes, &t->nmv_class0_fp, &t->nmv_fp,
       &t->nmv_sign, &t->nmv_class0_hp, &t->nmv_hp, &t->nmv_class0,
       &t->nmv_bits};
@@ -667,7 +675,11 @@ struct TileWriter {
   bool cdef_done = false;             // per-64x64 first-non-skip flag
   const int32_t* mvs = nullptr;      // [nb8h][nb8w][2] 1/8-pel (selected)
   const uint8_t* ref_map = nullptr;  // [nb8h][nb8w] ref type 1..7 (LAST..
-                                     // ALTREF); null = all LAST (flat P)
+                                     // ALTREF); 0 = compound cell;
+                                     // null = all LAST (flat P)
+  const int32_t* mvs2 = nullptr;     // second (bwd) MV of compound cells
+  int ref_select = 0;                // frame codes comp_inter bits
+  int comp_fwd = 1, comp_bwd = 7;    // frame-level BIDIR pair
   const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8/16/32
   const int32_t* lv_inter[3][3];     // [size8/16/32][plane] level grids
   int nb8w = 0;
@@ -684,7 +696,7 @@ struct TileWriter {
   static constexpr int REF_CAT_LEVEL = 640, MAX_STACK = 8;
   static constexpr int LAST_FRAME = 1;
 
-  struct Cand { int16_t mv[2]; int32_t weight; };
+  struct Cand { int16_t mv[2]; int16_t mv2[2]; int32_t weight; };
 
   struct StackResult {
     Cand stack[MAX_STACK + 2];
@@ -722,7 +734,9 @@ struct TileWriter {
   }
 
   void find_mv_stack(int mi_row, int mi_col, int w4, int h4,
-                     StackResult* out, int ref_frame = LAST_FRAME) const {
+                     StackResult* out, int ref_frame = LAST_FRAME,
+                     int ref2 = -1) const {
+    const bool is_comp = ref2 > 0;
     Cand stack[MAX_STACK];
     int n_stack = 0;
     int newmv_count = 0, row_match = 0, col_match = 0;
@@ -735,6 +749,31 @@ struct TileWriter {
       size_t p = static_cast<size_t>(r) * mi_cols + c;
       if (!mi_inter[p]) return false;
       bool matched = false;
+      if (is_comp) {
+        // compound path: both refs must match the pair
+        if (mi_ref[p] == ref_frame && mi_ref2[p] == ref2) {
+          matched = true;
+          int16_t m0r = mi_mv[p * 2], m0c = mi_mv[p * 2 + 1];
+          int16_t m1r = mi_mv2[p * 2], m1c = mi_mv2[p * 2 + 1];
+          int i = 0;
+          for (; i < n_stack; ++i)
+            if (stack[i].mv[0] == m0r && stack[i].mv[1] == m0c &&
+                stack[i].mv2[0] == m1r && stack[i].mv2[1] == m1c) {
+              stack[i].weight += weight * len;
+              break;
+            }
+          if (i == n_stack && n_stack < MAX_STACK) {
+            stack[n_stack].mv[0] = m0r;
+            stack[n_stack].mv[1] = m0c;
+            stack[n_stack].mv2[0] = m1r;
+            stack[n_stack].mv2[1] = m1c;
+            stack[n_stack].weight = weight * len;
+            ++n_stack;
+          }
+          if (count_newmv && is_newmv_mode(mi_mode[p])) ++newmv_count;
+        }
+        return matched;
+      }
       // either reference slot of the neighbor may match (ref
       // add_ref_mv_candidate single path: for ref in 0..1)
       for (int slot = 0; slot < 2; ++slot) {
@@ -883,7 +922,97 @@ struct TileWriter {
     bubble(0, num_nearest);
     bubble(num_nearest, n_stack);
 
-    if (n_stack < 2) {
+    if (is_comp && n_stack < 2) {
+      // compound extension (mirror of mvp._find_stack comp branch):
+      // exact-ref and sign-corrected other-ref candidates per side
+      int mi_w = std::min(std::min(16, w4), mi_cols - mi_col);
+      int mi_h = std::min(std::min(16, h4), mi_rows - mi_row);
+      int mi_size = std::min(mi_w, mi_h);
+      int16_t ref_id[2][2][2], ref_diff[2][2][2];
+      int n_id[2] = {0, 0}, n_diff[2] = {0, 0};
+      const int rfpair[2] = {ref_frame, ref2};
+      auto gather = [&](bool row_scan) {
+        for (int idx = 0; idx < mi_size;) {
+          int r, c, step;
+          if (row_scan) {
+            r = mi_row - 1;
+            c = mi_col + idx;
+            step = std::max<int>(1,
+                mi_w4[static_cast<size_t>(r) * mi_cols + c]);
+          } else {
+            r = mi_row + idx;
+            c = mi_col - 1;
+            step = std::max<int>(1,
+                mi_h4[static_cast<size_t>(r) * mi_cols + c]);
+          }
+          size_t p = static_cast<size_t>(r) * mi_cols + c;
+          if (mi_inter[p]) {
+            for (int slot = 0; slot < 2; ++slot) {
+              int cref = slot ? mi_ref2[p] : mi_ref[p];
+              if (cref <= 0) continue;
+              int16_t mr = slot ? mi_mv2[p * 2] : mi_mv[p * 2];
+              int16_t mc2 = slot ? mi_mv2[p * 2 + 1] : mi_mv[p * 2 + 1];
+              for (int side = 0; side < 2; ++side) {
+                if (cref == rfpair[side] && n_id[side] < 2) {
+                  ref_id[side][n_id[side]][0] = mr;
+                  ref_id[side][n_id[side]][1] = mc2;
+                  ++n_id[side];
+                } else if (cref > 0 && n_diff[side] < 2) {
+                  int16_t fr = mr, fc = mc2;
+                  if (sign_bias[cref] != sign_bias[rfpair[side]]) {
+                    fr = static_cast<int16_t>(-fr);
+                    fc = static_cast<int16_t>(-fc);
+                  }
+                  ref_diff[side][n_diff[side]][0] = fr;
+                  ref_diff[side][n_diff[side]][1] = fc;
+                  ++n_diff[side];
+                }
+              }
+            }
+          }
+          idx += step;
+        }
+      };
+      if (std::abs(max_row_offset) >= 1) gather(true);
+      if (std::abs(max_col_offset) >= 1) gather(false);
+      int16_t comp_list[3][2][2] = {{{0}}};
+      for (int side = 0; side < 2; ++side) {
+        int ci = 0;
+        for (int li = 0; li < n_id[side] && ci < 3; ++li, ++ci) {
+          comp_list[ci][side][0] = ref_id[side][li][0];
+          comp_list[ci][side][1] = ref_id[side][li][1];
+        }
+        for (int li = 0; li < n_diff[side] && ci < 3; ++li, ++ci) {
+          comp_list[ci][side][0] = ref_diff[side][li][0];
+          comp_list[ci][side][1] = ref_diff[side][li][1];
+        }
+        for (; ci < 3; ++ci) {
+          comp_list[ci][side][0] = 0;
+          comp_list[ci][side][1] = 0;
+        }
+      }
+      if (n_stack) {
+        int pick = (comp_list[0][0][0] == stack[0].mv[0] &&
+                    comp_list[0][0][1] == stack[0].mv[1] &&
+                    comp_list[0][1][0] == stack[0].mv2[0] &&
+                    comp_list[0][1][1] == stack[0].mv2[1]) ? 1 : 0;
+        stack[n_stack].mv[0] = comp_list[pick][0][0];
+        stack[n_stack].mv[1] = comp_list[pick][0][1];
+        stack[n_stack].mv2[0] = comp_list[pick][1][0];
+        stack[n_stack].mv2[1] = comp_list[pick][1][1];
+        stack[n_stack].weight = 2;
+        ++n_stack;
+      } else {
+        for (int idx = 0; idx < 2; ++idx) {
+          stack[n_stack].mv[0] = comp_list[idx][0][0];
+          stack[n_stack].mv[1] = comp_list[idx][0][1];
+          stack[n_stack].mv2[0] = comp_list[idx][1][0];
+          stack[n_stack].mv2[1] = comp_list[idx][1][1];
+          stack[n_stack].weight = 2;
+          ++n_stack;
+        }
+      }
+    } else if (!is_comp && n_stack < 2) {
       int mi_w = std::min(std::min(16, w4), mi_cols - mi_col);
       int mi_h = std::min(std::min(16, h4), mi_rows - mi_row);
       int mi_size = std::min(mi_w, mi_h);
@@ -947,10 +1076,21 @@ struct TileWriter {
         int c = std::min(std::max<int>(stack[i].mv[1], lo_col), hi_col);
         out->stack[i].mv[0] = static_cast<int16_t>(r);
         out->stack[i].mv[1] = static_cast<int16_t>(c);
+        if (is_comp) {
+          int r2 = std::min(std::max<int>(stack[i].mv2[0], lo_row), hi_row);
+          int c2 = std::min(std::max<int>(stack[i].mv2[1], lo_col), hi_col);
+          out->stack[i].mv2[0] = static_cast<int16_t>(r2);
+          out->stack[i].mv2[1] = static_cast<int16_t>(c2);
+        } else {
+          out->stack[i].mv2[0] = 0;
+          out->stack[i].mv2[1] = 0;
+        }
         out->stack[i].weight = stack[i].weight;
       } else {
         out->stack[i].mv[0] = 0;
         out->stack[i].mv[1] = 0;
+        out->stack[i].mv2[0] = 0;
+        out->stack[i].mv2[1] = 0;
         out->stack[i].weight = 2;
       }
     }
@@ -997,6 +1137,54 @@ struct TileWriter {
     }
   }
 
+  // (avail, intra, comp, bwd-single) of one coded neighbor mi
+  void nbr_state(int r, int c, bool* avail, bool* intra, bool* comp,
+                 bool* bwd) const {
+    *avail = *intra = *comp = *bwd = false;
+    if (r < 0 || c < 0) return;
+    size_t p = static_cast<size_t>(r) * mi_cols + c;
+    if (!mi_valid[p]) return;
+    *avail = true;
+    if (!mi_inter[p]) { *intra = true; return; }
+    *comp = mi_ref2[p] > 0;
+    *bwd = !*comp && mi_ref[p] >= 5;
+  }
+
+  int comp_inter_ctx(int r4, int c4) const {
+    bool aa, ai, ac, ab, la, li, lc, lb;
+    nbr_state(r4 - 1, c4, &aa, &ai, &ac, &ab);
+    nbr_state(r4, c4 - 1, &la, &li, &lc, &lb);
+    if (aa && la) {
+      if (!ac && !lc) return (ab ? 1 : 0) ^ (lb ? 1 : 0);
+      if (!ac) return 2 + ((ab || ai) ? 1 : 0);
+      if (!lc) return 2 + ((lb || li) ? 1 : 0);
+      return 4;
+    }
+    if (la) return lc ? 3 : (lb ? 1 : 0);
+    if (aa) return ac ? 3 : (ab ? 1 : 0);
+    return 1;
+  }
+
+  int comp_ref_type_ctx(int r4, int c4) const {
+    bool aa, ai, ac, ab, la, li, lc, lb;
+    nbr_state(r4 - 1, c4, &aa, &ai, &ac, &ab);
+    nbr_state(r4, c4 - 1, &la, &li, &lc, &lb);
+    if (aa && la) {
+      if (ai && li) return 2;
+      if (li) return ac ? 1 : 2;
+      if (ai) return lc ? 1 : 2;
+      if (!ac && !lc) return 1 + 2 * ((ab == lb) ? 1 : 0);
+      if (!ac || !lc) return 1;
+      return 0;
+    }
+    if (la) return (li || !lc) ? 2 : 0;
+    if (aa) return (ai || !ac) ? 2 : 0;
+    return 2;
+  }
+
+  static constexpr int COMP_MODE_CTX_MAP[3][5] = {
+      {0, 1, 1, 1, 1}, {1, 2, 3, 4, 4}, {4, 4, 5, 6, 7}};
+
   void write_inter_block(int r4, int c4, int n4) {
     const int bs = n4 * 4;                  // luma pixels
     const int size_idx = n4 == 2 ? 0 : (n4 == 4 ? 1 : 2);
@@ -1034,59 +1222,127 @@ struct TileWriter {
     else ctx = 0;
     code_bin(t.intra_inter + ctx * 3, 1);
 
-    // single-ref tree (LAST..ALTREF) with neighbor-count contexts
-    // (mirror of syntax.code_single_ref; ref WriteRefFrames single path)
-    const int ref = ref_map
+    // reference coding (mirror of syntax code_comp_inter /
+    // code_comp_refs / code_single_ref; ref WriteRefFrames)
+    const int ref_cell = ref_map
         ? static_cast<int>(ref_map[(r4 >> 1) * nb8w + (c4 >> 1)])
         : LAST_FRAME;
+    const bool is_cmp = ref_select && ref_cell == 0;
+    if (ref_select)
+      code_bin(t.comp_inter + comp_inter_ctx(r4, c4) * 3, is_cmp ? 1 : 0);
     int counts[8] = {0};
-    if (ha && mi_inter[(r4 - 1) * mi_cols + c4])
-      ++counts[static_cast<int>(mi_ref[(r4 - 1) * mi_cols + c4])];
-    if (hl && mi_inter[r4 * mi_cols + c4 - 1])
-      ++counts[static_cast<int>(mi_ref[r4 * mi_cols + c4 - 1])];
+    for (int n = 0; n < 2; ++n) {
+      int nr = n ? r4 : r4 - 1, ncl = n ? c4 - 1 : c4;
+      bool av = n ? hl : ha;
+      if (!av) continue;
+      size_t p = static_cast<size_t>(nr) * mi_cols + ncl;
+      if (!mi_inter[p]) continue;
+      ++counts[static_cast<int>(mi_ref[p])];
+      if (mi_ref2[p] > 0) ++counts[static_cast<int>(mi_ref2[p])];
+    }
     auto rctx = [](int a, int b) { return a == b ? 1 : (a < b ? 0 : 2); };
-    int fwd = counts[1] + counts[2] + counts[3] + counts[4];
-    int bwd = counts[5] + counts[6] + counts[7];
-    int bit0 = ref >= 5;
-    code_bin(t.single_ref + (rctx(fwd, bwd) * 6 + 0) * 3, bit0);
-    if (bit0) {
-      int bit1 = ref == 7;
-      code_bin(t.single_ref +
-                   (rctx(counts[5] + counts[6], counts[7]) * 6 + 1) * 3,
-               bit1);
-      if (!bit1)
-        code_bin(t.single_ref + (rctx(counts[5], counts[6]) * 6 + 5) * 3,
-                 ref == 6);
-    } else {
-      int bit2 = ref == 3 || ref == 4;
-      code_bin(
-          t.single_ref +
-              (rctx(counts[1] + counts[2], counts[3] + counts[4]) * 6 + 2) * 3,
-          bit2);
-      if (bit2)
-        code_bin(t.single_ref + (rctx(counts[3], counts[4]) * 6 + 4) * 3,
-                 ref != 3);
+    int ref = ref_cell, ref2 = -1, mode = NEWMV;
+    int mv8b_r = 0, mv8b_c = 0;
+    if (is_cmp) {
+      ref = comp_fwd;
+      ref2 = comp_bwd;
+      code_bin(t.comp_ref_type + comp_ref_type_ctx(r4, c4) * 3, 1);
+      int bit = ref == 3 || ref == 4;
+      code_bin(t.comp_ref +
+                   (rctx(counts[1] + counts[2],
+                         counts[3] + counts[4]) * 3 + 0) * 3, bit);
+      if (!bit)
+        code_bin(t.comp_ref + (rctx(counts[1], counts[2]) * 3 + 1) * 3,
+                 ref == 2);
       else
-        code_bin(t.single_ref + (rctx(counts[1], counts[2]) * 6 + 3) * 3,
-                 ref != 1);
-    }
+        code_bin(t.comp_ref + (rctx(counts[3], counts[4]) * 3 + 2) * 3,
+                 ref == 4);
+      int bb = ref2 == 7;
+      code_bin(t.comp_bwdref +
+                   (rctx(counts[5] + counts[6], counts[7]) * 2 + 0) * 3, bb);
+      if (!bb)
+        code_bin(t.comp_bwdref + (rctx(counts[5], counts[6]) * 2 + 1) * 3,
+                 ref2 == 6);
 
-    // mode (NEWMV) + drl + mv
-    StackResult res;
-    find_mv_stack(r4, c4, n4, n4, &res, ref);
-    code_bin(t.newmv + res.newmv_ctx() * 3, 0);   // mode != NEWMV -> 0
-    if (res.num_found > 1) {
-      code_bin(t.drl + res.drl_ctx(0) * 3, 0);    // drl_idx == 0
+      const int32_t* mvp2 = mvs2 + (static_cast<long>(r4 >> 1) * nb8w +
+                                    (c4 >> 1)) * 2;
+      mv8b_r = mvp2[0];
+      mv8b_c = mvp2[1];
+      StackResult res;
+      find_mv_stack(r4, c4, n4, n4, &res, ref, ref2);
+      auto lower = [](int v) {
+        if (v & 1) v += v > 0 ? -1 : 1;
+        return v;
+      };
+      int p0r = lower(res.stack[0].mv[0]), p0c = lower(res.stack[0].mv[1]);
+      int p1r = lower(res.stack[0].mv2[0]), p1c = lower(res.stack[0].mv2[1]);
+      int mctx = COMP_MODE_CTX_MAP[res.refmv_ctx() >> 1]
+                                  [std::min(res.newmv_ctx(), 4)];
+      if (mv8_r == p0r && mv8_c == p0c && mv8b_r == p1r && mv8b_c == p1c) {
+        mode = 17;  // NEAREST_NEARESTMV
+        code_sym(t.inter_comp_mode + mctx * 9, 0, 8);
+      } else {
+        mode = 24;  // NEW_NEWMV
+        code_sym(t.inter_comp_mode + mctx * 9, 7, 8);
+        if (res.num_found > 1)
+          code_bin(t.drl + res.drl_ctx(0) * 3, 0);
+        int dr = mv8_r - p0r, dc = mv8_c - p0c;
+        int j = (dr ? 2 : 0) | (dc ? 1 : 0);
+        code_sym(t.nmv_joints, j, 4);
+        if (j & 2) encode_mv_component(dr, 0, 1);
+        if (j & 1) encode_mv_component(dc, 1, 1);
+        dr = mv8b_r - p1r;
+        dc = mv8b_c - p1c;
+        j = (dr ? 2 : 0) | (dc ? 1 : 0);
+        code_sym(t.nmv_joints, j, 4);
+        if (j & 2) encode_mv_component(dr, 0, 1);
+        if (j & 1) encode_mv_component(dc, 1, 1);
+      }
+    } else {
+      int fwd = counts[1] + counts[2] + counts[3] + counts[4];
+      int bwd = counts[5] + counts[6] + counts[7];
+      int bit0 = ref >= 5;
+      code_bin(t.single_ref + (rctx(fwd, bwd) * 6 + 0) * 3, bit0);
+      if (bit0) {
+        int bit1 = ref == 7;
+        code_bin(t.single_ref +
+                     (rctx(counts[5] + counts[6], counts[7]) * 6 + 1) * 3,
+                 bit1);
+        if (!bit1)
+          code_bin(t.single_ref + (rctx(counts[5], counts[6]) * 6 + 5) * 3,
+                   ref == 6);
+      } else {
+        int bit2 = ref == 3 || ref == 4;
+        code_bin(
+            t.single_ref +
+                (rctx(counts[1] + counts[2],
+                      counts[3] + counts[4]) * 6 + 2) * 3,
+            bit2);
+        if (bit2)
+          code_bin(t.single_ref + (rctx(counts[3], counts[4]) * 6 + 4) * 3,
+                   ref != 3);
+        else
+          code_bin(t.single_ref + (rctx(counts[1], counts[2]) * 6 + 3) * 3,
+                   ref != 1);
+      }
+
+      // mode (NEWMV) + drl + mv
+      StackResult res;
+      find_mv_stack(r4, c4, n4, n4, &res, ref);
+      code_bin(t.newmv + res.newmv_ctx() * 3, 0);   // mode != NEWMV -> 0
+      if (res.num_found > 1) {
+        code_bin(t.drl + res.drl_ctx(0) * 3, 0);    // drl_idx == 0
+      }
+      // predictor: stack[0], lowered to 1/4-pel precision (allow_hp=0)
+      int pr_r = res.stack[0].mv[0], pr_c = res.stack[0].mv[1];
+      if (pr_r & 1) pr_r += pr_r > 0 ? -1 : 1;
+      if (pr_c & 1) pr_c += pr_c > 0 ? -1 : 1;
+      int dr = mv8_r - pr_r, dc = mv8_c - pr_c;
+      int j = (dr ? 2 : 0) | (dc ? 1 : 0);
+      code_sym(t.nmv_joints, j, 4);
+      if (j & 2) encode_mv_component(dr, 0, 1);
+      if (j & 1) encode_mv_component(dc, 1, 1);
     }
-    // predictor: stack[0], lowered to 1/4-pel precision (allow_hp=0)
-    int pr_r = res.stack[0].mv[0], pr_c = res.stack[0].mv[1];
-    if (pr_r & 1) pr_r += pr_r > 0 ? -1 : 1;
-    if (pr_c & 1) pr_c += pr_c > 0 ? -1 : 1;
-    int dr = mv8_r - pr_r, dc = mv8_c - pr_c;
-    int j = (dr ? 2 : 0) | (dc ? 1 : 0);
-    code_sym(t.nmv_joints, j, 4);
-    if (j & 2) encode_mv_component(dr, 0, 1);
-    if (j & 1) encode_mv_component(dc, 1, 1);
 
     // state update
     for (int i = 0; i < n4; ++i)
@@ -1097,9 +1353,12 @@ struct TileWriter {
         mi_valid[p] = 1;
         mi_inter[p] = 1;
         mi_ref[p] = static_cast<int8_t>(ref);
-        mi_mode[p] = NEWMV;
+        mi_ref2[p] = static_cast<int8_t>(ref2);
+        mi_mode[p] = static_cast<uint8_t>(mode);
         mi_mv[p * 2] = static_cast<int16_t>(mv8_r);
         mi_mv[p * 2 + 1] = static_cast<int16_t>(mv8_c);
+        mi_mv2[p * 2] = static_cast<int16_t>(mv8b_r);
+        mi_mv2[p * 2 + 1] = static_cast<int16_t>(mv8b_c);
         mi_w4[p] = static_cast<uint8_t>(n4);
         mi_h4[p] = static_cast<uint8_t>(n4);
       }
@@ -1202,13 +1461,19 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            const int32_t* const* levels9, int nb8h,
                            int nb8w, uint8_t* out, long out_cap,
                            const uint8_t* cdef_idx, int cdef_bits,
-                           const uint8_t* refs, const uint8_t* sign_bias) {
+                           const uint8_t* refs, const uint8_t* sign_bias,
+                           const int32_t* mvs2, int comp_fwd,
+                           int comp_bwd) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
   tw.size_map = sizes;
   tw.mvs = mvs;
   tw.ref_map = refs;
+  tw.mvs2 = mvs2;
+  tw.ref_select = mvs2 != nullptr;
+  tw.comp_fwd = comp_fwd;
+  tw.comp_bwd = comp_bwd;
   if (sign_bias)
     for (int i = 0; i < 8; ++i) tw.sign_bias[i] = sign_bias[i];
   for (int s = 0; s < 3; ++s)

@@ -29,6 +29,8 @@ _TABLE_ORDER = [
     # inter (appended; must match csrc Tables)
     "newmv", "zeromv", "refmv", "drl", "intra_inter", "single_ref",
     "inter_ext_tx",
+    "comp_inter", "comp_ref_type", "comp_ref", "comp_bwdref",
+    "inter_compound_mode",
     "nmv_joints", "nmv_classes", "nmv_class0_fp", "nmv_fp", "nmv_sign",
     "nmv_class0_hp", "nmv_hp", "nmv_class0", "nmv_bits",
 ]
@@ -71,6 +73,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
     ]
     return lib
 
@@ -120,7 +123,8 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                           qindex: int, sizes: np.ndarray, mvs: np.ndarray,
                           levels: dict, reduced_tx_set: bool = True,
                           cdef_idx=None, cdef_bits: int = 2,
-                          refs=None, sign_bias=None) -> bytes:
+                          refs=None, sign_bias=None, mvs2=None,
+                          comp_pair=(1, 7)) -> bytes:
     """levels: {8: (ly,lu,lv), 16: (...), 32: (...)} per-size level grids."""
     lib = _lib()
     blob = build_blob(fc)
@@ -145,6 +149,7 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
     rf = None if refs is None else np.ascontiguousarray(refs, np.uint8)
     sb = None if sign_bias is None else np.ascontiguousarray(sign_bias,
                                                              np.uint8)
+    m2 = None if mvs2 is None else np.ascontiguousarray(mvs2, np.int32)
     n = lib.svt_encode_tile_inter(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(sz, ctypes.c_uint8),
@@ -152,7 +157,9 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
         nb8h, nb8w, p(out, ctypes.c_uint8), cap,
         None if ci is None else p(ci, ctypes.c_uint8), cdef_bits,
         None if rf is None else p(rf, ctypes.c_uint8),
-        None if sb is None else p(sb, ctypes.c_uint8))
+        None if sb is None else p(sb, ctypes.c_uint8),
+        None if m2 is None else p(m2, ctypes.c_int32),
+        comp_pair[0], comp_pair[1])
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

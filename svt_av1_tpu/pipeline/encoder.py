@@ -554,13 +554,15 @@ class Encoder:
                                           meta["ref_hints"])
         fc = FrameContext(qindex)
         tile = None
-        if not ref_select and cfg.entropy_backend in ("auto", "cpp"):
+        if cfg.entropy_backend in ("auto", "cpp"):
             from svt_av1_tpu.entropy import backend as native
             if native.available():
                 tile = native.encode_tile_inter_cpp(
                     fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
                     sizes, mv, levels, cdef_idx=cdef_idx, refs=refs8,
-                    sign_bias=sign_bias)
+                    sign_bias=sign_bias,
+                    mvs2=mvs2 if ref_select else None,
+                    comp_pair=comp_pair or (1, 7))
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:

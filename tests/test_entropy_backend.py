@@ -129,3 +129,17 @@ def test_cpp_inter_tile_byte_identical():
                                        refs=refs, sign_bias=bias)
         assert py2 == cpp2
         assert py2 != py
+
+        # compound cells (refs value 0): NEW_NEWMV/NEAREST_NEARESTMV with
+        # a second MV field and BIDIR pair (LAST, ALTREF)
+        refs3 = refs.copy()
+        refs3[rng.random((gh, gw)) < 0.4] = 0
+        mv2 = (rng.integers(-64, 65, (gh, gw, 2), np.int32) * 2)
+        tw3 = TileWriter(FrameContext(qindex), mi_rows, mi_cols, qindex)
+        py3 = tw3.encode_inter(sizes, mv, levels, refs=refs3,
+                               sign_bias=bias, comp_pair=(1, 7), mvs2=mv2)
+        cpp3 = B.encode_tile_inter_cpp(FrameContext(qindex), mi_rows,
+                                       mi_cols, qindex, sizes, mv, levels,
+                                       refs=refs3, sign_bias=bias,
+                                       mvs2=mv2, comp_pair=(1, 7))
+        assert py3 == cpp3
