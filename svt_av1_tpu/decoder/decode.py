@@ -84,8 +84,6 @@ class Decoder:
         assert not isinstance(fp, O.ShowExisting), \
             "show_existing inside OBU_FRAME"
         r.byte_align()
-        n_tiles = (1 << fp.tile_cols_log2) * (1 << fp.tile_rows_log2)
-        assert n_tiles == 1, "multi-tile decode not yet supported"
         tile_data = payload[r.byte_offset():]
 
         mi_rows, mi_cols = sp.mi_rows, sp.mi_cols
@@ -93,11 +91,12 @@ class Decoder:
         self.rec = [np.zeros((ph, pw), np.int32),
                     np.zeros((ph // 2, pw // 2), np.int32),
                     np.zeros((ph // 2, pw // 2), np.int32)]
-        self.fc = FrameContext(fp.base_q_idx)
-        self.tc = S.TileContexts(mi_rows, mi_cols)
         self.fp = fp
-        self.dec = RangeDecoder(tile_data)
         self.is_inter_frame = not fp.is_intra
+        # frame-level maps assembled from per-tile contexts (in-loop
+        # filters run frame-wide across tile boundaries, spec 7.14)
+        self.skip_map = np.zeros((mi_rows, mi_cols), np.uint8)
+        self.w4_map = np.zeros((mi_rows, mi_cols), np.uint8)
         if self.is_inter_frame:
             self.mi = MVP.MiInter(mi_rows, mi_cols)
             self.sign_bias = O.ref_sign_biases(sp, fp.order_hint,
@@ -130,17 +129,36 @@ class Decoder:
 
         self.cdef_idx_map = np.zeros((-(-mi_rows // SB_MI),
                                       -(-mi_cols // SB_MI)), np.int32)
-        for r4 in range(0, mi_rows, SB_MI):
-            for c4 in range(0, mi_cols, SB_MI):
-                self._cdef_done = False
-                self._partition(r4, c4, SB_MI)
+
+        # ---- tiles (spec tile_group_obu; uniform spacing) ----------------
+        trows, tcols = O.tile_starts(sp, fp.tile_cols_log2,
+                                     fp.tile_rows_log2)
+        n_tiles = len(trows) * len(tcols)
+        if n_tiles > 1:
+            # tile_start_and_end_present_flag (0) + byte alignment
+            assert tile_data[0] == 0
+            tile_data = tile_data[1:]
+        pos = 0
+        idx = 0
+        for r01 in trows:
+            for c01 in tcols:
+                if idx + 1 < n_tiles:
+                    sz = int.from_bytes(tile_data[pos : pos + 4],
+                                        "little") + 1
+                    pos += 4
+                    td = tile_data[pos : pos + sz]
+                    pos += sz
+                else:
+                    td = tile_data[pos:]
+                self._decode_tile(td, r01, c01)
+                idx += 1
 
         # ---- in-loop filters (must mirror the encoder exactly) ----------
         if any(fp.filter_levels):
             from svt_av1_tpu.ops import deblock as DB
             l0, l1, lu2, lv2 = fp.filter_levels
             if self.is_inter_frame:
-                w4 = np.maximum(self.mi.w4.astype(np.int32), 2)
+                w4 = np.maximum(self.w4_map.astype(np.int32), 2)
                 sizes_y = np.repeat(np.repeat(w4, 4, 0), 4, 1) * 4
                 sizes_c = np.repeat(np.repeat(w4, 2, 0), 2, 1) * 2
             else:
@@ -154,7 +172,7 @@ class Decoder:
                                            lv2, False)
 
         if sp.enable_cdef:
-            skip8 = self.tc.skips[::2, ::2].astype(bool)
+            skip8 = self.skip_map[::2, ::2].astype(bool)
             planes = CD.cdef_frame(
                 np, tuple(self.rec), skip8, self.cdef_idx_map,
                 fp.cdef_damping, fp.cdef_y_strengths, fp.cdef_uv_strengths)
@@ -171,6 +189,26 @@ class Decoder:
             return None
         return self._output_frame(self.rec)
 
+    def _decode_tile(self, td: bytes, r01, c01) -> None:
+        """Decode one tile with tile-local contexts (spec decode_tile);
+        recon writes are offset by the tile origin."""
+        r0, r1 = r01
+        c0, c1 = c01
+        hm, wm = r1 - r0, c1 - c0
+        self.toff = (r0, c0)
+        self.fc = FrameContext(self.fp.base_q_idx)
+        self.tc = S.TileContexts(hm, wm)
+        if self.is_inter_frame:
+            self.mi = MVP.MiInter(hm, wm)
+        self.dec = RangeDecoder(td)
+        for r4 in range(0, hm, SB_MI):
+            for c4 in range(0, wm, SB_MI):
+                self._cdef_done = False
+                self._partition(r4, c4, SB_MI)
+        self.skip_map[r0:r1, c0:c1] = self.tc.skips
+        if self.is_inter_frame:
+            self.w4_map[r0:r1, c0:c1] = self.mi.w4
+
     def _read_cdef(self, r4: int, c4: int, skip: int) -> None:
         """Mirror of TileWriter._write_cdef (spec read_cdef)."""
         if not self.seq.enable_cdef or self._cdef_done or skip:
@@ -178,7 +216,8 @@ class Decoder:
         idx = 0
         for _ in range(self.fp.cdef_bits):
             idx = (idx << 1) | self.dec.decode_bool(16384)
-        self.cdef_idx_map[r4 // SB_MI, c4 // SB_MI] = idx
+        self.cdef_idx_map[(r4 + self.toff[0]) // SB_MI,
+                          (c4 + self.toff[1]) // SB_MI] = idx
         self._cdef_done = True
 
     def _partition(self, r4: int, c4: int, n4: int) -> None:
@@ -296,7 +335,8 @@ class Decoder:
                     allow_tx_type=self.fp.base_q_idx > 0, is_inter=True)
                 tc.set_txb(plane, pr, pc, w4, w4, cul)
 
-            py, px = pr * 4, pc * 4
+            py = (pr + (self.toff[0] >> (plane > 0))) * 4
+            px = (pc + (self.toff[1] >> (plane > 0))) * 4
             cpad = PAD // 2 + 1
             if is_comp:
                 pp0 = self.planes_pad[self.fp.ref_frame_idx[ref - 1]]
@@ -373,7 +413,8 @@ class Decoder:
                 tc.set_txb(plane, pr, pc, w4, w4, cul)
 
             rec = self.rec[plane]
-            py, px = pr * 4, pc * 4
+            py = (pr + (self.toff[0] >> (plane > 0))) * 4
+            px = (pc + (self.toff[1] >> (plane > 0))) * 4
             ha, hl = py > 0, px > 0
             above = rec[py - 1, px : px + bs] if ha else np.zeros(bs, np.int32)
             left = rec[py : py + bs, px - 1] if hl else np.zeros(bs, np.int32)

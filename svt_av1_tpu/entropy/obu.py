@@ -469,6 +469,33 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
                        cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str))
 
 
+def tile_starts(sp: SequenceParams, cols_log2: int, rows_log2: int):
+    """Uniform tile grid mi start/stop lists (spec tile_info uniform
+    spacing: ceil-divided SB spans, last tile smaller)."""
+    sb_cols = (sp.mi_cols + 15) >> 4
+    sb_rows = (sp.mi_rows + 15) >> 4
+    tw = (sb_cols + (1 << cols_log2) - 1) >> cols_log2
+    th = (sb_rows + (1 << rows_log2) - 1) >> rows_log2
+    col_mi = [min(s * 16, sp.mi_cols) for s in range(0, sb_cols + tw, tw)]
+    row_mi = [min(s * 16, sp.mi_rows) for s in range(0, sb_rows + th, th)]
+    cols = [(col_mi[i], col_mi[i + 1]) for i in range(len(col_mi) - 1)
+            if col_mi[i] < col_mi[i + 1]]
+    rows = [(row_mi[i], row_mi[i + 1]) for i in range(len(row_mi) - 1)
+            if row_mi[i] < row_mi[i + 1]]
+    return rows, cols
+
+
+def assemble_tile_group(tiles: list) -> bytes:
+    """Concatenate tile payloads with 4-byte little-endian size fields
+    on all but the last (tile_size_bytes_minus_1 = 3 in tile_info)."""
+    out = b""
+    for i, t in enumerate(tiles):
+        if i + 1 < len(tiles):
+            out += (len(t) - 1).to_bytes(4, "little")
+        out += t
+    return out
+
+
 def write_show_existing(slot: int) -> bytes:
     """OBU_FRAME_HEADER displaying the frame stored in ref slot
     (spec show_existing_frame; ref EbPacketizationProcess.c show-existing
@@ -486,7 +513,8 @@ def write_frame_obu(sp: SequenceParams, fp: FrameParams,
     w = write_frame_header_bits(sp, fp)
     w.byte_align()
     header = w.data()
-    n_tiles = (1 << fp.tile_cols_log2) * (1 << fp.tile_rows_log2)
+    rows, cols = tile_starts(sp, fp.tile_cols_log2, fp.tile_rows_log2)
+    n_tiles = len(rows) * len(cols)
     tg = BitWriter()
     if n_tiles > 1:
         tg.f(0, 1)  # tile_start_and_end_present_flag

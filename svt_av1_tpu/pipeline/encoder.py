@@ -552,24 +552,56 @@ class Encoder:
         if meta is not None:
             sign_bias = O.ref_sign_biases(self.seq, meta["order_hint"],
                                           meta["ref_hints"])
-        fc = FrameContext(qindex)
-        tile = None
-        if cfg.entropy_backend in ("auto", "cpp"):
-            from svt_av1_tpu.entropy import backend as native
-            if native.available():
-                tile = native.encode_tile_inter_cpp(
-                    fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
-                    sizes, mv, levels, cdef_idx=cdef_idx, refs=refs8,
-                    sign_bias=sign_bias,
-                    mvs2=mvs2 if ref_select else None,
-                    comp_pair=comp_pair or (1, 7))
-            elif cfg.entropy_backend == "cpp":
-                raise RuntimeError("C++ entropy backend unavailable")
-        if tile is None:
-            tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
-            tile = tw.encode_inter(sizes, mv, levels, cdef_idx=cdef_idx,
-                                   refs=refs8, sign_bias=sign_bias,
-                                   comp_pair=comp_pair, mvs2=mvs2)
+        trows, tcols = O.tile_starts(self.seq, cfg.tile_columns_log2,
+                                     cfg.tile_rows_log2)
+
+        def sl(a, r0, c0, hm, wm, mi_cell, align=1):
+            """Tile-slice a cell grid.  align rounds the cell counts up
+            (into the 32-padded frame grids) so the C++ writer's
+            nb8w*8/bs stride math stays exact for every tile width."""
+            if a is None:
+                return None
+            rr, cc = r0 // mi_cell, c0 // mi_cell
+            nr = -(-(-(-hm // mi_cell)) // align) * align
+            nc = -(-(-(-wm // mi_cell)) // align) * align
+            return np.ascontiguousarray(a[rr : rr + nr, cc : cc + nc])
+
+        def code_tile(r01, c01) -> bytes:
+            (r0, r1), (c0, c1) = r01, c01
+            hm, wm = r1 - r0, c1 - c0
+            t_sizes = sl(sizes, r0, c0, hm, wm, 2, align=4)
+            t_mv = sl(mv, r0, c0, hm, wm, 2, align=4)
+            t_refs = sl(refs8, r0, c0, hm, wm, 2, align=4)
+            t_mv2 = sl(mvs2, r0, c0, hm, wm, 2, align=4)
+            t_ci = sl(cdef_idx, r0, c0, hm, wm, 16)
+            t_lv = {bs: tuple(sl(levels[bs][p], r0, c0, hm, wm, bs // 4,
+                                 align=32 // bs)
+                              for p in range(3)) for bs in (8, 16, 32)}
+            fc = FrameContext(qindex)
+            if cfg.entropy_backend in ("auto", "cpp"):
+                from svt_av1_tpu.entropy import backend as native
+                if native.available():
+                    return native.encode_tile_inter_cpp(
+                        fc, hm, wm, qindex, t_sizes, t_mv, t_lv,
+                        cdef_idx=t_ci, refs=t_refs, sign_bias=sign_bias,
+                        mvs2=t_mv2 if ref_select else None,
+                        comp_pair=comp_pair or (1, 7))
+                if cfg.entropy_backend == "cpp":
+                    raise RuntimeError("C++ entropy backend unavailable")
+            tw = TileWriter(fc, hm, wm, qindex)
+            return tw.encode_inter(t_sizes, t_mv, t_lv, cdef_idx=t_ci,
+                                   refs=t_refs, sign_bias=sign_bias,
+                                   comp_pair=comp_pair, mvs2=t_mv2)
+
+        jobs = [(r01, c01) for r01 in trows for c01 in tcols]
+        if len(jobs) > 1:
+            # per-tile entropy across host threads (the C coder releases
+            # the GIL) — the reference's tile-parallel EC processes
+            with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+                tile = O.assemble_tile_group(
+                    list(ex.map(lambda j: code_tile(*j), jobs)))
+        else:
+            tile = code_tile(*jobs[0])
         hdr = {}
         if meta is not None:
             hdr = {"show_frame": meta["show"],
@@ -616,9 +648,11 @@ class Encoder:
             tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
             tile = tw.encode(dev["modes"], dev["levels_y"], dev["levels_u"],
                              dev["levels_v"], cdef_idx=cdef_idx)
+        # intra frames stay single-tile: the wavefront predicts across
+        # tile boundaries (tile info is per-frame, so inter frames of the
+        # same stream may still tile)
         fp = O.FrameParams(base_q_idx=qindex,
-                           tile_cols_log2=cfg.tile_columns_log2,
-                           tile_rows_log2=cfg.tile_rows_log2,
+                           tile_cols_log2=0, tile_rows_log2=0,
                            filter_levels=self._lf_levels(qindex, True),
                            order_hint=(0 if meta is None
                                        else meta["order_hint"]),
