@@ -73,6 +73,13 @@ class Encoder:
             self._anchor: Optional[int] = None
             self._buf: list = []           # (disp, Frame) since anchor
             self._gop_n = 1 << config.hierarchical_levels
+        # lookahead (flat/low-delay structures; hier-B's mini-GOP buffer
+        # already provides its reordering window)
+        self._la = None
+        if (config.look_ahead_distance > 0 and not config.intra_only
+                and not self._hier):
+            from svt_av1_tpu.pipeline.lookahead import Lookahead
+            self._la = Lookahead(config.look_ahead_distance)
         self._rc = None
         if config.rate_control_mode != 0:
             from svt_av1_tpu.pipeline.rate_control import RateController
@@ -135,17 +142,27 @@ class Encoder:
                 self._dispatch_inbox()
         elif self._hier:
             self._hier_send(frame)
-        elif self._ldb:
-            self._ldb_send(frame)
+        elif self._la is not None:
+            for f, q_off in self._la.push(frame):
+                self._send_flat(f, q_off)
         else:
-            self._dispatch_one(frame)
+            self._send_flat(frame, 0)
+
+    def _send_flat(self, frame: Frame, q_off: int) -> None:
+        if self._ldb:
+            self._ldb_send(frame, q_off)
+        else:
+            self._dispatch_one(frame, q_off)
 
     def flush(self) -> None:
         """End-of-stream: code any buffered partial mini-GOP (truncated
         dyadic structure, like the reference's incomplete mini-GOP
-        handling in picture decision)."""
+        handling in picture decision) and drain the lookahead window."""
         if self._hier and self._buf:
             self._dispatch_span()
+        if self._la is not None:
+            for f, q_off in self._la.flush():
+                self._send_flat(f, q_off)
 
     # -- hierarchical-B scheduling (ref picture_decision_kernel) ---------------
     def _hier_send(self, frame: Frame) -> None:
@@ -221,12 +238,14 @@ class Encoder:
         self._anchor = hi
 
     # -- low-delay B (ref EB_PRED_LOW_DELAY_B) ----------------------------------
-    def _ldb_send(self, frame: Frame) -> None:
+    def _ldb_send(self, frame: Frame, q_off: int = 0) -> None:
         import jax.numpy as jnp
         d = self._send_idx
         self._send_idx += 1
         key = self._is_key(d) or self._scene_cut(frame)
         qindex = self._frame_qindex(key)
+        if not key:
+            qindex = max(1, min(255, qindex + q_off))
         if key or getattr(self, "_ldb_last", None) is None:
             out, deb, planes, nbh, nbw = self._intra_dispatch(frame, qindex)
             self._ldb_golden = (planes, 0)      # (dev planes, slot)
@@ -412,7 +431,7 @@ class Encoder:
             planes = deb[:3]
         return out, deb, self._as_ref_planes(*planes), nbh, nbw
 
-    def _dispatch_one(self, frame: Frame) -> None:
+    def _dispatch_one(self, frame: Frame, q_off: int = 0) -> None:
         """IPPP chain: keyframes via the wavefront intra path, P frames via
         the bulk-parallel inter path; recon planes stay device-resident
         between frames (no host round-trip along the reference chain)."""
@@ -420,6 +439,8 @@ class Encoder:
 
         key = self._is_key(self._send_idx) or self._scene_cut(frame)
         qindex = self._frame_qindex(key)
+        if not key:
+            qindex = max(1, min(255, qindex + q_off))
         self._send_idx += 1
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
         ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
@@ -437,12 +458,14 @@ class Encoder:
                 frame.u.astype(np.uint8), ph32 // 2, pw32 // 2))
             sv = jnp.asarray(IE.pad_plane(
                 frame.v.astype(np.uint8), ph32 // 2, pw32 // 2))
-            if self._rc is None:
+            if self._rc is None and self._la is None:
                 fn = PE.build_p_frame_encoder(ph32, pw32, self.seq.mi_rows,
                                               self.seq.mi_cols, qindex,
                                               cdef=self.cfg.enable_cdef)
                 out = fn(sy, su, sv, *self._ref_dev)
             else:
+                # dynamic-q step: lookahead/RC vary q per frame without
+                # recompiling
                 lvls = self._lf_levels(qindex, False)
                 fn = PE.build_p_frame_encoder_dyn(
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
