@@ -64,7 +64,8 @@ class EncoderConfig:
     enable_deblocking: bool = True    # in-loop deblocking (DLF)
     enable_cdef: bool = True     # CDEF in-loop filter (CQP only for now)
     enable_restoration: bool = False
-    enable_film_grain: bool = False
+    enable_film_grain: int = 0        # 0 off; 1..50 grain strength (ref
+                                      # film_grain_denoise_strength)
     screen_content_mode: int = 0
     enable_warped_motion: bool = False
     compound_mode: int = 1            # 0 off, 1 COMPOUND_AVERAGE in
@@ -120,13 +121,16 @@ class EncoderConfig:
             raise ValueError("super_block_size must be 64 or 128")
         if self.fixed_partition_size not in (0, 8, 16, 32, 64):
             raise ValueError("fixed_partition_size must be 0/8/16/32/64")
+        if not (0 <= int(self.enable_film_grain) <= 50):
+            raise ValueError("enable_film_grain must be 0..50")
         # round-1 capability gates — explicit, not silent
         unimplemented = {
+            "film grain at bit_depth=10":
+                bool(self.enable_film_grain) and self.bit_depth == 10,
             "bit_depth=10 inter": self.bit_depth == 10
                                   and not self.intra_only,
             "super_block_size=128": self.super_block_size == 128,
             "enable_restoration": self.enable_restoration,
-            "enable_film_grain": self.enable_film_grain,
             "enable_warped_motion": self.enable_warped_motion,
             "screen_content_mode": bool(self.screen_content_mode),
             "adaptive_quantization": self.enable_adaptive_quantization,

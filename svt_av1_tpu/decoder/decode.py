@@ -33,6 +33,7 @@ class Decoder:
         # 8 reference slots of decoded padded planes (spec ref frame store)
         self.ref_slots: list = [None] * 8
         self.ref_order_hints = [0] * 8   # RefOrderHint per slot
+        self.ref_grain = [None] * 8      # RefGrainParams per slot
 
     # -- containers -------------------------------------------------------------
     def decode_ivf(self, fh) -> list[Frame]:
@@ -62,18 +63,24 @@ class Decoder:
                     "standalone non-show-existing frame headers unsupported"
                 stored = self.ref_slots[hdr.slot]
                 assert stored is not None, "show_existing of empty slot"
-                frame = self._output_frame(stored)
+                frame = self._output_frame(stored,
+                                           self.ref_grain[hdr.slot])
                 saw_frame = True
         assert saw_frame, "no frame in temporal unit"
         return frame
 
-    def _output_frame(self, planes) -> Frame:
+    def _output_frame(self, planes, grain=None) -> Frame:
         sp = self.seq
         px = np.uint8 if sp.bit_depth == 8 else np.uint16
         y = planes[0][: sp.height, : sp.width].astype(px)
         ch, cw = (sp.height + 1) // 2, (sp.width + 1) // 2
         u = planes[1][:ch, :cw].astype(px)
         v = planes[2][:ch, :cw].astype(px)
+        if grain is not None and grain.apply_grain and sp.bit_depth == 8:
+            # film grain is output-only (spec 7.18.3): references and
+            # coding recon stay grain-free
+            from svt_av1_tpu.ops.film_grain import apply_grain
+            y, u, v = apply_grain(grain, y, u, v)
         return Frame(y, u, v)
 
     # -- frame ------------------------------------------------------------------
@@ -184,10 +191,11 @@ class Decoder:
             if (fp.refresh_frame_flags >> slot) & 1:
                 self.ref_slots[slot] = planes
                 self.ref_order_hints[slot] = fp.order_hint
+                self.ref_grain[slot] = fp.film_grain
 
         if not fp.show_frame:
             return None
-        return self._output_frame(self.rec)
+        return self._output_frame(self.rec, fp.film_grain)
 
     def _decode_tile(self, td: bytes, r01, c01) -> None:
         """Decode one tile with tile-local contexts (spec decode_tile);

@@ -54,6 +54,7 @@ class SequenceParams:
     # off (no temporal MV prediction in this build).
     enable_order_hint: bool = False
     order_hint_bits: int = 8
+    film_grain_present: bool = False
 
     @property
     def mi_cols(self) -> int:
@@ -107,7 +108,7 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
     w.f(0, 1)      # color_range
     w.f(0, 2)      # chroma_sample_position
     w.f(0, 1)      # separate_uv_delta_q
-    w.f(0, 1)      # film_grain_params_present
+    w.f(int(sp.film_grain_present), 1)
     w.trailing_bits()
     return wrap_obu(OBU_SEQUENCE_HEADER, w.data())
 
@@ -150,11 +151,12 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     r.f(1)              # color_range
     r.f(2)              # chroma_sample_position
     assert r.f(1) == 0  # separate_uv_delta_q
-    assert r.f(1) == 0  # film grain
+    film_grain = bool(r.f(1))
     return SequenceParams(width, height, bit_depth,
                           enable_cdef=enable_cdef,
                           enable_order_hint=enable_order_hint,
-                          order_hint_bits=order_hint_bits)
+                          order_hint_bits=order_hint_bits,
+                          film_grain_present=film_grain)
 
 
 KEY_FRAME, INTER_FRAME = 0, 1
@@ -239,6 +241,7 @@ class FrameParams:
     cdef_bits: int = 2
     cdef_y_strengths: tuple = ((0, 0),) * 4     # (pri, sec-coded) pairs
     cdef_uv_strengths: tuple = ((0, 0),) * 4
+    film_grain: object = None         # FilmGrainParams when seq enables
 
     @property
     def is_intra(self) -> bool:
@@ -383,7 +386,100 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     if not fp.is_intra:
         for _ in range(7):
             w.f(0, 1)            # global_motion_params: is_global = 0
+    if sp.film_grain_present:
+        _write_film_grain(w, fp)
     return w
+
+
+def _write_film_grain(w: BitWriter, fp: FrameParams) -> None:
+    """spec 5.9.30 film_grain_params (ref write_film_grain_params,
+    EbEntropyCoding.c:3565)."""
+    g = fp.film_grain
+    if g is None or not g.apply_grain:
+        w.f(0, 1)
+        return
+    w.f(1, 1)
+    w.f(g.random_seed, 16)
+    if fp.frame_type == INTER_FRAME:
+        w.f(1, 1)                # update_grain (no param inheritance yet)
+    w.f(g.num_y_points, 4)
+    for x, s in g.scaling_points_y:
+        w.f(x, 8).f(s, 8)
+    w.f(int(g.chroma_scaling_from_luma), 1)
+    coded_chroma = not (g.chroma_scaling_from_luma
+                        or g.num_y_points == 0)   # 4:2:0 rule
+    if coded_chroma:
+        w.f(g.num_cb_points, 4)
+        for x, s in g.scaling_points_cb:
+            w.f(x, 8).f(s, 8)
+        w.f(g.num_cr_points, 4)
+        for x, s in g.scaling_points_cr:
+            w.f(x, 8).f(s, 8)
+    w.f(g.scaling_shift - 8, 2)
+    w.f(g.ar_coeff_lag, 2)
+    npos = 2 * g.ar_coeff_lag * (g.ar_coeff_lag + 1)
+    if g.num_y_points:
+        for i in range(npos):
+            w.f(g.ar_coeffs_y[i] + 128, 8)
+    nposc = npos + (1 if g.num_y_points else 0)
+    if g.num_cb_points or g.chroma_scaling_from_luma:
+        for i in range(nposc):
+            w.f(g.ar_coeffs_cb[i] + 128, 8)
+    if g.num_cr_points or g.chroma_scaling_from_luma:
+        for i in range(nposc):
+            w.f(g.ar_coeffs_cr[i] + 128, 8)
+    w.f(g.ar_coeff_shift - 6, 2)
+    w.f(g.grain_scale_shift, 2)
+    if g.num_cb_points:
+        w.f(g.cb_mult, 8).f(g.cb_luma_mult, 8).f(g.cb_offset, 9)
+    if g.num_cr_points:
+        w.f(g.cr_mult, 8).f(g.cr_luma_mult, 8).f(g.cr_offset, 9)
+    w.f(int(g.overlap_flag), 1)
+    w.f(int(g.clip_to_restricted_range), 1)
+
+
+def _parse_film_grain(r: BitReader, is_intra: bool):
+    from svt_av1_tpu.ops.film_grain import FilmGrainParams
+    if not r.f(1):
+        return FilmGrainParams(apply_grain=False)
+    seed = r.f(16)
+    if not is_intra:
+        assert r.f(1) == 1, "film grain param inheritance unsupported"
+    ny = r.f(4)
+    pts_y = tuple((r.f(8), r.f(8)) for _ in range(ny))
+    csfl = bool(r.f(1))
+    ncb = ncr = 0
+    pts_cb = pts_cr = ()
+    if not (csfl or ny == 0):
+        ncb = r.f(4)
+        pts_cb = tuple((r.f(8), r.f(8)) for _ in range(ncb))
+        ncr = r.f(4)
+        pts_cr = tuple((r.f(8), r.f(8)) for _ in range(ncr))
+    sshift = r.f(2) + 8
+    lag = r.f(2)
+    npos = 2 * lag * (lag + 1)
+    cy = tuple(r.f(8) - 128 for _ in range(npos)) if ny else ()
+    nposc = npos + (1 if ny else 0)
+    ccb = (tuple(r.f(8) - 128 for _ in range(nposc))
+           if (ncb or csfl) else ())
+    ccr = (tuple(r.f(8) - 128 for _ in range(nposc))
+           if (ncr or csfl) else ())
+    ashift = r.f(2) + 6
+    gshift = r.f(2)
+    cbm = cblm = 128
+    cbo = 256
+    crm = crlm = 128
+    cro = 256
+    if ncb:
+        cbm, cblm, cbo = r.f(8), r.f(8), r.f(9)
+    if ncr:
+        crm, crlm, cro = r.f(8), r.f(8), r.f(9)
+    overlap = bool(r.f(1))
+    clip = bool(r.f(1))
+    return FilmGrainParams(True, seed, ny, pts_y, csfl, ncb, pts_cb,
+                           ncr, pts_cr, sshift, lag, cy, ccb, ccr,
+                           ashift, gshift, cbm, cblm, cbo, crm, crlm,
+                           cro, overlap, clip)
 
 
 @dataclass
@@ -462,11 +558,15 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
     if not is_intra:
         for _ in range(7):
             assert r.f(1) == 0  # is_global
+    grain = None
+    if sp.film_grain_present:
+        grain = _parse_film_grain(r, is_intra)
     return FrameParams(base_q_idx, disable_cdf_update, reduced_tx_set,
                        tx_mode_select, cols_log2, rows_log2, frame_type,
                        refresh, ref_idx, show_frame, order_hint, ref_hints,
                        reference_select, (l0, l1, lu, lv_),
-                       cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str))
+                       cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str),
+                       grain)
 
 
 def tile_starts(sp: SequenceParams, cols_log2: int, rows_log2: int):

@@ -1,0 +1,275 @@
+"""Film grain synthesis (spec 7.18.3; ref grainSynthesis.c).
+
+Display-side only: grain is added to the OUTPUT picture, never to the
+prediction loop, so coding recon stays grain-free.  Both the decoder's
+output stage and tests share this one implementation.
+
+This build codes overlap_flag=0 streams (block overlap blending is a
+round-2 add); synthesis of the grain templates, scaling LUTs, the
+coupled chroma AR process, and per-block application are spec-exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from svt_av1_tpu import tables
+
+GAUSS_BITS = 11
+
+
+@dataclass
+class FilmGrainParams:
+    """spec film_grain_params(); ref aom_film_grain_t."""
+    apply_grain: bool = False
+    random_seed: int = 0
+    num_y_points: int = 0
+    scaling_points_y: tuple = ()     # ((x, scale), ...)
+    chroma_scaling_from_luma: bool = False
+    num_cb_points: int = 0
+    scaling_points_cb: tuple = ()
+    num_cr_points: int = 0
+    scaling_points_cr: tuple = ()
+    scaling_shift: int = 8           # 8..11
+    ar_coeff_lag: int = 0            # 0..3
+    ar_coeffs_y: tuple = ()          # signed, 2*lag*(lag+1)
+    ar_coeffs_cb: tuple = ()         # + 1 luma-coupling tap when y points
+    ar_coeffs_cr: tuple = ()
+    ar_coeff_shift: int = 6          # 6..9
+    grain_scale_shift: int = 0
+    cb_mult: int = 128
+    cb_luma_mult: int = 192
+    cb_offset: int = 256
+    cr_mult: int = 128
+    cr_luma_mult: int = 192
+    cr_offset: int = 256
+    overlap_flag: bool = False
+    clip_to_restricted_range: bool = False
+
+
+class _Lfsr:
+    """16-bit LFSR (ref get_random_number / init_random_generator)."""
+
+    def __init__(self, seed: int) -> None:
+        self.reg = seed & 0xFFFF
+
+    def reseed_line(self, luma_line: int, seed: int) -> None:
+        self.reg = seed & 0xFFFF
+        luma_num = luma_line >> 5
+        self.reg ^= ((luma_num * 37 + 178) & 255) << 8
+        self.reg ^= (luma_num * 173 + 105) & 255
+
+    def bits(self, n: int) -> int:
+        r = self.reg
+        bit = ((r >> 0) ^ (r >> 1) ^ (r >> 3) ^ (r >> 12)) & 1
+        self.reg = ((r >> 1) | (bit << 15)) & 0xFFFF
+        return (self.reg >> (16 - n)) & ((1 << n) - 1)
+
+
+def _pred_pos(lag: int):
+    pos = []
+    for row in range(-lag, 0):
+        for col in range(-lag, lag + 1):
+            pos.append((row, col, 0))
+    for col in range(-lag, 0):
+        pos.append((0, col, 0))
+    return pos
+
+
+def _gen_grain(params: FilmGrainParams, bit_depth: int = 8):
+    """Returns (luma_block, cb_block, cr_block) int32 template arrays
+    (luma 73x82; chroma 44x44 at 4:2:0) with their strides implicit."""
+    g = tables.spec_tables()["gaussian_sequence"]
+    lag = params.ar_coeff_lag
+    gss = 12 - bit_depth + params.grain_scale_shift
+    half = (1 << gss) >> 1
+    grain_min = -(128 << (bit_depth - 8))
+    grain_max = (256 << (bit_depth - 8)) - 1 - (128 << (bit_depth - 8))
+    top = left = 3
+    ar_pad = 3
+    ly = top + 2 * ar_pad + 64                    # 73
+    lx = left + 2 * ar_pad + 64 + 2 * ar_pad + 3  # 82
+    cy = top + ar_pad + 32                        # 38
+    cx = left + ar_pad + 32 + ar_pad + 3          # 44
+    rnd = _Lfsr(params.random_seed)
+    pos = _pred_pos(lag)
+    rnd_off = 1 << (params.ar_coeff_shift - 1)
+
+    luma = np.zeros((ly, lx), np.int32)
+    if params.num_y_points > 0:
+        for i in range(ly):
+            for j in range(lx):
+                luma[i, j] = (g[rnd.bits(GAUSS_BITS)] + half) >> gss
+        for i in range(top, ly):
+            for j in range(left, lx - 3):
+                w = 0
+                for (dr, dc, _) in pos:
+                    w += params.ar_coeffs_y[pos.index((dr, dc, 0))] * \
+                        luma[i + dr, j + dc]
+                luma[i, j] = np.clip(
+                    luma[i, j] + ((w + rnd_off) >> params.ar_coeff_shift),
+                    grain_min, grain_max)
+
+    cb = np.zeros((cy, cx), np.int32)
+    cr = np.zeros((cy, cx), np.int32)
+    do_cb = params.num_cb_points or params.chroma_scaling_from_luma
+    do_cr = params.num_cr_points or params.chroma_scaling_from_luma
+    if do_cb:
+        rnd.reseed_line(7 << 5, params.random_seed)
+        for i in range(cy):
+            for j in range(cx):
+                cb[i, j] = (g[rnd.bits(GAUSS_BITS)] + half) >> gss
+    if do_cr:
+        rnd.reseed_line(11 << 5, params.random_seed)
+        for i in range(cy):
+            for j in range(cx):
+                cr[i, j] = (g[rnd.bits(GAUSS_BITS)] + half) >> gss
+    if do_cb or do_cr:
+        for i in range(top, cy):
+            for j in range(left, cx - 3):
+                wcb = wcr = 0
+                for k, (dr, dc, _) in enumerate(pos):
+                    if do_cb:
+                        wcb += params.ar_coeffs_cb[k] * cb[i + dr, j + dc]
+                    if do_cr:
+                        wcr += params.ar_coeffs_cr[k] * cr[i + dr, j + dc]
+                if params.num_y_points > 0:
+                    yly = ((i - top) << 1) + top
+                    ylx = ((j - left) << 1) + left
+                    av = (int(luma[yly : yly + 2, ylx : ylx + 2].sum())
+                          + 2) >> 2
+                    if do_cb:
+                        wcb += params.ar_coeffs_cb[len(pos)] * av
+                    if do_cr:
+                        wcr += params.ar_coeffs_cr[len(pos)] * av
+                if do_cb:
+                    cb[i, j] = np.clip(
+                        cb[i, j] + ((wcb + rnd_off)
+                                    >> params.ar_coeff_shift),
+                        grain_min, grain_max)
+                if do_cr:
+                    cr[i, j] = np.clip(
+                        cr[i, j] + ((wcr + rnd_off)
+                                    >> params.ar_coeff_shift),
+                        grain_min, grain_max)
+    return luma, cb, cr
+
+
+def _scaling_lut(points, num: int) -> np.ndarray:
+    lut = np.zeros(256, np.int32)
+    if num == 0:
+        return lut
+    lut[: points[0][0]] = points[0][1]
+    for p in range(num - 1):
+        dy = points[p + 1][1] - points[p][1]
+        dx = points[p + 1][0] - points[p][0]
+        delta = dy * ((65536 + (dx >> 1)) // dx)
+        for x in range(dx):
+            lut[points[p][0] + x] = points[p][1] + ((x * delta + 32768)
+                                                    >> 16)
+    lut[points[num - 1][0] :] = points[num - 1][1]
+    return lut
+
+
+def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
+                v: np.ndarray):
+    """Add grain to an 8-bit 4:2:0 output picture (spec 7.18.3 with
+    overlap_flag=0).  Returns new (y, u, v) uint8 arrays."""
+    assert not params.overlap_flag, "overlap blending lands next round"
+    if not params.apply_grain:
+        return y, u, v
+    h, w = y.shape
+    luma_g, cb_g, cr_g = _gen_grain(params)
+    lut_y = _scaling_lut(params.scaling_points_y, params.num_y_points)
+    if params.chroma_scaling_from_luma:
+        lut_cb = lut_cr = lut_y
+    else:
+        lut_cb = _scaling_lut(params.scaling_points_cb,
+                              params.num_cb_points)
+        lut_cr = _scaling_lut(params.scaling_points_cr,
+                              params.num_cr_points)
+    yy = y.astype(np.int32).copy()
+    uu = u.astype(np.int32).copy()
+    vv = v.astype(np.int32).copy()
+    rnd = _Lfsr(params.random_seed)
+
+    cb_mult = params.cb_mult - 128
+    cb_lmult = params.cb_luma_mult - 128
+    cb_off = params.cb_offset - 256
+    cr_mult = params.cr_mult - 128
+    cr_lmult = params.cr_luma_mult - 128
+    cr_off = params.cr_offset - 256
+    if params.chroma_scaling_from_luma:
+        cb_mult, cb_lmult, cb_off = 0, 64, 0
+        cr_mult, cr_lmult, cr_off = 0, 64, 0
+    r_off = 1 << (params.scaling_shift - 1)
+    if params.clip_to_restricted_range:
+        lmin, lmax, cmin, cmax = 16, 235, 16, 240
+    else:
+        lmin = cmin = 0
+        lmax = cmax = 255
+
+    for by in range(0, h // 2, 16):
+        rnd.reseed_line(by * 2, params.random_seed)
+        for bx in range(0, w // 2, 16):
+            off = rnd.bits(8)
+            oy = off & 15
+            ox = (off >> 4) & 15
+            lgy = 3 + 6 + (oy << 1)      # left_pad + 2*ar_pad + 2*off
+            lgx = 3 + 6 + (ox << 1)
+            cgy = 3 + 3 + oy
+            cgx = 3 + 3 + ox
+            bh = min(16, h // 2 - by)
+            bw = min(16, w // 2 - bx)
+            # luma 2*bh x 2*bw
+            if params.num_y_points:
+                py = yy[2 * by : 2 * by + 2 * bh, 2 * bx : 2 * bx + 2 * bw]
+                gr = luma_g[lgy : lgy + 2 * bh, lgx : lgx + 2 * bw]
+                py[:] = np.clip(
+                    py + ((lut_y[py] * gr + r_off) >> params.scaling_shift),
+                    lmin, lmax)
+            # chroma bh x bw with averaged-luma scaling index
+            if (params.num_cb_points or params.num_cr_points
+                    or params.chroma_scaling_from_luma):
+                ly2 = yy[2 * by : 2 * by + 2 * bh,
+                         2 * bx : 2 * bx + 2 * bw]
+                avg = (ly2[::2, ::2] + ly2[::2, 1::2] + 1) >> 1
+                for (pl, lut, g2, m, lm, o, do) in (
+                        (uu, lut_cb, cb_g, cb_mult, cb_lmult, cb_off,
+                         params.num_cb_points
+                         or params.chroma_scaling_from_luma),
+                        (vv, lut_cr, cr_g, cr_mult, cr_lmult, cr_off,
+                         params.num_cr_points
+                         or params.chroma_scaling_from_luma)):
+                    if not do:
+                        continue
+                    pc = pl[by : by + bh, bx : bx + bw]
+                    gr = g2[cgy : cgy + bh, cgx : cgx + bw]
+                    idx = np.clip(((avg * lm + m * pc) >> 6) + o, 0, 255)
+                    pc[:] = np.clip(
+                        pc + ((lut[idx] * gr + r_off)
+                              >> params.scaling_shift), cmin, cmax)
+    return (yy.astype(np.uint8), uu.astype(np.uint8), vv.astype(np.uint8))
+
+
+def preset_params(level: int, seed: int = 7391) -> FilmGrainParams:
+    """Built-in grain preset scaled by level 1..50 (the reference's
+    film-grain-denoise path estimates these from source; the TPU build
+    ships a parameterized table until the estimator lands)."""
+    s = max(1, min(int(level), 50))
+    pk = min(255, 4 + s * 2)
+    return FilmGrainParams(
+        apply_grain=True, random_seed=seed,
+        num_y_points=2, scaling_points_y=((0, pk), (255, max(2, pk // 2))),
+        num_cb_points=2,
+        scaling_points_cb=((0, pk // 2), (255, max(1, pk // 4))),
+        num_cr_points=2,
+        scaling_points_cr=((0, pk // 2), (255, max(1, pk // 4))),
+        scaling_shift=8 + (s > 32),
+        ar_coeff_lag=1,
+        ar_coeffs_y=(6, 12, 6, 24),
+        ar_coeffs_cb=(4, 8, 4, 16, 6),
+        ar_coeffs_cr=(4, 8, 4, 16, -6),
+        ar_coeff_shift=7)

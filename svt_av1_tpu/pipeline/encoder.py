@@ -57,10 +57,14 @@ class Encoder:
         # (ref EB_PRED_LOW_DELAY_B flat structure)
         self._ldb = (config.pred_structure == 1
                      and not config.intra_only)
-        self.seq = O.SequenceParams(config.width, config.height,
-                                    config.bit_depth, config.sb_size,
-                                    enable_cdef=config.enable_cdef,
-                                    enable_order_hint=self._hier)
+        self.seq = O.SequenceParams(
+            config.width, config.height, config.bit_depth, config.sb_size,
+            enable_cdef=config.enable_cdef, enable_order_hint=self._hier,
+            film_grain_present=bool(config.enable_film_grain))
+        self._grain = None
+        if config.enable_film_grain:
+            from svt_av1_tpu.ops.film_grain import preset_params
+            self._grain = preset_params(int(config.enable_film_grain))
         self._frame_idx = 0
         self._send_idx = 0
         self._packets: list[Packet] = []
@@ -640,6 +644,7 @@ class Encoder:
                            tile_rows_log2=cfg.tile_rows_log2,
                            frame_type=O.INTER_FRAME,
                            filter_levels=self._lf_levels(qindex, False),
+                           film_grain=self._grain,
                            **hdr, **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
@@ -679,6 +684,7 @@ class Encoder:
                            filter_levels=self._lf_levels(qindex, True),
                            order_hint=(0 if meta is None
                                        else meta["order_hint"]),
+                           film_grain=self._grain,
                            **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_sequence_header(self.seq)

@@ -240,6 +240,11 @@ def main() -> int:
                          ("sub_pel_filters_4", "subpel_filters_regular_4")):
         out[oname] = parse_int_table(interp, cname, 16 * 8).reshape(16, 8)
         print(f"  {oname}: {out[oname].shape}")
+    # film grain gaussian sequence (spec Gaussian_Sequence, 2048 entries)
+    grain = (ref / "Source/Lib/Common/Codec/grainSynthesis.c").read_text()
+    out["gaussian_sequence"] = parse_int_table(grain, "gaussian_sequence",
+                                               2048)
+    print(f"  gaussian_sequence: {out['gaussian_sequence'].shape}")
 
     outp = Path(args.out)
     outp.parent.mkdir(parents=True, exist_ok=True)
