@@ -113,6 +113,11 @@ class EncoderConfig:
                 "rate_control_mode must be CQP(0)/VBR(2)/CVBR(3)")
         if self.rate_control_mode != RC_MODE_CQP and self.target_bit_rate <= 0:
             raise ValueError("VBR/CVBR require target_bit_rate > 0")
+        if self.enable_restoration:
+            # round-1 LR: luma Wiener, CDEF off (LR boundary lines come
+            # from the deblocked frame; pre-CDEF plane plumbing next
+            # round), single tile, 8-bit, intra-only or flat P
+            self.enable_cdef = False
         if self.bit_depth == 10:
             # 10-bit in-loop filters land next round; signal them off
             self.enable_cdef = False
@@ -127,10 +132,14 @@ class EncoderConfig:
         unimplemented = {
             "film grain at bit_depth=10":
                 bool(self.enable_film_grain) and self.bit_depth == 10,
+            "restoration with tiles/10-bit/B structures":
+                self.enable_restoration
+                and (self.bit_depth == 10 or self.tile_columns_log2
+                     or self.tile_rows_log2
+                     or (not self.intra_only and self.pred_structure != 0)),
             "bit_depth=10 inter": self.bit_depth == 10
                                   and not self.intra_only,
             "super_block_size=128": self.super_block_size == 128,
-            "enable_restoration": self.enable_restoration,
             "enable_warped_motion": self.enable_warped_motion,
             "screen_content_mode": bool(self.screen_content_mode),
             "adaptive_quantization": self.enable_adaptive_quantization,

@@ -137,6 +137,16 @@ class Decoder:
         self.cdef_idx_map = np.zeros((-(-mi_rows // SB_MI),
                                       -(-mi_cols // SB_MI)), np.int32)
 
+        # ---- loop restoration state (luma Wiener; spec 5.11.57) ----------
+        self.lr = None
+        if sp.enable_restoration and fp.lr_types[0] == 2:
+            from svt_av1_tpu.ops import restoration as LRR
+            unit = 64 << fp.lr_unit_shift
+            nr = len(LRR.ru_grid(sp.height, unit))
+            nc = len(LRR.ru_grid(sp.width, unit))
+            self.lr = {"unit": unit, "use": np.zeros((nr, nc), bool),
+                       "taps": np.zeros((nr, nc, 6), np.int32)}
+
         # ---- tiles (spec tile_group_obu; uniform spacing) ----------------
         trows, tcols = O.tile_starts(sp, fp.tile_cols_log2,
                                      fp.tile_rows_log2)
@@ -185,6 +195,14 @@ class Decoder:
                 fp.cdef_damping, fp.cdef_y_strengths, fp.cdef_uv_strengths)
             self.rec = [np.asarray(pl) for pl in planes]
 
+        if self.lr is not None and self.lr["use"].any():
+            from svt_av1_tpu.ops import restoration as LRR
+            sub = np.ascontiguousarray(self.rec[0][: sp.height, : sp.width])
+            out = LRR.apply_wiener_plane(sub, sub.copy(), self.lr["unit"],
+                                         0, self.lr["use"],
+                                         self.lr["taps"])
+            self.rec[0][: sp.height, : sp.width] = out
+
         # reference update (spec decode_frame_wrapup refresh)
         planes = tuple(p.copy() for p in self.rec)
         for slot in range(8):
@@ -209,13 +227,34 @@ class Decoder:
         if self.is_inter_frame:
             self.mi = MVP.MiInter(hm, wm)
         self.dec = RangeDecoder(td)
+        self._lr_ref = list(S.WIENER_MID) * 2   # per-tile wiener ref
         for r4 in range(0, hm, SB_MI):
             for c4 in range(0, wm, SB_MI):
                 self._cdef_done = False
+                self._read_lr(r4 + r0, c4 + c0)
                 self._partition(r4, c4, SB_MI)
         self.skip_map[r0:r1, c0:c1] = self.tc.skips
         if self.is_inter_frame:
             self.w4_map[r0:r1, c0:c1] = self.mi.w4
+
+    def _read_lr(self, r4: int, c4: int) -> None:
+        """Mirror of TileWriter._write_lr (spec read_lr, luma Wiener)."""
+        if self.lr is None:
+            return
+        unit = self.lr["unit"]
+        use, taps = self.lr["use"], self.lr["taps"]
+        mi_rows, mi_cols = self.seq.mi_rows, self.seq.mi_cols
+        py0, py1 = r4 * 4, min((r4 + SB_MI) * 4, mi_rows * 4)
+        px0, px1 = c4 * 4, min((c4 + SB_MI) * 4, mi_cols * 4)
+        nr, nc = use.shape
+        for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
+            for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):
+                on = S._code_bin(None, self.dec, self.fc.wiener_restore)
+                if on:
+                    t = S.code_wiener_filter(None, self.dec, self._lr_ref)
+                    self._lr_ref = list(t)
+                    use[ur, uc] = True
+                    taps[ur, uc] = t[3:] + t[:3]   # store (h, v)
 
     def _read_cdef(self, r4: int, c4: int, skip: int) -> None:
         """Mirror of TileWriter._write_cdef (spec read_cdef)."""

@@ -100,6 +100,10 @@ class FrameContext:
             t["default_inter_compound_mode_cdf"])                  # [8][9]
         self.skip_mode = conv(t["default_skip_mode_cdfs"])         # [3][3]
         self.switchable_interp = conv(t["default_switchable_interp_cdf"])
+        self.wiener_restore = conv(t["default_wiener_restore_cdf"])[0]
+        self.sgrproj_restore = conv(t["default_sgrproj_restore_cdf"])[0]
+        self.switchable_restore = conv(
+            t["default_switchable_restore_cdf"])[0]
         self.inter_ext_tx = conv(t["default_inter_ext_tx_cdf"])    # [4][4][17]
         # MV coding (nmv_context; ref EbCabacContextModel.c:899)
         self.nmv_joints = conv(t["nmv_joints"][None])[0]           # [5]

@@ -55,6 +55,7 @@ class SequenceParams:
     enable_order_hint: bool = False
     order_hint_bits: int = 8
     film_grain_present: bool = False
+    enable_restoration: bool = False
 
     @property
     def mi_cols(self) -> int:
@@ -100,7 +101,7 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
         w.f(sp.order_hint_bits - 1, 3)  # order_hint_bits_minus_1
     w.f(0, 1)      # enable_superres
     w.f(int(sp.enable_cdef), 1)
-    w.f(0, 1)      # enable_restoration
+    w.f(int(sp.enable_restoration), 1)
     # color_config
     w.f(int(sp.bit_depth == 10), 1)   # high_bitdepth
     w.f(0, 1)      # mono_chrome
@@ -144,7 +145,7 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
         order_hint_bits = r.f(3) + 1
     assert r.f(1) == 0  # enable_superres
     enable_cdef = bool(r.f(1))
-    assert r.f(1) == 0  # enable_restoration
+    enable_restoration = bool(r.f(1))
     bit_depth = 10 if r.f(1) else 8   # high_bitdepth
     assert r.f(1) == 0  # mono
     assert r.f(1) == 0  # color desc
@@ -156,7 +157,8 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
                           enable_cdef=enable_cdef,
                           enable_order_hint=enable_order_hint,
                           order_hint_bits=order_hint_bits,
-                          film_grain_present=film_grain)
+                          film_grain_present=film_grain,
+                          enable_restoration=enable_restoration)
 
 
 KEY_FRAME, INTER_FRAME = 0, 1
@@ -242,6 +244,11 @@ class FrameParams:
     cdef_y_strengths: tuple = ((0, 0),) * 4     # (pri, sec-coded) pairs
     cdef_uv_strengths: tuple = ((0, 0),) * 4
     film_grain: object = None         # FilmGrainParams when seq enables
+    # loop restoration (spec 5.9.20): coded per-plane type
+    # (0 NONE, 1 SWITCHABLE, 2 WIENER, 3 SGRPROJ) + unit size shifts
+    lr_types: tuple = (0, 0, 0)
+    lr_unit_shift: int = 0            # luma RU = 64 << shift (sb 64)
+    lr_uv_shift: int = 0
 
     @property
     def is_intra(self) -> bool:
@@ -373,7 +380,17 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
             up_, us = fp.cdef_uv_strengths[i]
             w.f(yp, 4).f(ys, 2)
             w.f(up_, 4).f(us, 2)
-    # lr: disabled in sequence -> no bits
+    if sp.enable_restoration:    # lr_params (spec 5.9.20)
+        for p in range(3):
+            w.f(fp.lr_types[p], 2)
+        uses_lr = any(fp.lr_types)
+        uses_chroma_lr = fp.lr_types[1] or fp.lr_types[2]
+        if uses_lr:
+            w.f(int(fp.lr_unit_shift > 0), 1)
+            if fp.lr_unit_shift > 0:
+                w.f(fp.lr_unit_shift - 1, 1)
+            if uses_chroma_lr:   # 4:2:0
+                w.f(fp.lr_uv_shift, 1)
     w.f(fp.tx_mode_select, 1)    # read_tx_mode (0 = LARGEST)
     if not fp.is_intra:
         w.f(int(fp.reference_select), 1)
@@ -548,6 +565,16 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
         for _ in range(1 << cdef_bits):
             y_str.append((r.f(4), r.f(2)))
             uv_str.append((r.f(4), r.f(2)))
+    lr_types = (0, 0, 0)
+    lr_unit_shift = 0
+    lr_uv_shift = 0
+    if sp.enable_restoration:
+        lr_types = tuple(r.f(2) for _ in range(3))
+        if any(lr_types):
+            if r.f(1):
+                lr_unit_shift = 1 + r.f(1)
+            if lr_types[1] or lr_types[2]:
+                lr_uv_shift = r.f(1)
     tx_mode_select = r.f(1)
     reference_select = False
     if not is_intra:
@@ -566,7 +593,7 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
                        refresh, ref_idx, show_frame, order_hint, ref_hints,
                        reference_select, (l0, l1, lu, lv_),
                        cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str),
-                       grain)
+                       grain, lr_types, lr_unit_shift, lr_uv_shift)
 
 
 def tile_starts(sp: SequenceParams, cols_log2: int, rows_log2: int):

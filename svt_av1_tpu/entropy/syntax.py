@@ -835,6 +835,115 @@ GLOBAL_GLOBALMV, NEW_NEWMV = 23, 24
 _COMP_MODE_CTX_MAP = ((0, 1, 1, 1, 1), (1, 2, 3, 4, 4), (4, 4, 5, 6, 7))
 
 
+# ---- raw-bit primitives in the tile data (ref aom_write_bit/literal) ----
+
+def _code_bool_raw(enc, dec, bit=None) -> int:
+    if enc is not None:
+        enc.encode_bool(int(bit), 16384)
+        return int(bit)
+    return dec.decode_bool(16384)
+
+
+def code_literal(enc, dec, n: int, v=None) -> int:
+    out = 0
+    for b in range(n - 1, -1, -1):
+        bit = _code_bool_raw(enc, dec,
+                             None if v is None else (v >> b) & 1)
+        out = (out << 1) | bit
+    return out
+
+
+def code_primitive_quniform(enc, dec, n: int, v=None) -> int:
+    """ref aom_write_primitive_quniform: v in [0, n) quasi-uniformly."""
+    if n <= 1:
+        return 0
+    l = (n - 1).bit_length()
+    m = (1 << l) - n
+    if v is None:
+        first = code_literal(enc, dec, l - 1)
+    else:
+        first = code_literal(enc, dec, l - 1,
+                             v if v < m else m + ((v - m) >> 1))
+    if first < m:
+        return first
+    extra = _code_bool_raw(enc, dec,
+                           None if v is None else (v - m) & 1)
+    return (first << 1) - m + extra
+
+
+def code_primitive_subexpfin(enc, dec, n: int, k: int, v=None) -> int:
+    """ref aom_write_primitive_subexpfin."""
+    i = 0
+    mk = 0
+    while True:
+        b = k + i - 1 if i else k
+        a = 1 << b
+        if n <= mk + 3 * a:
+            return mk + code_primitive_quniform(
+                enc, dec, n - mk, None if v is None else v - mk)
+        t = _code_bool_raw(enc, dec,
+                           None if v is None else int(v >= mk + a))
+        if t:
+            i += 1
+            mk += a
+        else:
+            return mk + code_literal(enc, dec, b,
+                                     None if v is None else v - mk)
+
+
+def _recenter_nonneg(r: int, v: int) -> int:
+    if v > (r << 1):
+        return v
+    if v >= r:
+        return (v - r) << 1
+    return ((r - v) << 1) - 1
+
+
+def _inv_recenter_nonneg(r: int, x: int) -> int:
+    if x > (r << 1):
+        return x
+    if x & 1:
+        return r - ((x + 1) >> 1)
+    return r + (x >> 1)
+
+
+def code_primitive_refsubexpfin(enc, dec, n: int, k: int, ref: int,
+                                v=None) -> int:
+    """ref aom_write_primitive_refsubexpfin (recentered around ref)."""
+    if (ref << 1) <= n:
+        x = code_primitive_subexpfin(
+            enc, dec, n, k,
+            None if v is None else _recenter_nonneg(ref, v))
+        return _inv_recenter_nonneg(ref, x)
+    x = code_primitive_subexpfin(
+        enc, dec, n, k,
+        None if v is None else _recenter_nonneg(n - 1 - ref, n - 1 - v))
+    return n - 1 - _inv_recenter_nonneg(n - 1 - ref, x)
+
+
+# ---- loop restoration per-RU syntax (ref write_wiener_filter) ----------
+WIENER_MIN = (-5, -23, -17)
+WIENER_MAX = (10, 8, 46)
+WIENER_K = (1, 2, 3)
+WIENER_MID = (3, -7, 15)     # default/reset reference taps
+
+
+def code_wiener_filter(enc, dec, taps_ref, taps=None):
+    """Code 6 taps (v0 v1 v2 h0 h1 h2) against the running reference
+    filter; returns the coded taps and updates nothing (caller keeps
+    the per-plane reference)."""
+    out = []
+    for half in range(2):                 # vertical then horizontal
+        for i in range(3):
+            n = WIENER_MAX[i] - WIENER_MIN[i] + 1
+            r = taps_ref[half * 3 + i] - WIENER_MIN[i]
+            v = None if taps is None else taps[half * 3 + i] - WIENER_MIN[i]
+            out.append(code_primitive_refsubexpfin(enc, dec, n,
+                                                   WIENER_K[i], r, v)
+                       + WIENER_MIN[i])
+    return tuple(out)
+
+
 def compound_mode_ctx(res) -> int:
     """ref Av1ModeContextAnalyzer for rf[1] > INTRA_FRAME."""
     return _COMP_MODE_CTX_MAP[res.refmv_ctx >> 1][min(res.newmv_ctx, 4)]

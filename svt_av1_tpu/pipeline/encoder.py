@@ -60,7 +60,8 @@ class Encoder:
         self.seq = O.SequenceParams(
             config.width, config.height, config.bit_depth, config.sb_size,
             enable_cdef=config.enable_cdef, enable_order_hint=self._hier,
-            film_grain_present=bool(config.enable_film_grain))
+            film_grain_present=bool(config.enable_film_grain),
+            enable_restoration=config.enable_restoration)
         self._grain = None
         if config.enable_film_grain:
             from svt_av1_tpu.ops.film_grain import preset_params
@@ -393,6 +394,22 @@ class Encoder:
                 jnp.pad(u, padc, mode="edge"),
                 jnp.pad(v, padc, mode="edge"))
 
+    def _lr_process(self, frame: Frame, y_plane: np.ndarray):
+        """Luma Wiener restoration: per-RU search against the source,
+        in-place apply on the (mi-padded) recon luma.  Returns the lr
+        syntax dict (ref rest_kernel search + av1_loop_restoration_filter;
+        host stage like entropy — see ops/restoration.py)."""
+        from svt_av1_tpu.ops import restoration as LRR
+        h, w = self.seq.height, self.seq.width
+        crop = np.ascontiguousarray(y_plane[:h, :w].astype(np.int32))
+        use, taps = LRR.search_wiener_plane(
+            frame.y[:h, :w].astype(np.int32), crop, crop.copy(), 64, 0)
+        if use.any():
+            out = LRR.apply_wiener_plane(crop, crop.copy(), 64, 0, use,
+                                         taps)
+            y_plane[:h, :w] = out
+        return {"unit": 64, "use": use, "taps": taps}
+
     def _intra_dispatch(self, frame: Frame, qindex: int):
         """Keyframe device dispatch; returns (out, deb, as-ref planes,
         nbh, nbw)."""
@@ -452,9 +469,20 @@ class Encoder:
         if key or self._ref_dev is None:
             out, deb, ref_planes, nbh, nbw = self._intra_dispatch(frame,
                                                                   qindex)
+            meta = None
+            if self.cfg.enable_restoration:
+                y, u, v = (np.array(p) for p in ref_planes)
+                lr = self._lr_process(frame, y)
+                ref_planes = self._as_ref_planes(
+                    jnp.asarray(y[:ph, :pw]),
+                    jnp.asarray(u[: ph // 2, : pw // 2]),
+                    jnp.asarray(v[: ph // 2, : pw // 2]))
+                meta = {"lr": lr, "lr_y": y[:ph, :pw].copy(),
+                        "show": True, "display": self._send_idx - 1,
+                        "order_hint": 0}
             self._ref_dev = ref_planes
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
-                                  deb))
+                                  deb, meta))
         else:
             sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8),
                                           ph32, pw32))
@@ -477,10 +505,23 @@ class Encoder:
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]))
-            self._ref_dev = self._as_ref_planes(out[5][:ph, :pw],
-                                   out[6][: ph // 2, : pw // 2],
-                                   out[7][: ph // 2, : pw // 2])
-            self._pending.append(("p", [frame], out, None, None, qindex))
+            meta = None
+            if self.cfg.enable_restoration:
+                y = np.array(out[5][:ph, :pw])
+                lr = self._lr_process(frame, y)
+                meta = {"lr": lr, "lr_y": y.copy(), "show": True,
+                        "display": self._send_idx - 1, "order_hint": 0,
+                        "refresh": 0x01, "ref_idx": (0,) * 7,
+                        "ref_hints": (0,) * 7}
+                self._ref_dev = self._as_ref_planes(
+                    jnp.asarray(y), out[6][: ph // 2, : pw // 2],
+                    out[7][: ph // 2, : pw // 2])
+            else:
+                self._ref_dev = self._as_ref_planes(out[5][:ph, :pw],
+                                       out[6][: ph // 2, : pw // 2],
+                                       out[7][: ph // 2, : pw // 2])
+            self._pending.append(("p", [frame], out, None, None, qindex,
+                                  None, meta))
 
     def _finish_one(self) -> None:
         entry = self._pending.pop(0)
@@ -593,6 +634,10 @@ class Encoder:
             nc = -(-(-(-wm // mi_cell)) // align) * align
             return np.ascontiguousarray(a[rr : rr + nr, cc : cc + nc])
 
+        lr = meta.get("lr") if meta else None
+        if lr is not None:
+            ry = meta["lr_y"]
+
         def code_tile(r01, c01) -> bytes:
             (r0, r1), (c0, c1) = r01, c01
             hm, wm = r1 - r0, c1 - c0
@@ -605,7 +650,7 @@ class Encoder:
                                  align=32 // bs)
                               for p in range(3)) for bs in (8, 16, 32)}
             fc = FrameContext(qindex)
-            if cfg.entropy_backend in ("auto", "cpp"):
+            if lr is None and cfg.entropy_backend in ("auto", "cpp"):
                 from svt_av1_tpu.entropy import backend as native
                 if native.available():
                     return native.encode_tile_inter_cpp(
@@ -615,7 +660,7 @@ class Encoder:
                         comp_pair=comp_pair or (1, 7))
                 if cfg.entropy_backend == "cpp":
                     raise RuntimeError("C++ entropy backend unavailable")
-            tw = TileWriter(fc, hm, wm, qindex)
+            tw = TileWriter(fc, hm, wm, qindex, lr=lr)
             return tw.encode_inter(t_sizes, t_mv, t_lv, cdef_idx=t_ci,
                                    refs=t_refs, sign_bias=sign_bias,
                                    comp_pair=comp_pair, mvs2=t_mv2)
@@ -645,6 +690,8 @@ class Encoder:
                            frame_type=O.INTER_FRAME,
                            filter_levels=self._lf_levels(qindex, False),
                            film_grain=self._grain,
+                           lr_types=(2, 0, 0) if lr is not None
+                           else (0, 0, 0),
                            **hdr, **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
@@ -662,8 +709,20 @@ class Encoder:
         cfg = self.cfg
         fc = FrameContext(qindex)
         cdef_idx = dev.get("cdef_idx") if cfg.enable_cdef else None
+        lr = None
+        if cfg.enable_restoration:
+            if meta is not None and "lr" in meta:
+                lr = meta["lr"]
+                dev = dict(dev)
+                dev["recon_y"] = meta["lr_y"]
+            else:
+                # intra-only path: restore at packet time (no refs)
+                y = np.array(dev["recon_y"], np.int32)
+                lr = self._lr_process(frame, y)
+                dev = dict(dev)
+                dev["recon_y"] = y
         tile = None
-        if cfg.entropy_backend in ("auto", "cpp"):
+        if lr is None and cfg.entropy_backend in ("auto", "cpp"):
             from svt_av1_tpu.entropy import backend as native
             if native.available():
                 tile = native.encode_tile_cpp(
@@ -673,7 +732,8 @@ class Encoder:
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
-            tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex)
+            tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
+                            lr=lr)
             tile = tw.encode(dev["modes"], dev["levels_y"], dev["levels_u"],
                              dev["levels_v"], cdef_idx=cdef_idx)
         # intra frames stay single-tile: the wavefront predicts across
@@ -685,6 +745,8 @@ class Encoder:
                            order_hint=(0 if meta is None
                                        else meta["order_hint"]),
                            film_grain=self._grain,
+                           lr_types=(2, 0, 0) if lr is not None
+                           else (0, 0, 0),
                            **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_sequence_header(self.seq)
@@ -705,7 +767,8 @@ class Encoder:
         return Packet(payload, -1, True, recon, psnr)
 
     def _need_recon(self) -> bool:
-        return self.cfg.recon_output or self.cfg.stat_report
+        return (self.cfg.recon_output or self.cfg.stat_report
+                or self.cfg.enable_restoration)
 
     def _cdef_params(self, qindex: int) -> dict:
         if not self.cfg.enable_cdef:

@@ -103,7 +103,8 @@ class TileWriter:
     """Encodes one tile from device-produced per-block data (P=8 uniform)."""
 
     def __init__(self, fc: FrameContext, mi_rows: int, mi_cols: int,
-                 qindex: int, reduced_tx_set: bool = True) -> None:
+                 qindex: int, reduced_tx_set: bool = True,
+                 lr=None) -> None:
         self.fc = fc
         self.tc = S.TileContexts(mi_rows, mi_cols)
         self.enc = RangeEncoder()
@@ -113,6 +114,31 @@ class TileWriter:
         self.cdef_idx = None     # [nsb_h, nsb_w] per-64x64 strength index
         self.cdef_bits = 2
         self._cdef_done = False
+        # loop restoration (luma Wiener): {"unit", "use", "taps"};
+        # per-SB RU syntax is interleaved at SB starts (spec read_lr)
+        self.lr = lr
+        self._lr_ref = list(S.WIENER_MID) * 2 if lr else None
+
+    def _write_lr(self, r4: int, c4: int) -> None:
+        """spec read_lr mirror: code RUs whose index range starts in
+        this SB (luma plane, WIENER frame type)."""
+        if self.lr is None:
+            return
+        unit = self.lr["unit"]
+        use, taps = self.lr["use"], self.lr["taps"]
+        py0, py1 = r4 * 4, min((r4 + SB_MI) * 4, self.tc.mi_rows * 4)
+        px0, px1 = c4 * 4, min((c4 + SB_MI) * 4, self.tc.mi_cols * 4)
+        nr, nc = use.shape
+        for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
+            for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):
+                on = int(use[ur, uc])
+                S._code_bin(self.enc, None, self.fc.wiener_restore, on)
+                if on:
+                    t = tuple(int(x) for x in taps[ur, uc])
+                    # coded order: vertical then horizontal taps
+                    S.code_wiener_filter(self.enc, None, self._lr_ref,
+                                         t[3:] + t[:3])
+                    self._lr_ref = list(t[3:] + t[:3])
 
     def encode(self, modes: np.ndarray, levels_y: np.ndarray,
                levels_u: np.ndarray, levels_v: np.ndarray,
@@ -124,6 +150,7 @@ class TileWriter:
         for r4 in range(0, tc.mi_rows, SB_MI):
             for c4 in range(0, tc.mi_cols, SB_MI):
                 self._cdef_done = False
+                self._write_lr(r4, c4)
                 self._partition(r4, c4, SB_MI)
         return self.enc.done()
 
@@ -157,6 +184,7 @@ class TileWriter:
         for r4 in range(0, tc.mi_rows, SB_MI):
             for c4 in range(0, tc.mi_cols, SB_MI):
                 self._cdef_done = False
+                self._write_lr(r4, c4)
                 self._partition(r4, c4, SB_MI)
         return self.enc.done()
 

@@ -1,0 +1,92 @@
+"""Loop restoration (luma Wiener): filter math, stripe handling, RU
+search, per-SB syntax, and e2e mirror-decode parity.
+
+Ref parity: av1_wiener_convolve_add_src_c (convolve.c:115),
+setup_processing_stripe_boundary / save_deblock_boundary_lines
+(EbRestoration.c), write_wiener_filter (EbEntropyCoding.c:4444),
+search_wiener (EbPickRestoration.c).
+"""
+
+import numpy as np
+
+from svt_av1_tpu import EncoderConfig
+from svt_av1_tpu.decoder import Decoder
+from svt_av1_tpu.io import synthetic_frame
+from svt_av1_tpu.ops import restoration as R
+from svt_av1_tpu.pipeline.encoder import Encoder
+
+
+def test_wiener_block_scalar_parity():
+    rng = np.random.default_rng(0)
+    ext = rng.integers(0, 256, (24, 30)).astype(np.int32)
+    th, tv = (2, -5, 11), (1, -3, 9)
+    out = R.wiener_block(ext, th, tv)
+    kx, ky = R.wiener_kernel(th), R.wiener_kernel(tv)
+    im = np.zeros((24, 24), np.int32)
+    for y in range(24):
+        for x in range(24):
+            s = sum(int(kx[i]) * int(ext[y, x + i]) for i in range(7))
+            s += (int(ext[y, x + 3]) << 7) + (1 << 14)
+            im[y, x] = min(max((s + 4) >> 3, 0), (1 << 13) - 1)
+    ref = np.zeros((18, 24), np.int32)
+    for y in range(18):
+        for x in range(24):
+            s = sum(int(ky[i]) * int(im[y + i, x]) for i in range(7))
+            s += (int(im[y + 3, x]) << 7) - (1 << 18)
+            ref[y, x] = min(max((s + 1024) >> 11, 0), 255)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_stripe_spans_and_boundaries():
+    # luma: first stripe 56 rows, then 64s (offset 8)
+    assert R._stripe_spans(160, 0) == [(0, 56), (56, 120), (120, 160)]
+    assert R._stripe_spans(40, 0) == [(0, 40)]
+    cdef = np.arange(200 * 8).reshape(200, 8).astype(np.int32) % 251
+    deb = cdef + 1000
+    ext = R._extend_stripe(cdef, deb, 56, 120)
+    # above rows: [a0 a0 a1] from DEBLOCKED rows 54, 55
+    np.testing.assert_array_equal(ext[0, 3:-3], deb[54])
+    np.testing.assert_array_equal(ext[1, 3:-3], deb[54])
+    np.testing.assert_array_equal(ext[2, 3:-3], deb[55])
+    # below rows: [b0 b1 b1] from deblocked rows 120, 121
+    np.testing.assert_array_equal(ext[-3, 3:-3], deb[120])
+    np.testing.assert_array_equal(ext[-2, 3:-3], deb[121])
+    np.testing.assert_array_equal(ext[-1, 3:-3], deb[121])
+
+
+def test_wiener_search_denoises():
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:144, 0:192]
+    src = (120 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.int32)
+    deg = np.clip(src + rng.normal(0, 6, src.shape), 0, 255).astype(
+        np.int32)
+    use, taps = R.search_wiener_plane(src, deg, deg.copy(), 64, 0)
+    assert use.any()
+    out = R.apply_wiener_plane(deg, deg.copy(), 64, 0, use, taps)
+    assert ((out - src) ** 2).sum() < 0.5 * ((deg - src) ** 2).sum()
+
+
+def test_restoration_e2e_bit_exact():
+    W, H = 192, 160   # three stripes
+    for ip in (-2, 63):
+        cfg = EncoderConfig(width=W, height=H, qp=50, intra_period=ip,
+                            pred_structure=0, enable_restoration=True,
+                            scene_change_detection=False)
+        assert not cfg.enable_cdef   # LR forces CDEF off this round
+        enc, dec = Encoder(cfg), Decoder()
+        base = synthetic_frame(W, H, seed=0, kind="noise")
+        n_on = 0
+        for i in range(2):
+            f = synthetic_frame(W, H, seed=0, kind="noise")
+            f.y[:] = np.roll(base.y, (i, 2 * i), (0, 1))
+            f.u[:] = np.roll(base.u, (0, i), (0, 1))
+            f.v[:] = np.roll(base.v, (0, i), (0, 1))
+            enc.send_picture(f)
+            pkt = enc.get_packet()
+            d = dec.decode_temporal_unit(pkt.payload)
+            np.testing.assert_array_equal(d.y, pkt.recon.y)
+            np.testing.assert_array_equal(d.u, pkt.recon.u)
+            np.testing.assert_array_equal(d.v, pkt.recon.v)
+            if dec.lr is not None:
+                n_on += int(dec.lr["use"].sum())
+        assert n_on > 0, "Wiener never engaged on noisy content"

@@ -76,6 +76,9 @@ CDF_MANIFEST = [
     ("default_uni_comp_ref_cdf", (3, 3), 2),
     ("default_skip_mode_cdfs", (3,), 2),
     ("default_switchable_interp_cdf", (16,), 3),
+    ("default_switchable_restore_cdf", (1,), 3),
+    ("default_wiener_restore_cdf", (1,), 2),
+    ("default_sgrproj_restore_cdf", (1,), 2),
     ("default_inter_compound_mode_cdf", (8,), 8),
     ("default_motion_mode_cdf", (22,), 3),
     ("default_obmc_cdf", (22,), 2),
