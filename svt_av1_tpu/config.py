@@ -137,8 +137,7 @@ class EncoderConfig:
                 and (self.bit_depth == 10 or self.tile_columns_log2
                      or self.tile_rows_log2
                      or (not self.intra_only and self.pred_structure != 0)),
-            "bit_depth=10 inter": self.bit_depth == 10
-                                  and not self.intra_only,
+
             "super_block_size=128": self.super_block_size == 128,
             "enable_warped_motion": self.enable_warped_motion,
             "screen_content_mode": bool(self.screen_content_mode),

@@ -130,9 +130,10 @@ class Decoder:
                 pu = MC.pad_for_filter(np, pad32(ref[1], 1), cpad)
                 pv = MC.pad_for_filter(np, pad32(ref[2], 1), cpad)
                 self.planes_pad[slot] = (py, pu, pv)
-                self.banks[slot] = (MC.phase_bank(np, py, 4),
-                                    MC.phase_bank(np, pu, 2),
-                                    MC.phase_bank(np, pv, 2))
+                bd = sp.bit_depth
+                self.banks[slot] = (MC.phase_bank(np, py, 4, bd),
+                                    MC.phase_bank(np, pu, 2, bd),
+                                    MC.phase_bank(np, pv, 2, bd))
 
         self.cdef_idx_map = np.zeros((-(-mi_rows // SB_MI),
                                       -(-mi_cols // SB_MI)), np.int32)
@@ -389,12 +390,13 @@ class Decoder:
                 pp0 = self.planes_pad[self.fp.ref_frame_idx[ref - 1]]
                 pp1 = self.planes_pad[self.fp.ref_frame_idx[ref2 - 1]]
                 ppad = PAD if plane == 0 else cpad
+                bd_ = self.seq.bit_depth
                 pred = MC.jnt_average(
                     np,
                     MC.jnt_pred_np(pp0[plane], py, px, mv8, pbs, ppad,
-                                   plane > 0),
+                                   plane > 0, bd_),
                     MC.jnt_pred_np(pp1[plane], py, px, mv8b, pbs, ppad,
-                                   plane > 0))
+                                   plane > 0, bd_), bd_)
             elif plane == 0:
                 r0 = py + PAD + (mv8[0] >> 3)
                 c0 = px + PAD + (mv8[1] >> 3)
@@ -408,10 +410,11 @@ class Decoder:
                 pred = bank_c[(mv8[0] & 15) >> 1,
                               (mv8[1] & 15) >> 1][
                     r0 : r0 + pbs, c0 : c0 + pbs]
-            dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size)
-            resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT)
+            bd2 = self.seq.bit_depth
+            dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size, bd2)
+            resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT, bd2)
             self.rec[plane][py : py + pbs, px : px + pbs] = np.clip(
-                pred + resid, 0, 255)
+                pred + resid, 0, (1 << bd2) - 1)
 
     def _block(self, r4: int, c4: int) -> None:
         dec, fc, tc = self.dec, self.fc, self.tc

@@ -60,14 +60,15 @@ def _round_shift(x, n: int):
     return (x + (1 << (n - 1))) >> n
 
 
-def filter_plane(xp, plane, phase_x: int, phase_y: int):
+def filter_plane(xp, plane, phase_x: int, phase_y: int, bd: int = 8):
     """Filter a whole (already padded) plane at one subpel phase.
 
     ``plane`` is int32 [H+7, W+7]: the caller pads with a 3-pixel
     top/left and 4-pixel bottom/right halo (filter taps span [-3, 4]).
-    Returns uint8-range int32 [H, W] matching the reference convolve
-    output pixel-for-pixel for every aligned position.
+    Returns pixel-range int32 [H, W] matching the reference convolve
+    (av1_[highbd_]convolve_*_sr_c; 10-bit keeps round_0=3/round_1=11).
     """
+    hi = (1 << bd) - 1
     if phase_x == 0 and phase_y == 0:
         return plane[3 : plane.shape[0] - 4, 3 : plane.shape[1] - 4]
     if phase_y == 0:
@@ -76,23 +77,23 @@ def filter_plane(xp, plane, phase_x: int, phase_y: int):
         res = _conv_h(xp, src, regular_kernel(phase_x))
         res = _round_shift(res, ROUND0)
         res = _round_shift(res, FILTER_BITS - ROUND0)
-        return xp.clip(res, 0, 255)
+        return xp.clip(res, 0, hi)
     if phase_x == 0:
         # ref av1_convolve_y_sr_c: single >>FILTER_BITS
         src = plane[:, 3 : plane.shape[1] - 4]
         res = _conv_v(xp, src, regular_kernel(phase_y))
         res = _round_shift(res, FILTER_BITS)
-        return xp.clip(res, 0, 255)
+        return xp.clip(res, 0, hi)
     # ref av1_convolve_2d_sr_c
-    offset0 = 1 << (BD + FILTER_BITS - 1)
+    offset0 = 1 << (bd + FILTER_BITS - 1)
     im = _round_shift(_conv_h(xp, plane, regular_kernel(phase_x)) + offset0,
                       ROUND0)
-    offset_bits = BD + 2 * FILTER_BITS - ROUND0
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
     res = _round_shift(_conv_v(xp, im, regular_kernel(phase_y))
                        + (1 << offset_bits), ROUND1)
-    res = res - ((1 << (BD - 1)) + (1 << (BD - 2)))  # offset removal
+    res = res - ((1 << (bd - 1)) + (1 << (bd - 2)))  # offset removal
     # bits = 2*FILTER_BITS - ROUND0 - ROUND1 == 0: no final shift
-    return xp.clip(res, 0, 255)
+    return xp.clip(res, 0, hi)
 
 
 def halfpel_planes(xp, plane_padded):
@@ -109,7 +110,7 @@ def halfpel_planes(xp, plane_padded):
     ])
 
 
-def phase_bank(xp, plane_padded, step: int):
+def phase_bank(xp, plane_padded, step: int, bd: int = 8):
     """All (16/step)^2 subpel-phase planes of one padded plane.
 
     step=4: quarter-pel bank (luma with allow_high_precision_mv=0);
@@ -124,7 +125,8 @@ def phase_bank(xp, plane_padded, step: int):
     for iy in range(n):
         row = []
         for ix in range(n):
-            row.append(filter_plane(xp, plane_padded, ix * step, iy * step))
+            row.append(filter_plane(xp, plane_padded, ix * step, iy * step,
+                                    bd))
         rows.append(xp.stack(row))
     return xp.stack(rows)
 
@@ -142,7 +144,7 @@ JNT_ROUND_OFFSET = ((1 << (JNT_OFFSET_BITS - JNT_ROUND1))
 JNT_ROUND_BITS = 2 * FILTER_BITS - ROUND0 - JNT_ROUND1   # 4
 
 
-def jnt_block(xp, patch, kx, ky):
+def jnt_block(xp, patch, kx, ky, bd: int = 8):
     """One block's compound-domain prediction.
 
     patch: int32 [bs+7, bs+7] full-pel window (top-left at fullpel
@@ -150,7 +152,8 @@ def jnt_block(xp, patch, kx, ky):
     [bs, bs] (ref av1_jnt_convolve_2d_c non-averaging pass).
     """
     bs = patch.shape[0] - 7
-    offset0 = 1 << (BD + FILTER_BITS - 1)
+    offset0 = 1 << (bd + FILTER_BITS - 1)
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
     im = None
     for k in range(8):
         term = kx[k] * patch[:, k : k + bs]
@@ -160,18 +163,23 @@ def jnt_block(xp, patch, kx, ky):
     for k in range(8):
         term = ky[k] * im[k : k + bs, :]
         res = term if res is None else res + term
-    return _round_shift(res + (1 << JNT_OFFSET_BITS), JNT_ROUND1)
+    return _round_shift(res + (1 << offset_bits), JNT_ROUND1)
 
 
-def jnt_average(xp, res0, res1):
+def jnt_round_offset(bd: int = 8) -> int:
+    ob = bd + 2 * FILTER_BITS - ROUND0
+    return (1 << (ob - JNT_ROUND1)) + (1 << (ob - JNT_ROUND1 - 1))
+
+
+def jnt_average(xp, res0, res1, bd: int = 8):
     """COMPOUND_AVERAGE of two CONV_BUF blocks -> pixels (ref
     av1_jnt_convolve_*_c do_average path, use_jnt_comp_avg=0)."""
-    tmp = ((res0 + res1) >> 1) - JNT_ROUND_OFFSET
-    return xp.clip(_round_shift(tmp, JNT_ROUND_BITS), 0, 255)
+    tmp = ((res0 + res1) >> 1) - jnt_round_offset(bd)
+    return xp.clip(_round_shift(tmp, JNT_ROUND_BITS), 0, (1 << bd) - 1)
 
 
 def jnt_pred_np(plane_pad, py: int, px: int, mv8: tuple, bs: int,
-                pad: int, chroma: bool):
+                pad: int, chroma: bool, bd: int = 8):
     """Decoder-side per-block compound-domain prediction (numpy twin of
     the device path).  plane_pad is pad_for_filter(np, plane, pad)."""
     if chroma:
@@ -183,7 +191,8 @@ def jnt_pred_np(plane_pad, py: int, px: int, mv8: tuple, bs: int,
     r0 = py + fy + pad
     c0 = px + fx + pad
     patch = plane_pad[r0 : r0 + bs + 7, c0 : c0 + bs + 7]
-    return jnt_block(np, patch, regular_kernel(phx), regular_kernel(phy))
+    return jnt_block(np, patch, regular_kernel(phx), regular_kernel(phy),
+                     bd)
 
 
 def pad_for_filter(xp, plane, pad: int):

@@ -262,15 +262,15 @@ class Encoder:
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
         ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
-        sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8), ph32, pw32))
-        su = jnp.asarray(IE.pad_plane(frame.u.astype(np.uint8),
+        sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px), ph32, pw32))
+        su = jnp.asarray(IE.pad_plane(frame.u.astype(self._px),
                                       ph32 // 2, pw32 // 2))
-        sv = jnp.asarray(IE.pad_plane(frame.v.astype(np.uint8),
+        sv = jnp.asarray(IE.pad_plane(frame.v.astype(self._px),
                                       ph32 // 2, pw32 // 2))
         lvls = self._lf_levels(qindex, False)
         fn = PE.build_b_frame_encoder_dyn(
             ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-            cdef=cfg.enable_cdef)
+            cdef=cfg.enable_cdef, bd=cfg.bit_depth)
         out = fn(sy, su, sv, *self._ldb_last[0], *self._ldb_golden[0],
                  jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                  jnp.int32(lvls[3]))
@@ -298,10 +298,10 @@ class Encoder:
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
         ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
-        sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8), ph32, pw32))
-        su = jnp.asarray(IE.pad_plane(frame.u.astype(np.uint8),
+        sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px), ph32, pw32))
+        su = jnp.asarray(IE.pad_plane(frame.u.astype(self._px),
                                       ph32 // 2, pw32 // 2))
-        sv = jnp.asarray(IE.pad_plane(frame.v.astype(np.uint8),
+        sv = jnp.asarray(IE.pad_plane(frame.v.astype(self._px),
                                       ph32 // 2, pw32 // 2))
         fwd = self._store[step.fwd]
         lvls = self._lf_levels(qindex, False)
@@ -311,7 +311,7 @@ class Encoder:
         if step.bwd is None:
             fn = PE.build_p_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                cdef=cfg.enable_cdef)
+                cdef=cfg.enable_cdef, bd=cfg.bit_depth)
             out = fn(sy, su, sv, *fwd["dev"], *dyn)
             nrefs = 1
         else:
@@ -319,7 +319,7 @@ class Encoder:
             compound = cfg.compound_mode > 0
             fn = PE.build_b_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                cdef=cfg.enable_cdef, compound=compound)
+                cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth)
             out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
             nrefs = 2
         slot = self._free_slots.pop(0)
@@ -360,7 +360,8 @@ class Encoder:
                 nbh, nbw, qindex, self.cfg.bit_depth)(sy_b, su_b, sv_b)
         else:
             # dynamic-q batch (per-batch shared q; VBR feedback per batch)
-            out = IE.build_batch_frame_encoder_dyn(nbh, nbw)(
+            out = IE.build_batch_frame_encoder_dyn(
+                nbh, nbw, self.cfg.bit_depth)(
                 sy_b, su_b, sv_b, jnp.int32(qindex))
         deb = None
         if (self.cfg.enable_deblocking or self.cfg.enable_cdef) and \
@@ -381,6 +382,10 @@ class Encoder:
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]), jnp.int32(lvls[3]),
                 jnp.int32(CDEF.pick_damping(qindex)))
         self._pending.append(("batch", frames, out, nbh, nbw, qindex, deb))
+
+    @property
+    def _px(self):
+        return np.uint8 if self.cfg.bit_depth == 8 else np.uint16
 
     def _as_ref_planes(self, y, u, v):
         """Edge-pad recon planes to the 32-padded inter geometry (the
@@ -423,26 +428,27 @@ class Encoder:
         else:
             nbh, nbw = ph // 8, pw // 8
             sy = jnp.asarray(IE.block_planes(
-                IE.pad_plane(frame.y.astype(np.uint8), ph, pw), 8))
+                IE.pad_plane(frame.y.astype(self._px), ph, pw), 8))
             su = jnp.asarray(IE.block_planes(
-                IE.pad_plane(frame.u.astype(np.uint8), ph // 2, pw // 2),
+                IE.pad_plane(frame.u.astype(self._px), ph // 2, pw // 2),
                 4))
             sv = jnp.asarray(IE.block_planes(
-                IE.pad_plane(frame.v.astype(np.uint8), ph // 2, pw // 2),
+                IE.pad_plane(frame.v.astype(self._px), ph // 2, pw // 2),
                 4))
-            out = IE.build_frame_encoder_dyn(nbh, nbw)(
+            out = IE.build_frame_encoder_dyn(nbh, nbw,
+                                             self.cfg.bit_depth)(
                 sy, su, sv, jnp.int32(qindex))
         planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
         deb = None
         if self.cfg.enable_deblocking or self.cfg.enable_cdef:
             from svt_av1_tpu.ops import cdef as CDEF
             lvls = self._lf_levels(qindex, True)
-            sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8),
+            sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px),
                                           ph, pw))
             su = jnp.asarray(IE.pad_plane(
-                frame.u.astype(np.uint8), ph // 2, pw // 2))
+                frame.u.astype(self._px), ph // 2, pw // 2))
             sv = jnp.asarray(IE.pad_plane(
-                frame.v.astype(np.uint8), ph // 2, pw // 2))
+                frame.v.astype(self._px), ph // 2, pw // 2))
             deb = _intra_postproc_fn(ph, pw, False,
                                      self.cfg.enable_cdef)(
                 *planes, sy, su, sv, out[1], out[2], out[3],
@@ -484,16 +490,17 @@ class Encoder:
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
                                   deb, meta))
         else:
-            sy = jnp.asarray(IE.pad_plane(frame.y.astype(np.uint8),
+            sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px),
                                           ph32, pw32))
             su = jnp.asarray(IE.pad_plane(
-                frame.u.astype(np.uint8), ph32 // 2, pw32 // 2))
+                frame.u.astype(self._px), ph32 // 2, pw32 // 2))
             sv = jnp.asarray(IE.pad_plane(
-                frame.v.astype(np.uint8), ph32 // 2, pw32 // 2))
+                frame.v.astype(self._px), ph32 // 2, pw32 // 2))
             if self._rc is None and self._la is None:
-                fn = PE.build_p_frame_encoder(ph32, pw32, self.seq.mi_rows,
-                                              self.seq.mi_cols, qindex,
-                                              cdef=self.cfg.enable_cdef)
+                fn = PE.build_p_frame_encoder(
+                    ph32, pw32, self.seq.mi_rows, self.seq.mi_cols, qindex,
+                    deblock=self.cfg.enable_deblocking,
+                    cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth)
                 out = fn(sy, su, sv, *self._ref_dev)
             else:
                 # dynamic-q step: lookahead/RC vary q per frame without
@@ -501,7 +508,7 @@ class Encoder:
                 lvls = self._lf_levels(qindex, False)
                 fn = PE.build_p_frame_encoder_dyn(
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                    cdef=self.cfg.enable_cdef)
+                    cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth)
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]))
@@ -696,11 +703,11 @@ class Encoder:
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
         recon = Frame(
-            ry[: self.seq.height, : self.seq.width].astype(np.uint8),
+            ry[: self.seq.height, : self.seq.width].astype(self._px),
             ru[: (self.seq.height + 1) // 2,
-               : (self.seq.width + 1) // 2].astype(np.uint8),
+               : (self.seq.width + 1) // 2].astype(self._px),
             rv[: (self.seq.height + 1) // 2,
-               : (self.seq.width + 1) // 2].astype(np.uint8))
+               : (self.seq.width + 1) // 2].astype(self._px))
         psnr = _psnr(frame, recon) if cfg.stat_report else None
         return Packet(payload, -1, False, recon, psnr)
 

@@ -59,14 +59,16 @@ def _unblock(blocks):
     return blocks.transpose(0, 2, 1, 3).reshape(nbh * bs, nbw * bs)
 
 
-def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int):
+def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
+                  bd: int = 8):
     nbh, nbw, bs, _ = src_blocks.shape
     resid = (src_blocks - pred_blocks).reshape(-1, bs, bs)
-    coeff = T.fwd_txfm2d_batch_exact(resid, tx_size, T.DCT_DCT)
-    levels = Q.quantize_batch(coeff, qindex, tx_size)
-    dq = Q.dequantize_batch(levels, qindex, tx_size)
-    rec = T.inv_txfm2d_batch(dq, tx_size, T.DCT_DCT)
-    recon = jnp.clip(pred_blocks + rec.reshape(nbh, nbw, bs, bs), 0, 255)
+    coeff = T.fwd_txfm2d_batch_exact(resid, tx_size, T.DCT_DCT, bd)
+    levels = Q.quantize_batch(coeff, qindex, tx_size, bd)
+    dq = Q.dequantize_batch(levels, qindex, tx_size, bd)
+    rec = T.inv_txfm2d_batch(dq, tx_size, T.DCT_DCT, bd)
+    recon = jnp.clip(pred_blocks + rec.reshape(nbh, nbw, bs, bs), 0,
+                     (1 << bd) - 1)
     return levels.reshape(nbh, nbw, bs, bs), recon
 
 
@@ -129,7 +131,8 @@ def _subpel_refine(src_blocks, bank, mv8, cost, bs: int, pad: int, lam: int,
     return mv8, cost
 
 
-def _jnt_pred_grid(plane_pad, mv8, bs: int, pad: int, chroma: bool):
+def _jnt_pred_grid(plane_pad, mv8, bs: int, pad: int, chroma: bool,
+                   bd: int = 8):
     """Batched compound-domain (CONV_BUF) prediction: one bs x bs block
     per grid cell from the full-pel padded plane, per-block subpel
     kernels selected arithmetically (no per-block control flow).
@@ -159,12 +162,13 @@ def _jnt_pred_grid(plane_pad, mv8, bs: int, pad: int, chroma: bool):
     for k in range(8):
         term = kx[..., k, None, None] * patches[..., :, k : k + bs]
         im = term if im is None else im + term
-    im = (im + (1 << 14) + 4) >> 3                       # round_0 = 3
+    im = (im + (1 << (bd + 6)) + 4) >> 3                 # round_0 = 3
     res = None
     for k in range(8):
         term = ky[..., k, None, None] * im[..., k : k + bs, :]
         res = term if res is None else res + term
-    return (res + (1 << 19) + 64) >> 7                   # round_1 = 7
+    offset_bits = bd + 11                                # bd + 2*7 - 3
+    return (res + (1 << offset_bits) + 64) >> 7          # round_1 = 7
 
 
 COMP_EXTRA_BITS = 8  # comp_inter + ref pair + compound mode signaling
@@ -185,7 +189,7 @@ def _tiles8(x, t: int):
 
 
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
-                 nrefs: int = 1, compound: bool = False):
+                 nrefs: int = 1, compound: bool = False, bd: int = 8):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
@@ -218,14 +222,14 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         if dynamic_q:
             q = dyn[0]
             lf_levels = (dyn[1], dyn[1], dyn[2], dyn[3])
-            ac = jnp.asarray(_tbl.spec_tables()["ac_qlookup_8"])[q]
+            ac = jnp.asarray(_tbl.spec_tables()[f"ac_qlookup_{bd}"])[q]
             lam = jnp.maximum(8, ac // 4).astype(jnp.int32)
         else:
             q = qindex
             lf_levels = lf_levels_cell[0]
             # SAD-domain lambda from the quantizer step (the reference
             # scales its fast-loop lambda with qstep; EbLambdaRateTables.h)
-            lam = max(8, _tbl.ac_q(qindex) // 4)
+            lam = max(8, _tbl.ac_q(qindex, bd) // 4)
         sy = sy.astype(jnp.int32)
         su = su.astype(jnp.int32)
         sv = sv.astype(jnp.int32)
@@ -239,9 +243,9 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             pv_ = MC.pad_for_filter(jnp, refs[3 * i + 2].astype(jnp.int32),
                                     cpad)
             padded.append((py_, pu_, pv_))
-            banks.append((MC.phase_bank(jnp, py_, 4),
-                          MC.phase_bank(jnp, pu_, 2),
-                          MC.phase_bank(jnp, pv_, 2)))
+            banks.append((MC.phase_bank(jnp, py_, 4, bd),
+                          MC.phase_bank(jnp, pu_, 2, bd),
+                          MC.phase_bank(jnp, pv_, 2, bd)))
 
         def me_one_ref(ry_i, bank_y_i):
             # hierarchical full-pel ME: quarter-res center search, then a
@@ -285,10 +289,10 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                     # COMPOUND_AVERAGE candidate from the per-ref best
                     # MVs (ref per-ref ME + BI candidate injection)
                     mid0 = _jnt_pred_grid(padded[0][0], mv[bs], bs, pad,
-                                          False)
+                                          False, bd)
                     mid1 = _jnt_pred_grid(padded[1][0], mv1[bs], bs, pad,
-                                          False)
-                    pred_c = MC.jnt_average(jnp, mid0, mid1)
+                                          False, bd)
+                    pred_c = MC.jnt_average(jnp, mid0, mid1, bd)
                     rate = (ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
                             + ME.mv_rate_bits(mv1[bs]
                                               - per_ref[1][2][bs] * 8)
@@ -360,10 +364,10 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             out = jnp.where((sel == 1)[..., None, None], p1, p0)
             if compound:
                 m0 = _jnt_pred_grid(padded[0][plane_idx], mvs2, bs2, pad2,
-                                    chroma)
+                                    chroma, bd)
                 m1 = _jnt_pred_grid(padded[1][plane_idx], mvs_c, bs2,
-                                    pad2, chroma)
-                pc = MC.jnt_average(jnp, m0, m1)
+                                    pad2, chroma, bd)
+                pc = MC.jnt_average(jnp, m0, m1, bd)
                 out = jnp.where((sel == 2)[..., None, None], pc, out)
             return out
 
@@ -373,16 +377,16 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             pred_y = mc_sel(_mc_luma, 0, bs, mv[bs], mv_c[bs], refsel[bs],
                             pad, False)
             ly, rec_y = _encode_plane(_block(sy, bs), pred_y, q,
-                                      TX_OF[bs])
+                                      TX_OF[bs], bd)
             cbs = bs // 2
             pred_u = mc_sel(_mc_chroma, 1, cbs, mv[bs], mv_c[bs],
                             refsel[bs], cpad, True)
             pred_v = mc_sel(_mc_chroma, 2, cbs, mv[bs], mv_c[bs],
                             refsel[bs], cpad, True)
             lu, rec_u = _encode_plane(_block(su, cbs), pred_u, q,
-                                      TX_OF_C[bs])
+                                      TX_OF_C[bs], bd)
             lv, rec_v = _encode_plane(_block(sv, cbs), pred_v, q,
-                                      TX_OF_C[bs])
+                                      TX_OF_C[bs], bd)
             levels[bs] = (ly.astype(jnp.int16), lu.astype(jnp.int16),
                           lv.astype(jnp.int16))
             rec_planes[bs] = (_unblock(rec_y), _unblock(rec_u),
@@ -444,9 +448,10 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 (crop(sy, 0), crop(su, 1), crop(sv, 1)), sk, damping)
             idx_sb = idx_sb.astype(jnp.uint8)
 
-        rec_y = repad(cy, rec_y).astype(jnp.uint8)
-        rec_u = repad(cu, rec_u).astype(jnp.uint8)
-        rec_v = repad(cv, rec_v).astype(jnp.uint8)
+        px_dt = jnp.uint8 if bd == 8 else jnp.uint16
+        rec_y = repad(cy, rec_y).astype(px_dt)
+        rec_u = repad(cu, rec_u).astype(px_dt)
+        rec_v = repad(cv, rec_v).astype(px_dt)
 
         # pack levels: per 8x8 cell, the SELECTED leaf's tiles only — one
         # array per plane instead of three size grids (the tunnel link is
@@ -462,9 +467,9 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                             jnp.where(m8 == 16, _tiles8(levels[16][2], 4),
                                       levels[8][2]))
         if not dynamic_q:
-            dt = (Q.level_dtype(qindex, T.TX_32X32)
-                  if Q.level_dtype(qindex, T.TX_32X32) ==
-                  Q.level_dtype(qindex, T.TX_4X4)
+            dt = (Q.level_dtype(qindex, T.TX_32X32, bd)
+                  if Q.level_dtype(qindex, T.TX_32X32, bd) ==
+                  Q.level_dtype(qindex, T.TX_4X4, bd)
                   else jnp.int16)
             ly_pack = ly_pack.astype(dt)
             lu_pack = lu_pack.astype(dt)
@@ -512,8 +517,9 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
 @functools.lru_cache(maxsize=8)
 def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
-                          deblock: bool = True, cdef: bool = False):
-    fn = p_frame_step(ph, pw, qindex, search)
+                          deblock: bool = True, cdef: bool = False,
+                          bd: int = 8):
+    fn = p_frame_step(ph, pw, qindex, search, bd=bd)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -532,10 +538,10 @@ def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
 @functools.lru_cache(maxsize=4)
 def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
-                              cdef: bool = False):
+                              cdef: bool = False, bd: int = 8):
     """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v); one compile
     serves every qindex (rate control)."""
-    fn = p_frame_step(ph, pw, None, search)
+    fn = p_frame_step(ph, pw, None, search, bd=bd)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)
 
@@ -543,11 +549,13 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
 @functools.lru_cache(maxsize=4)
 def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
-                              cdef: bool = False, compound: bool = False):
+                              cdef: bool = False, compound: bool = False,
+                              bd: int = 8):
     """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
     r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
     (hier-B layer offsets, rate control).  compound=True adds the
     COMPOUND_AVERAGE candidate (fwd+bwd pairs only)."""
-    fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound)
+    fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound,
+                      bd=bd)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -179,22 +179,22 @@ def build_frame_encoder(nbh: int, nbw: int, qindex: int, bd: int = 8):
 
 
 @functools.lru_cache(maxsize=4)
-def build_frame_encoder_dyn(nbh: int, nbw: int):
+def build_frame_encoder_dyn(nbh: int, nbw: int, bd: int = 8):
     """Dynamic-q variant: fn(sy, su, sv, qindex) — one compile serves
     every qindex (rate control changes q per frame)."""
     def wrapper(sy, su, sv, qindex):
         # frame_step closes over qindex; the traced scalar flows through
-        return frame_step(nbh, nbw, qindex)(sy, su, sv)
+        return frame_step(nbh, nbw, qindex, bd)(sy, su, sv)
 
     return jax.jit(wrapper)
 
 
 @functools.lru_cache(maxsize=4)
-def build_batch_frame_encoder_dyn(nbh: int, nbw: int):
+def build_batch_frame_encoder_dyn(nbh: int, nbw: int, bd: int = 8):
     """Dynamic-q batched variant: fn(sy, su, sv, qindex) with a shared
     per-batch q scalar (intra-only VBR)."""
     def wrapper(sy, su, sv, qindex):
-        return frame_step(nbh, nbw, qindex)(sy, su, sv)
+        return frame_step(nbh, nbw, qindex, bd)(sy, su, sv)
 
     return jax.jit(jax.vmap(wrapper, in_axes=(0, 0, 0, None)))
 

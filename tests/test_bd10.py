@@ -50,7 +50,35 @@ def test_bd10_seq_header_roundtrip():
     assert (sp2.width, sp2.height) == (192, 128)
 
 
-def test_bd10_inter_still_gated():
-    with pytest.raises(NotImplementedError):
-        EncoderConfig(width=64, height=64, qp=40, bit_depth=10,
-                      intra_period=8).validate()
+def test_bd10_inter_e2e_bit_exact():
+    """10-bit flat-P and hierarchical-B (compound jnt path at bd=10)."""
+    W, H = 192, 128
+    for ps, hl in ((0, 3), (2, 1)):
+        cfg = EncoderConfig(width=W, height=H, qp=45, intra_period=63,
+                            pred_structure=ps, hierarchical_levels=hl,
+                            bit_depth=10, scene_change_detection=False)
+        from svt_av1_tpu.pipeline.encoder import Encoder as _E
+        enc, dec = _E(cfg), Decoder()
+        base = synthetic_frame(W, H, seed=0, bit_depth=10)
+        frames = []
+        for i in range(3):
+            f = synthetic_frame(W, H, seed=0, bit_depth=10)
+            f.y[:] = np.roll(base.y, (i, 2 * i), (0, 1))
+            f.u[:] = np.roll(base.u, (0, i), (0, 1))
+            f.v[:] = np.roll(base.v, (0, i), (0, 1))
+            frames.append(f)
+        pkts = list(enc.encode_all(frames))
+        shown = [x for x in (dec.decode_temporal_unit(p.payload)
+                             for p in pkts) if x is not None]
+        assert len(shown) == 3
+        if ps == 0:
+            recs = {i: p.recon for i, p in enumerate(pkts)}
+        else:
+            recs = {p.display_idx: p.recon for p in pkts
+                    if p.recon is not None}
+        for d in range(3):
+            assert shown[d].y.dtype == np.uint16
+            assert int(shown[d].y.max()) > 255
+            np.testing.assert_array_equal(shown[d].y, recs[d].y)
+            np.testing.assert_array_equal(shown[d].u, recs[d].u)
+            np.testing.assert_array_equal(shown[d].v, recs[d].v)
