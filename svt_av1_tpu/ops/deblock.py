@@ -52,6 +52,24 @@ def pick_filter_levels(qindex: int, is_key: bool, bd: int = 8):
     return clamp(guess), clamp(chroma), clamp(chroma)
 
 
+def pick_filter_levels_traced(xp, qindex, is_key: bool = False,
+                              bd: int = 8):
+    """Traced-q twin of pick_filter_levels (same arithmetic on a jnp
+    scalar — one compile serves every q)."""
+    from svt_av1_tpu import tables
+    q = xp.asarray(tables.spec_tables()[f"ac_qlookup_{bd}"])[qindex]
+    if is_key:
+        guess = (q * 17563 - 421574 + (1 << 17)) >> 18
+    else:
+        guess = (q * 6017 + 650707 + (1 << 17)) >> 18
+    guess = xp.where(guess > 2, guess - 2,
+                     xp.where(guess > 1, guess - 1, guess))
+    chroma = xp.where(guess > 1, guess // 2, guess)
+    return (xp.clip(guess, 0, 63).astype(xp.int32),
+            xp.clip(chroma, 0, 63).astype(xp.int32),
+            xp.clip(chroma, 0, 63).astype(xp.int32))
+
+
 def _abs(xp, a):
     return xp.abs(a)
 

@@ -1,0 +1,165 @@
+"""Multi-stream batched encoding: S independent streams per device step.
+
+The reference scales throughput with multi-channel instances
+(channel_id / active_channel_count, EbSvtAv1Enc.h:292) — S encoder
+instances on one machine.  The TPU analog batches the S streams' frame
+steps into ONE vmapped device program: the sequential reference chain of
+each stream stays intact, but dispatch overhead and small-op latency are
+amortized S-fold — the single-chip form of the live-transcode config
+(BASELINE config 5: 4x1080p streams).
+
+Streams must be in lockstep (same geometry, q, and frame kind at each
+step), which holds for fixed-keyframe-interval transcode ladders.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.entropy import obu as O
+from svt_av1_tpu.pipeline import inter_encoder as PE
+from svt_av1_tpu.pipeline import intra_encoder as IE
+from svt_av1_tpu.pipeline.encoder import Encoder, Packet
+
+
+class MultiStreamEncoder:
+    """S lockstep IPPP streams, one vmapped device step per frame slot.
+
+    send(frames): one source frame per stream -> list of S Packets (in
+    stream order).  Keyframes batch through the intra batch step;
+    P frames batch through a vmapped P step with per-stream refs.
+    """
+
+    def __init__(self, config: EncoderConfig, n_streams: int) -> None:
+        assert config.pred_structure == 0 and not config.intra_only, \
+            "multi-stream batching targets flat low-delay P"
+        assert not config.enable_restoration
+        self.n = n_streams
+        self.cfg = config
+        # one logical Encoder per stream for entropy/packetization state
+        self.encs: List[Encoder] = []
+        for _ in range(n_streams):
+            c = EncoderConfig(**{f.name: getattr(config, f.name)
+                                 for f in config.__dataclass_fields__
+                                 .values()})
+            c.scene_change_detection = False
+            self.encs.append(Encoder(c))
+        self._refs = None      # stacked device ref planes [S, ...]
+        self._idx = 0
+
+    def send(self, frames: List) -> List[Packet]:
+        import jax
+        import jax.numpy as jnp
+        assert len(frames) == self.n
+        e0 = self.encs[0]
+        cfg = self.cfg
+        seq = e0.seq
+        ph, pw = seq.mi_rows * 4, seq.mi_cols * 4
+        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        key = self.encs[0]._is_key(self._idx)
+        qindex = e0._frame_qindex(key)
+        self._idx += 1
+        px = np.uint8 if cfg.bit_depth == 8 else np.uint16
+
+        if key or self._refs is None:
+            nbh, nbw = ph // 8, pw // 8
+            sy = jnp.asarray(np.stack([IE.block_planes(
+                IE.pad_plane(f.y.astype(px), ph, pw), 8) for f in frames]))
+            su = jnp.asarray(np.stack([IE.block_planes(
+                IE.pad_plane(f.u.astype(px), ph // 2, pw // 2), 4)
+                for f in frames]))
+            sv = jnp.asarray(np.stack([IE.block_planes(
+                IE.pad_plane(f.v.astype(px), ph // 2, pw // 2), 4)
+                for f in frames]))
+            out = IE.build_batch_frame_encoder(nbh, nbw, qindex,
+                                               cfg.bit_depth)(sy, su, sv)
+            deb = None
+            if cfg.enable_deblocking or cfg.enable_cdef:
+                from svt_av1_tpu.ops import cdef as CDEF
+                from svt_av1_tpu.pipeline.encoder import (_intra_postproc_fn,
+                                                          _unblock_dev)
+                lvls = e0._lf_levels(qindex, True)
+                y = jax.vmap(_unblock_dev)(out[4])
+                u = jax.vmap(_unblock_dev)(out[5])
+                v = jax.vmap(_unblock_dev)(out[6])
+                s_y = jax.vmap(_unblock_dev)(sy)
+                s_u = jax.vmap(_unblock_dev)(su)
+                s_v = jax.vmap(_unblock_dev)(sv)
+                deb = _intra_postproc_fn(ph, pw, True, cfg.enable_cdef)(
+                    y, u, v, s_y, s_u, s_v, out[1], out[2], out[3],
+                    jnp.int32(lvls[0]), jnp.int32(lvls[2]),
+                    jnp.int32(lvls[3]),
+                    jnp.int32(CDEF.pick_damping(qindex)))
+            devs = IE.materialize_batch(out, nbh, nbw, with_recon=deb is None)
+            if deb is not None:
+                planes = [np.asarray(a) for a in deb[:3]]
+                idx = np.asarray(deb[3])
+                for s, d in enumerate(devs):
+                    d["recon_y"] = planes[0][s]
+                    d["recon_u"] = planes[1][s]
+                    d["recon_v"] = planes[2][s]
+                    d["cdef_idx"] = idx[s]
+            recs = [np.stack([d[k] for d in devs])
+                    for k in ("recon_y", "recon_u", "recon_v")]
+            pads = ((0, 0), (0, ph32 - ph), (0, pw32 - pw))
+            padc = ((0, 0), (0, (ph32 - ph) // 2), (0, (pw32 - pw) // 2))
+            self._refs = (jnp.pad(jnp.asarray(recs[0]), pads, mode="edge"),
+                          jnp.pad(jnp.asarray(recs[1]), padc, mode="edge"),
+                          jnp.pad(jnp.asarray(recs[2]), padc, mode="edge"))
+            pkts = []
+            for s in range(self.n):
+                pkt = self.encs[s]._make_packet(frames[s], devs[s], qindex)
+                pkt.pts = self._idx - 1
+                pkts.append(pkt)
+            return pkts
+
+        step = _batched_p_step(ph32, pw32, seq.mi_rows, seq.mi_cols,
+                               cfg.enable_deblocking, cfg.enable_cdef,
+                               cfg.bit_depth)
+        sy = jnp.asarray(np.stack([IE.pad_plane(f.y.astype(px), ph32, pw32)
+                                   for f in frames]))
+        su = jnp.asarray(np.stack([IE.pad_plane(
+            f.u.astype(px), ph32 // 2, pw32 // 2) for f in frames]))
+        sv = jnp.asarray(np.stack([IE.pad_plane(
+            f.v.astype(px), ph32 // 2, pw32 // 2) for f in frames]))
+        out = step(sy, su, sv, *self._refs, jnp.int32(qindex))
+        pads = ((0, 0), (0, ph32 - ph), (0, pw32 - pw))
+        padc = ((0, 0), (0, (ph32 - ph) // 2), (0, (pw32 - pw) // 2))
+        self._refs = (
+            jnp.pad(out[5][:, :ph, :pw], pads, mode="edge"),
+            jnp.pad(out[6][:, : ph // 2, : pw // 2], padc, mode="edge"),
+            jnp.pad(out[7][:, : ph // 2, : pw // 2], padc, mode="edge"))
+        pkts = []
+        for s in range(self.n):
+            per = tuple(a[s] for a in out)
+            pkt = self.encs[s]._make_inter_packet(frames[s], per, qindex)
+            pkt.pts = self._idx - 1
+            pkts.append(pkt)
+        return pkts
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _batched_p_step(ph32: int, pw32: int, mi_rows: int, mi_cols: int,
+                    deblock: bool, cdef: bool, bd: int):
+    """vmapped dynamic-q P step over the stream axis (shared q)."""
+    import jax
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import deblock as DB
+
+    fn = PE.p_frame_step(ph32, pw32, None, bd=bd)
+    fn.bind_masks(mi_rows, mi_cols, False, cdef)
+
+    def one(sy, su, sv, ry, ru, rv, q):
+        if deblock:
+            ly, lu, lv = DB.pick_filter_levels_traced(jnp, q)
+        else:
+            ly = lu = lv = jnp.int32(0)
+        return fn(sy, su, sv, ry, ru, rv, q, ly, lu, lv)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None)))
