@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiles-log2", type=int, default=0)
     p.add_argument("--stat-report", action="store_true")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--gop-shards", type=int, default=1,
+                   help="encode N GOPs in lockstep over a device mesh "
+                        "(needs --intra-period >= 1 and flat pred "
+                        "structure; ref multi-channel instances)")
     return p
 
 
@@ -84,8 +88,18 @@ def main(argv=None) -> int:
                         hierarchical_levels=args.hierarchical_levels,
                         tile_columns_log2=args.tiles_log2,
                         stat_report=args.stat_report,
-                        recon_output=bool(args.recon) or args.stat_report)
-    enc = Encoder(cfg)
+                        recon_output=bool(args.recon) or args.stat_report,
+                        num_gop_shards=args.gop_shards)
+    if args.gop_shards > 1:
+        if args.pred_struct != 0 or args.intra_period < 1:
+            print("--gop-shards needs --pred-struct 0 and "
+                  "--intra-period >= 1", file=sys.stderr)
+            return 2
+        from svt_av1_tpu.parallel import GopShardedEncoder
+        enc = GopShardedEncoder(cfg, args.gop_shards,
+                                args.intra_period + 1)
+    else:
+        enc = Encoder(cfg)
 
     out = open(args.output, "wb") if args.output else None
     ivf = IvfWriter(out, width, height, args.fps, 1) if out else None

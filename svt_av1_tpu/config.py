@@ -76,7 +76,6 @@ class EncoderConfig:
     fixed_partition_size: int = 0     # 0 = adaptive partition RDO;
                                       # 8/16/32/64 = force uniform partition
     intra_modes: Tuple[str, ...] = ("ALL",)   # full 13-mode base set
-    use_pallas: bool = True           # Pallas kernels where available
     entropy_backend: str = "auto"     # "auto" | "cpp" | "python"
     device_batch: int = 1             # frames encoded per device dispatch
                                       # (multi-stream/lookahead batching)
@@ -87,7 +86,10 @@ class EncoderConfig:
                                   # off = less device->host traffic
 
     # --- multi-host (ref channel_id / active_channel_count :292) ---
-    num_gop_shards: int = 1           # GOPs sharded across hosts/devices
+    # >1 routes encoding through parallel.gop.GopShardedEncoder: GOPs
+    # (intra_period+1 frames each) encode in lockstep over a device
+    # mesh (see app/enc_app.py --gop-shards)
+    num_gop_shards: int = 1
 
     def __post_init__(self) -> None:
         self.validate()
@@ -118,10 +120,6 @@ class EncoderConfig:
             # from the deblocked frame; pre-CDEF plane plumbing next
             # round), single tile, 8-bit, intra-only or flat P
             self.enable_cdef = False
-        if self.bit_depth == 10:
-            # 10-bit in-loop filters land next round; signal them off
-            self.enable_cdef = False
-            self.enable_deblocking = False
         if self.super_block_size not in (64, 128):
             raise ValueError("super_block_size must be 64 or 128")
         if self.fixed_partition_size not in (0, 8, 16, 32, 64):

@@ -183,17 +183,18 @@ class Decoder:
                 sizes_y = np.full((ph, pw), 8, np.int32)
                 sizes_c = np.full((ph // 2, pw // 2), 4, np.int32)
             self.rec[0] = DB.deblock_plane(np, self.rec[0], sizes_y, l0, l1,
-                                           True)
+                                           True, bd=sp.bit_depth)
             self.rec[1] = DB.deblock_plane(np, self.rec[1], sizes_c, lu2,
-                                           lu2, False)
+                                           lu2, False, bd=sp.bit_depth)
             self.rec[2] = DB.deblock_plane(np, self.rec[2], sizes_c, lv2,
-                                           lv2, False)
+                                           lv2, False, bd=sp.bit_depth)
 
         if sp.enable_cdef:
             skip8 = self.skip_map[::2, ::2].astype(bool)
             planes = CD.cdef_frame(
                 np, tuple(self.rec), skip8, self.cdef_idx_map,
-                fp.cdef_damping, fp.cdef_y_strengths, fp.cdef_uv_strengths)
+                fp.cdef_damping, fp.cdef_y_strengths, fp.cdef_uv_strengths,
+                coeff_shift=sp.bit_depth - 8)
             self.rec = [np.asarray(pl) for pl in planes]
 
         if self.lr is not None and self.lr["use"].any():

@@ -394,9 +394,11 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     w.f(fp.tx_mode_select, 1)    # read_tx_mode (0 = LARGEST)
     if not fp.is_intra:
         w.f(int(fp.reference_select), 1)
-    # skip_mode_params (spec 5.9.22): gate depends on ref order hints
-    if (not fp.is_intra and skip_mode_allowed(sp, fp.order_hint,
-                                              fp.ref_order_hints)):
+    # skip_mode_params (spec 5.9.22): gate depends on ref order hints AND
+    # reference_select (ref is_skip_mode_allowed only under
+    # REFERENCE_MODE_SELECT, EbEntropyCoding.c:4036)
+    if (not fp.is_intra and fp.reference_select
+            and skip_mode_allowed(sp, fp.order_hint, fp.ref_order_hints)):
         w.f(0, 1)                # skip_mode_present = 0
     # allow_warped_motion: seq disabled -> no bit
     w.f(int(fp.reduced_tx_set), 1)
@@ -579,7 +581,8 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
     reference_select = False
     if not is_intra:
         reference_select = bool(r.f(1))
-    if not is_intra and skip_mode_allowed(sp, order_hint, ref_hints):
+    if (not is_intra and reference_select
+            and skip_mode_allowed(sp, order_hint, ref_hints)):
         assert r.f(1) == 0, "skip_mode_present"
     reduced_tx_set = bool(r.f(1))
     if not is_intra:

@@ -13,7 +13,7 @@ Exact integer port of the reference kernels restructured for the TPU:
   constrain() and is excluded from the min/max clamp, exactly like the
   reference's bordered intermediate buffer.
 
-8-bit only for now (coeff_shift = 0).
+coeff_shift = bd-8 parameterizes the high-bitdepth path\n(strength scaling, damping adjust, shifted direction search).
 """
 
 from __future__ import annotations
@@ -59,16 +59,17 @@ def _partial_masks():
     return m
 
 
-def find_dir_grid(xp, luma):
+def find_dir_grid(xp, luma, coeff_shift: int = 0):
     """Per-8x8-block (direction, variance) over a whole plane.
 
     luma: [H, W] int32 (H, W multiples of 8).  Returns (dir [h8, w8],
-    var [h8, w8]) int32 — exact cdef_find_dir_c semantics.
+    var [h8, w8]) int32 — exact cdef_find_dir_c semantics
+    (x = (img >> coeff_shift) - 128, EbCdef.c:146).
     """
     H, W = luma.shape
     h8, w8 = H // 8, W // 8
-    x = (luma.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
-         .reshape(h8, w8, 64).astype(xp.int32) - 128)
+    x = ((luma.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
+          .reshape(h8, w8, 64).astype(xp.int32) >> coeff_shift) - 128)
     masks = xp.asarray(_partial_masks().reshape(8, 15, 64))
     # partial[f, b] = sum over pixels of x * mask
     p = xp.einsum("hwp,fbp->hwfb", x, masks)     # [h8, w8, 8, 15]
@@ -125,7 +126,8 @@ def adjust_strength(xp, strength, var):
     return xp.where(var > 0, (strength * (4 + i) + 8) >> 4, 0)
 
 
-def filter_plane(xp, plane, dir_units, pri, sec, damping, bs: int):
+def filter_plane(xp, plane, dir_units, pri, sec, damping, bs: int,
+                 coeff_shift: int = 0):
     """Apply CDEF to a whole plane.
 
     plane:     [H, W] int32 pre-CDEF pixels
@@ -147,7 +149,8 @@ def filter_plane(xp, plane, dir_units, pri, sec, damping, bs: int):
     dir_px = up(dir_units)                       # [H, W]
     pri_px = up(pri)
     sec_px = up(sec)
-    tap_sel = (pri_px & 1).astype(xp.int32)      # pri taps row (8-bit)
+    # tap parity from the UNSCALED strength (ref EbCdef.c:212)
+    tap_sel = ((pri_px >> coeff_shift) & 1).astype(xp.int32)
 
     x0 = plane
     vmax = x0
@@ -229,11 +232,13 @@ CDEF_BITS = 2
 
 
 def _unit_strengths(xp, idx_sb, skip_units, strengths, h_units, w_units,
-                    units_per_sb: int):
-    """Per-unit (pri, sec) from the per-64x64 strength index."""
-    pri_tab = xp.asarray(np.array([s[0] for s in strengths], np.int32))
+                    units_per_sb: int, coeff_shift: int = 0):
+    """Per-unit (pri, sec) from the per-64x64 strength index (scaled
+    << coeff_shift for high bit depth; ref EbCdef.c:284-285)."""
+    pri_tab = xp.asarray(np.array([s[0] << coeff_shift
+                                   for s in strengths], np.int32))
     sec_raw = np.array([s[1] for s in strengths], np.int32)
-    sec_tab = xp.asarray(sec_raw + (sec_raw == 3))   # coded 3 means 4
+    sec_tab = xp.asarray((sec_raw + (sec_raw == 3)) << coeff_shift)
     up = lambda a: xp.repeat(xp.repeat(a, units_per_sb, 0), units_per_sb, 1)
     idx_u = up(idx_sb)[:h_units, :w_units]
     pri = xp.where(skip_units, 0, pri_tab[idx_u])
@@ -243,7 +248,7 @@ def _unit_strengths(xp, idx_sb, skip_units, strengths, h_units, w_units,
 
 def cdef_frame(xp, planes, skip8, idx_sb, damping: int,
                y_strengths=Y_STRENGTHS, uv_strengths=UV_STRENGTHS,
-               dir_var=None):
+               dir_var=None, coeff_shift: int = 0):
     """Apply CDEF to (y, u, v) post-deblock planes.
 
     planes: y [H, W], u, v [H/2, W/2] int32 (H, W multiples of 8)
@@ -256,23 +261,27 @@ def cdef_frame(xp, planes, skip8, idx_sb, damping: int,
     y, u, v = planes
     H, W = y.shape
     h8, w8 = H // 8, W // 8
-    dirs, var = dir_var if dir_var is not None else find_dir_grid(xp, y)
+    cs = coeff_shift
+    dirs, var = dir_var if dir_var is not None else find_dir_grid(xp, y, cs)
 
     pri_y, sec_y = _unit_strengths(xp, idx_sb, skip8, y_strengths,
-                                   h8, w8, 8)
+                                   h8, w8, 8, cs)
     pri_y = adjust_strength(xp, pri_y, var)
     dir_y = xp.where(pri_y > 0, dirs, 0)
-    out_y = filter_plane(xp, y, dir_y, pri_y, sec_y, damping, 8)
+    out_y = filter_plane(xp, y, dir_y, pri_y, sec_y, damping + cs, 8, cs)
 
     pri_c, sec_c = _unit_strengths(xp, idx_sb, skip8, uv_strengths,
-                                   h8, w8, 8)
+                                   h8, w8, 8, cs)
     dir_c = xp.where(pri_c > 0, dirs, 0)
-    out_u = filter_plane(xp, u, dir_c, pri_c, sec_c, damping - 1, 4)
-    out_v = filter_plane(xp, v, dir_c, pri_c, sec_c, damping - 1, 4)
+    out_u = filter_plane(xp, u, dir_c, pri_c, sec_c, damping + cs - 1, 4,
+                         cs)
+    out_v = filter_plane(xp, v, dir_c, pri_c, sec_c, damping + cs - 1, 4,
+                         cs)
     return out_y, out_u, out_v
 
 
-def cdef_search_and_apply(xp, planes, srcs, skip8, damping: int):
+def cdef_search_and_apply(xp, planes, srcs, skip8, damping: int,
+                          coeff_shift: int = 0):
     """Encoder: try every frame-list strength per 64x64, pick by SSE
     against the source, return (filtered planes, idx_sb).
 
@@ -296,16 +305,18 @@ def cdef_search_and_apply(xp, planes, srcs, skip8, damping: int):
     # luma-only candidate filtering (index 0 is the identity); chroma is
     # filtered once afterwards with the chosen per-SB indices — ~2.5x
     # less filter work than filtering all planes per candidate
-    dirs, var = find_dir_grid(xp, y)
+    cs = coeff_shift
+    dirs, var = find_dir_grid(xp, y, cs)
     h8, w8 = H // 8, W // 8
     lumas = [y]
     costs = [sb_sse(y, srcs[0], 1)]
     for i in range(1, len(Y_STRENGTHS)):
         idx = xp.full((nsb_h, nsb_w), i, xp.int32)
-        pri, sec = _unit_strengths(xp, idx, skip8, Y_STRENGTHS, h8, w8, 8)
+        pri, sec = _unit_strengths(xp, idx, skip8, Y_STRENGTHS, h8, w8, 8,
+                                   cs)
         pri = adjust_strength(xp, pri, var)
         fy = filter_plane(xp, y, xp.where(pri > 0, dirs, 0), pri, sec,
-                          damping, 8)
+                          damping + cs, 8, cs)
         lumas.append(fy)
         costs.append(sb_sse(fy, srcs[0], 1))
     cost = xp.stack(costs, axis=-1)          # [nsb_h, nsb_w, 4]
@@ -317,8 +328,10 @@ def cdef_search_and_apply(xp, planes, srcs, skip8, damping: int):
         out_y = xp.where(m == i, lumas[i], out_y)
 
     pri_c, sec_c = _unit_strengths(xp, idx_sb, skip8, UV_STRENGTHS,
-                                   h8, w8, 8)
+                                   h8, w8, 8, cs)
     dir_c = xp.where(pri_c > 0, dirs, 0)
-    out_u = filter_plane(xp, u, dir_c, pri_c, sec_c, damping - 1, 4)
-    out_v = filter_plane(xp, v, dir_c, pri_c, sec_c, damping - 1, 4)
+    out_u = filter_plane(xp, u, dir_c, pri_c, sec_c, damping + cs - 1, 4,
+                         cs)
+    out_v = filter_plane(xp, v, dir_c, pri_c, sec_c, damping + cs - 1, 4,
+                         cs)
     return (out_y, out_u, out_v), idx_sb

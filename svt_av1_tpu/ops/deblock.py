@@ -82,27 +82,36 @@ def _round2(v, n):
     return (v + (1 << (n - 1))) >> n
 
 
-def _filter_strip(xp, s, flen, blimit, limit, thresh):
+def _filter_strip(xp, s, flen, blimit, limit, thresh, bd: int = 8):
     """Filter one batch of vertical-edge strips.
 
     s:    [..., 14] int32 pixel strip (p6..p0, q0..q6 at index 7)
     flen: [...] int32 filter length (0 = no filter, 4/6/8/14)
+    bd:   bit depth; thresholds/offsets scale << (bd-8) and the filter4
+          clamp widens (ref aom_highbd_lpf_* / signed_char_clamp_high)
     Returns the filtered strip (same shape).
     """
     p6, p5, p4, p3, p2, p1, p0 = (s[..., i] for i in range(7))
     q0, q1, q2, q3, q4, q5, q6 = (s[..., 7 + i] for i in range(7))
+    sh = bd - 8
+    blimit = blimit << sh
+    limit = limit << sh
+    thresh = thresh << sh
+    ft = 1 << sh                     # highbd flat threshold (1 << (bd-8))
+    off = 128 << sh                  # 0x80 << shift
+    clamp_hi = lambda v: xp.clip(v, -off, off - 1)
 
     # --- masks (ref filter_mask2 / filter_mask3_chroma / filter_mask) ----
     base = (_abs(xp, p0 - q0) * 2 + _abs(xp, p1 - q1) // 2 <= blimit)
     m2 = ((_abs(xp, p1 - p0) <= limit) & (_abs(xp, q1 - q0) <= limit) & base)
     m3 = (m2 & (_abs(xp, p2 - p1) <= limit) & (_abs(xp, q2 - q1) <= limit))
     m8 = (m3 & (_abs(xp, p3 - p2) <= limit) & (_abs(xp, q3 - q2) <= limit))
-    flat3 = ((_abs(xp, p1 - p0) <= 1) & (_abs(xp, q1 - q0) <= 1)
-             & (_abs(xp, p2 - p0) <= 1) & (_abs(xp, q2 - q0) <= 1))
-    flat4 = (flat3 & (_abs(xp, p3 - p0) <= 1) & (_abs(xp, q3 - q0) <= 1))
-    flat2_ = ((_abs(xp, p4 - p0) <= 1) & (_abs(xp, q4 - q0) <= 1)
-              & (_abs(xp, p5 - p0) <= 1) & (_abs(xp, q5 - q0) <= 1)
-              & (_abs(xp, p6 - p0) <= 1) & (_abs(xp, q6 - q0) <= 1))
+    flat3 = ((_abs(xp, p1 - p0) <= ft) & (_abs(xp, q1 - q0) <= ft)
+             & (_abs(xp, p2 - p0) <= ft) & (_abs(xp, q2 - q0) <= ft))
+    flat4 = (flat3 & (_abs(xp, p3 - p0) <= ft) & (_abs(xp, q3 - q0) <= ft))
+    flat2_ = ((_abs(xp, p4 - p0) <= ft) & (_abs(xp, q4 - q0) <= ft)
+              & (_abs(xp, p5 - p0) <= ft) & (_abs(xp, q5 - q0) <= ft)
+              & (_abs(xp, p6 - p0) <= ft) & (_abs(xp, q6 - q0) <= ft))
 
     sel_mask = xp.where(flen == 4, m2, xp.where(flen == 6, m3, m8))
     use13 = (flen == 14) & flat2_ & flat4 & sel_mask
@@ -110,18 +119,18 @@ def _filter_strip(xp, s, flen, blimit, limit, thresh):
     use5 = (flen == 6) & flat3 & sel_mask
     use4 = (flen > 0) & sel_mask & ~use13 & ~use7 & ~use5
 
-    # --- filter4 (ref :133) ----------------------------------------------
-    ps1, ps0, qs0, qs1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    # --- filter4 (ref :133 / highbd_filter4 :454) -------------------------
+    ps1, ps0, qs0, qs1 = p1 - off, p0 - off, q0 - off, q1 - off
     hev = (_abs(xp, p1 - p0) > thresh) | (_abs(xp, q1 - q0) > thresh)
-    f = xp.where(hev, _clamp8(xp, ps1 - qs1), 0)
-    f = _clamp8(xp, f + 3 * (qs0 - ps0))  # mask applied via use4 select
-    f1 = _clamp8(xp, f + 4) >> 3
-    f2 = _clamp8(xp, f + 3) >> 3
-    o4_q0 = _clamp8(xp, qs0 - f1) + 128
-    o4_p0 = _clamp8(xp, ps0 + f2) + 128
+    f = xp.where(hev, clamp_hi(ps1 - qs1), 0)
+    f = clamp_hi(f + 3 * (qs0 - ps0))  # mask applied via use4 select
+    f1 = clamp_hi(f + 4) >> 3
+    f2 = clamp_hi(f + 3) >> 3
+    o4_q0 = clamp_hi(qs0 - f1) + off
+    o4_p0 = clamp_hi(ps0 + f2) + off
     fo = xp.where(hev, 0, _round2(f1, 1))
-    o4_q1 = _clamp8(xp, qs1 - fo) + 128
-    o4_p1 = _clamp8(xp, ps1 + fo) + 128
+    o4_q1 = clamp_hi(qs1 - fo) + off
+    o4_p1 = clamp_hi(ps1 + fo) + off
 
     # --- filter6 5-tap (ref :207) ------------------------------------------
     o5_p1 = _round2(p2 * 3 + p1 * 2 + p0 * 2 + q0, 3)
@@ -199,7 +208,7 @@ def _flen_for(xp, min_sz, is_luma: bool):
 
 
 def deblock_plane_vertical(xp, plane, sizes_px, level: int, is_luma: bool,
-                           sharpness: int = 0):
+                           sharpness: int = 0, bd: int = 8):
     """Filter all vertical edges of one plane.
 
     plane:    [H, W] int32
@@ -224,7 +233,7 @@ def deblock_plane_vertical(xp, plane, sizes_px, level: int, is_luma: bool,
         exists = ((xp.asarray(xs)[None, :] % sz_r) == 0) & (level > 0)
         flen = xp.where(exists,
                         _flen_for(xp, xp.minimum(sz_l, sz_r), is_luma), 0)
-        filt = _filter_strip(xp, strips, flen, blimit, limit, thresh)
+        filt = _filter_strip(xp, strips, flen, blimit, limit, thresh, bd)
         if xp is np:
             out[:, idx] = filt
         else:
@@ -233,11 +242,11 @@ def deblock_plane_vertical(xp, plane, sizes_px, level: int, is_luma: bool,
 
 
 def deblock_plane(xp, plane, sizes_px, level_v: int, level_h: int,
-                  is_luma: bool, sharpness: int = 0):
+                  is_luma: bool, sharpness: int = 0, bd: int = 8):
     """Both directions: all vertical edges, then all horizontal (spec
     loop-filter pass order)."""
     p = deblock_plane_vertical(xp, plane, sizes_px, level_v, is_luma,
-                               sharpness)
+                               sharpness, bd)
     p = deblock_plane_vertical(xp, p.T, sizes_px.T, level_h, is_luma,
-                               sharpness)
+                               sharpness, bd)
     return p.T

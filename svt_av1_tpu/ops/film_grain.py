@@ -223,14 +223,9 @@ def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
             cgx = 3 + 3 + ox
             bh = min(16, h // 2 - by)
             bw = min(16, w // 2 - bx)
-            # luma 2*bh x 2*bw
-            if params.num_y_points:
-                py = yy[2 * by : 2 * by + 2 * bh, 2 * bx : 2 * bx + 2 * bw]
-                gr = luma_g[lgy : lgy + 2 * bh, lgx : lgx + 2 * bw]
-                py[:] = np.clip(
-                    py + ((lut_y[py] * gr + r_off) >> params.scaling_shift),
-                    lmin, lmax)
-            # chroma bh x bw with averaged-luma scaling index
+            # chroma FIRST: its scaling index averages the UN-grained
+            # luma (spec / ref grainSynthesis.c add_noise_to_block apply
+            # chroma before writing luma grain back)
             if (params.num_cb_points or params.num_cr_points
                     or params.chroma_scaling_from_luma):
                 ly2 = yy[2 * by : 2 * by + 2 * bh,
@@ -251,6 +246,13 @@ def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
                     pc[:] = np.clip(
                         pc + ((lut[idx] * gr + r_off)
                               >> params.scaling_shift), cmin, cmax)
+            # luma 2*bh x 2*bw (after chroma consumed the clean luma)
+            if params.num_y_points:
+                py = yy[2 * by : 2 * by + 2 * bh, 2 * bx : 2 * bx + 2 * bw]
+                gr = luma_g[lgy : lgy + 2 * bh, lgx : lgx + 2 * bw]
+                py[:] = np.clip(
+                    py + ((lut_y[py] * gr + r_off) >> params.scaling_shift),
+                    lmin, lmax)
     return (yy.astype(np.uint8), uu.astype(np.uint8), vv.astype(np.uint8))
 
 

@@ -166,6 +166,35 @@ def jnt_block(xp, patch, kx, ky, bd: int = 8):
     return _round_shift(res + (1 << offset_bits), JNT_ROUND1)
 
 
+def jnt_filter_plane(xp, plane_padded, phase_x: int, phase_y: int,
+                     bd: int = 8):
+    """Whole-plane CONV_BUF-domain jnt convolve at one subpel phase.
+
+    ref av1_jnt_convolve_2d_c non-averaging pass (EbInterPrediction.c:267);
+    the 2-D formula with phase-0 kernels reproduces the x/y/copy jnt
+    variants exactly (128-weight taps shift out of the rounds), so one
+    formula serves every phase.  Same halo convention as filter_plane.
+    """
+    offset0 = 1 << (bd + FILTER_BITS - 1)
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0
+    im = _round_shift(_conv_h(xp, plane_padded, regular_kernel(phase_x))
+                      + offset0, ROUND0)
+    return _round_shift(_conv_v(xp, im, regular_kernel(phase_y))
+                        + (1 << offset_bits), JNT_ROUND1)
+
+
+def jnt_phase_bank(xp, plane_padded, step: int, bd: int = 8):
+    """All (16/step)^2 CONV_BUF-domain phase planes of one padded plane
+    (compound analog of phase_bank): whole-plane dense convs once, then
+    compound MC is a pure per-block gather — this replaced per-block
+    patch-gather+conv (_jnt_pred_grid) that dominated the B step."""
+    n = 16 // step
+    return xp.stack([
+        xp.stack([jnt_filter_plane(xp, plane_padded, ix * step, iy * step,
+                                   bd) for ix in range(n)])
+        for iy in range(n)])
+
+
 def jnt_round_offset(bd: int = 8) -> int:
     ob = bd + 2 * FILTER_BITS - ROUND0
     return (1 << (ob - JNT_ROUND1)) + (1 << (ob - JNT_ROUND1 - 1))

@@ -163,18 +163,18 @@ def hme_centers(src, ref, search_reach: int = 12):
 
 def warp_by_centers(ref_pad, centers, tile: int, pad: int):
     """Tile-gather a center-compensated reference plane (one
-    [tile, tile] dynamic slice per 32x32 tile)."""
+    [tile, tile] tile per 32x32 grid cell; ops.gather kernel)."""
+    from svt_av1_tpu.ops import gather as G
     th, tw = centers.shape[:2]
     base_r = (jnp.arange(th)[:, None] * tile + pad
               + centers[..., 0]).reshape(-1)
     base_c = (jnp.arange(tw)[None, :] * tile + pad
               + centers[..., 1]).reshape(-1)
-
-    def one(r, c):
-        return jax.lax.dynamic_slice(ref_pad, (r, c), (tile, tile))
-
-    tiles = jax.vmap(one)(base_r, base_c).reshape(th, tw, tile, tile)
-    return tiles.transpose(0, 2, 1, 3).reshape(th * tile, tw * tile)
+    tiles = G.gather_tiles(ref_pad, base_r, base_c, nbh=th, nbw=tw,
+                           stride=tile, band_off=0,
+                           band_h=2 * pad + tile, th=tile, tw=tile)
+    return (tiles.reshape(th, tw, tile, tile)
+            .transpose(0, 2, 1, 3).reshape(th * tile, tw * tile))
 
 
 def refined_search_multisize(src, warped, centers, tile: int, r2: int,

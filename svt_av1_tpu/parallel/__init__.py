@@ -9,4 +9,4 @@ bounds), with XLA placing each frame's wavefront program on its device.
 """
 
 from svt_av1_tpu.parallel.gop import (  # noqa: F401
-    gop_mesh, sharded_frame_encoder)
+    GopShardedEncoder, gop_mesh, sharded_frame_encoder)

@@ -14,10 +14,101 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+__all__ = ["gop_mesh", "sharded_frame_encoder", "GopShardedEncoder"]
+
 
 def gop_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devs = devices if devices is not None else jax.devices()[:n_devices]
     return Mesh(np.array(devs), axis_names=("gop",))
+
+
+class GopShardedEncoder:
+    """Single-stream GOP-parallel encoder over a device mesh.
+
+    Buffers ``n_shards`` consecutive GOPs (``gop_length`` frames each,
+    every GOP opening with a keyframe) and encodes them in LOCKSTEP:
+    mesh slot g holds GOP g; step t encodes frame t of every GOP as one
+    sharded device program — pure data parallelism over the 'gop' axis
+    (GOPs are independent given keyframes), so steady state needs no
+    collective traffic and scaling to hosts rides the same mesh over
+    DCN.  Packets come out in stream (display) order.
+
+    ref analog: multi-channel instances (EbAppMain.c:196-215) applied to
+    GOP chunks of one stream; BASELINE config 5 / the >=85% 4-host
+    scaling target.  Exposed through ``EncoderConfig.num_gop_shards``
+    via the CLI (app/enc_app.py).
+    """
+
+    def __init__(self, config, n_shards: int, gop_length: int,
+                 mesh: Mesh | None = None) -> None:
+        from svt_av1_tpu.pipeline.multistream import MultiStreamEncoder
+
+        assert gop_length >= 2 and n_shards >= 1
+        self.L = gop_length
+        self.G = n_shards
+        self.mesh = mesh if mesh is not None else gop_mesh(n_shards)
+        cfg = config.replace(intra_period=gop_length - 1,
+                             scene_change_detection=False,
+                             num_gop_shards=1)
+        self._ms = MultiStreamEncoder(cfg, n_shards, mesh=self.mesh)
+        self._buf: list = []
+        self._packets: list = []
+        self._emitted = 0
+
+    def send_picture(self, frame) -> None:
+        """Queue one source frame (None = end of stream / flush)."""
+        if frame is None:
+            self.flush()
+            return
+        self._buf.append(frame)
+        if len(self._buf) == self.G * self.L:
+            self._process(len(self._buf))
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        n_real = len(self._buf)
+        # pad the tail with copies of the last frame to fill the slot
+        # grid; padding packets (strictly after the real tail in stream
+        # order) are dropped below
+        while len(self._buf) < self.G * self.L:
+            self._buf.append(self._buf[-1])
+        self._process(n_real)
+
+    def _process(self, n_real: int) -> None:
+        chunks = [self._buf[g * self.L : (g + 1) * self.L]
+                  for g in range(self.G)]
+        self._buf = []
+        per_slot = [[] for _ in range(self.G)]
+        # reset lockstep state: every super-GOP restarts at a keyframe
+        self._ms._idx = 0
+        self._ms._refs = None
+        for t in range(self.L):
+            pkts = self._ms.send([chunks[g][t] for g in range(self.G)])
+            for g, p in enumerate(pkts):
+                per_slot[g].append(p)
+        base = self._emitted
+        for g in range(self.G):
+            for t, p in enumerate(per_slot[g]):
+                if g * self.L + t >= n_real:
+                    break
+                p.pts = base + g * self.L + t
+                p.display_idx = p.pts
+                self._packets.append(p)
+        self._emitted += n_real
+
+    def get_packet(self):
+        return self._packets.pop(0) if self._packets else None
+
+    def encode_all(self, frames):
+        """Convenience: push all frames, yield packets in stream order."""
+        for f in frames:
+            self.send_picture(f)
+            while self._packets:
+                yield self._packets.pop(0)
+        self.flush()
+        while self._packets:
+            yield self._packets.pop(0)
 
 
 def sharded_frame_encoder(nbh: int, nbw: int, qindex: int, mesh: Mesh):

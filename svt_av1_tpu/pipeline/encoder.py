@@ -62,6 +62,10 @@ class Encoder:
             enable_cdef=config.enable_cdef, enable_order_hint=self._hier,
             film_grain_present=bool(config.enable_film_grain),
             enable_restoration=config.enable_restoration)
+        # preset signal derivation (ref signal_derivation_enc_dec_kernel_oq,
+        # EbEncDecProcess.c:1229): presets 0-7 run the full-RD partition
+        # merge; preset 8 keeps the fast SAD merge
+        self._rdo = config.enc_mode <= 7
         self._grain = None
         if config.enable_film_grain:
             from svt_av1_tpu.ops.film_grain import preset_params
@@ -270,7 +274,7 @@ class Encoder:
         lvls = self._lf_levels(qindex, False)
         fn = PE.build_b_frame_encoder_dyn(
             ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-            cdef=cfg.enable_cdef, bd=cfg.bit_depth)
+            cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo)
         out = fn(sy, su, sv, *self._ldb_last[0], *self._ldb_golden[0],
                  jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                  jnp.int32(lvls[3]))
@@ -311,7 +315,7 @@ class Encoder:
         if step.bwd is None:
             fn = PE.build_p_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                cdef=cfg.enable_cdef, bd=cfg.bit_depth)
+                cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo)
             out = fn(sy, su, sv, *fwd["dev"], *dyn)
             nrefs = 1
         else:
@@ -319,7 +323,8 @@ class Encoder:
             compound = cfg.compound_mode > 0
             fn = PE.build_b_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth)
+                cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth,
+                rdo=self._rdo)
             out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
             nrefs = 2
         slot = self._free_slots.pop(0)
@@ -377,7 +382,8 @@ class Encoder:
             sy = jax.vmap(_unblock_dev)(sy_b)
             su = jax.vmap(_unblock_dev)(su_b)
             sv = jax.vmap(_unblock_dev)(sv_b)
-            deb = _intra_postproc_fn(ph, pw, True, self.cfg.enable_cdef)(
+            deb = _intra_postproc_fn(ph, pw, True, self.cfg.enable_cdef,
+                                     self.cfg.bit_depth)(
                 y, u, v, sy, su, sv, out[1], out[2], out[3],
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]), jnp.int32(lvls[3]),
                 jnp.int32(CDEF.pick_damping(qindex)))
@@ -450,7 +456,8 @@ class Encoder:
             sv = jnp.asarray(IE.pad_plane(
                 frame.v.astype(self._px), ph // 2, pw // 2))
             deb = _intra_postproc_fn(ph, pw, False,
-                                     self.cfg.enable_cdef)(
+                                     self.cfg.enable_cdef,
+                                     self.cfg.bit_depth)(
                 *planes, sy, su, sv, out[1], out[2], out[3],
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                 jnp.int32(lvls[3]),
@@ -500,7 +507,8 @@ class Encoder:
                 fn = PE.build_p_frame_encoder(
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols, qindex,
                     deblock=self.cfg.enable_deblocking,
-                    cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth)
+                    cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
+                    rdo=self._rdo)
                 out = fn(sy, su, sv, *self._ref_dev)
             else:
                 # dynamic-q step: lookahead/RC vary q per frame without
@@ -508,7 +516,8 @@ class Encoder:
                 lvls = self._lf_levels(qindex, False)
                 fn = PE.build_p_frame_encoder_dyn(
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                    cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth)
+                    cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
+                    rdo=self._rdo)
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]))
@@ -543,7 +552,8 @@ class Encoder:
         deb = entry[6] if len(entry) > 6 else None
         meta = entry[7] if len(entry) > 7 else None
         if kind == "p":
-            pkts = [self._make_inter_packet(frames[0], out, qindex, meta)]
+            pkts = [self._make_inter_packet(frames[0], out, qindex, meta,
+                                            self._frame_idx)]
         else:
             if kind == "key":
                 devs = [IE.materialize_frame(out, nbh, nbw)]
@@ -553,10 +563,17 @@ class Encoder:
             if deb is not None:
                 # recon/output planes are the post-filter frames; only
                 # the (tiny) cdef index map is needed when the caller
-                # does not want recon back (bench path)
-                idx = np.asarray(deb[3]) if len(deb) > 3 else None
-                planes = ([np.asarray(a) for a in deb[:3]]
-                          if self._need_recon() else None)
+                # does not want recon back (bench path).  One batched
+                # fetch (~30 ms RTT per transfer on the tunneled link).
+                import jax
+                if self._need_recon():
+                    f = jax.device_get(list(deb[:4]))
+                    planes = [np.asarray(a) for a in f[:3]]
+                    idx = np.asarray(f[3]) if len(f) > 3 else None
+                else:
+                    planes = None
+                    idx = (np.asarray(jax.device_get(deb[3]))
+                           if len(deb) > 3 else None)
                 for i, d in enumerate(devs):
                     sel = (lambda a: a) if kind == "key" else \
                         (lambda a, i=i: a[i])
@@ -570,12 +587,15 @@ class Encoder:
                 # threads (the C coder releases the GIL) — the TPU analog of
                 # the reference's pooled EntropyCoding processes
                 with ThreadPoolExecutor(max_workers=min(8, len(frames))) as ex:
+                    base = self._frame_idx
                     pkts = list(ex.map(
-                        lambda fd: self._make_packet(fd[0], fd[1], qindex,
-                                                     meta),
-                        zip(frames, devs)))
+                        lambda ifd: self._make_packet(ifd[1][0], ifd[1][1],
+                                                      qindex, meta,
+                                                      base + ifd[0]),
+                        enumerate(zip(frames, devs))))
             else:
-                pkts = [self._make_packet(frames[0], devs[0], qindex, meta)]
+                pkts = [self._make_packet(frames[0], devs[0], qindex, meta,
+                                          self._frame_idx)]
         for p in pkts:
             if meta is not None:
                 p.show = meta["show"]
@@ -589,17 +609,25 @@ class Encoder:
                 self._rc.update(len(p.payload) * 8, p.is_keyframe)
 
     def _make_inter_packet(self, frame: Frame, out, qindex: int,
-                           meta=None) -> Packet:
+                           meta=None, coded_idx: int = 0) -> Packet:
         cfg = self.cfg
-        arrs = [np.asarray(a) for a in out]
+        import jax
+        # ONE batched device->host fetch (the tunneled link pays ~30 ms
+        # RTT per transfer — serial np.asarray per array was ~10 RTTs);
+        # recon planes are skipped entirely unless the caller needs them
+        need_rec = self._need_recon()
+        idxs = [i for i in range(len(out))
+                if need_rec or i not in (5, 6, 7)]
+        vals = jax.device_get([out[i] for i in idxs])
+        arrs = {i: np.asarray(v) for i, v in zip(idxs, vals)}
         sizes, mv = arrs[0], arrs[1].astype(np.int32)
         levels = {8: tuple(_unpack_levels(arrs[2 + p], 8) for p in range(3)),
                   16: tuple(_unpack_levels(arrs[2 + p], 16)
                             for p in range(3)),
                   32: tuple(_unpack_levels(arrs[2 + p], 32)
                             for p in range(3))}
-        ry, ru, rv = arrs[5], arrs[6], arrs[7]
-        cdef_idx = arrs[8] if cfg.enable_cdef and len(arrs) > 8 else None
+        ry, ru, rv = arrs.get(5), arrs.get(6), arrs.get(7)
+        cdef_idx = arrs[8] if cfg.enable_cdef and len(out) > 8 else None
         # per-cell ref types from the device refsel map (0 -> ref0,
         # 1 -> ref1); hier-B pairs (LAST, ALTREF), low-delay B (LAST,
         # GOLDEN)
@@ -696,23 +724,25 @@ class Encoder:
                            tile_rows_log2=cfg.tile_rows_log2,
                            frame_type=O.INTER_FRAME,
                            filter_levels=self._lf_levels(qindex, False),
-                           film_grain=self._grain,
+                           film_grain=self._grain_for(coded_idx),
                            lr_types=(2, 0, 0) if lr is not None
                            else (0, 0, 0),
                            **hdr, **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
-        recon = Frame(
-            ry[: self.seq.height, : self.seq.width].astype(self._px),
-            ru[: (self.seq.height + 1) // 2,
-               : (self.seq.width + 1) // 2].astype(self._px),
-            rv[: (self.seq.height + 1) // 2,
-               : (self.seq.width + 1) // 2].astype(self._px))
-        psnr = _psnr(frame, recon) if cfg.stat_report else None
+        recon = None
+        if ry is not None:
+            recon = Frame(
+                ry[: self.seq.height, : self.seq.width].astype(self._px),
+                ru[: (self.seq.height + 1) // 2,
+                   : (self.seq.width + 1) // 2].astype(self._px),
+                rv[: (self.seq.height + 1) // 2,
+                   : (self.seq.width + 1) // 2].astype(self._px))
+        psnr = _psnr(frame, recon) if (cfg.stat_report and recon) else None
         return Packet(payload, -1, False, recon, psnr)
 
     def _make_packet(self, frame: Frame, dev: dict, qindex: int,
-                     meta=None) -> Packet:
+                     meta=None, coded_idx: int = 0) -> Packet:
         cfg = self.cfg
         fc = FrameContext(qindex)
         cdef_idx = dev.get("cdef_idx") if cfg.enable_cdef else None
@@ -751,7 +781,7 @@ class Encoder:
                            filter_levels=self._lf_levels(qindex, True),
                            order_hint=(0 if meta is None
                                        else meta["order_hint"]),
-                           film_grain=self._grain,
+                           film_grain=self._grain_for(coded_idx),
                            lr_types=(2, 0, 0) if lr is not None
                            else (0, 0, 0),
                            **self._cdef_params(qindex))
@@ -772,6 +802,16 @@ class Encoder:
         psnr = (_psnr(frame, recon, cfg.bit_depth)
                 if (cfg.stat_report and recon) else None)
         return Packet(payload, -1, True, recon, psnr)
+
+    def _grain_for(self, n: int):
+        """Per-frame film grain params: the seed advances 3381 per coded
+        frame (ref EbPictureDecisionProcess.c film-grain seed update) so
+        the pattern is not temporally static; 0 is avoided (update_grain
+        always 1 here)."""
+        if self._grain is None:
+            return None
+        s = (self._grain.random_seed + 3381 * n) & 0xFFFF
+        return dataclasses.replace(self._grain, random_seed=s or 7391)
 
     def _need_recon(self) -> bool:
         return (self.cfg.recon_output or self.cfg.stat_report
@@ -851,7 +891,8 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool):
+def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool,
+                       bd: int = 8):
     """Jitted keyframe in-loop postproc: deblock (uniform 8x8/4x4 tx
     grid) then optional CDEF search+apply; levels are runtime scalars so
     rate control never recompiles.
@@ -867,13 +908,15 @@ def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool):
     sizes_y = np.full((ph, pw), 8, np.int32)
     sizes_c = np.full((ph // 2, pw // 2), 4, np.int32)
 
+    px = jnp.uint8 if bd == 8 else jnp.uint16
+
     def f(y, u, v, sy, su, sv, lby, lbu, lbv, ly, lu, lv, damping):
         y = DB.deblock_plane(jnp, y.astype(jnp.int32), jnp.asarray(sizes_y),
-                             ly, ly, True)
+                             ly, ly, True, bd=bd)
         u = DB.deblock_plane(jnp, u.astype(jnp.int32), jnp.asarray(sizes_c),
-                             lu, lu, False)
+                             lu, lu, False, bd=bd)
         v = DB.deblock_plane(jnp, v.astype(jnp.int32), jnp.asarray(sizes_c),
-                             lv, lv, False)
+                             lv, lv, False, bd=bd)
         idx_sb = jnp.zeros((-(-ph // 64), -(-pw // 64)), jnp.uint8)
         if cdef:
             sk = ((lby == 0).all((-1, -2)) & (lbu == 0).all((-1, -2))
@@ -881,10 +924,10 @@ def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool):
             (y, u, v), idx_sb = CDEF.cdef_search_and_apply(
                 jnp, (y, u, v),
                 (sy.astype(jnp.int32), su.astype(jnp.int32),
-                 sv.astype(jnp.int32)), sk, damping)
+                 sv.astype(jnp.int32)), sk, damping,
+                coeff_shift=bd - 8)
             idx_sb = idx_sb.astype(jnp.uint8)
-        return (y.astype(jnp.uint8), u.astype(jnp.uint8),
-                v.astype(jnp.uint8), idx_sb)
+        return (y.astype(px), u.astype(px), v.astype(px), idx_sb)
 
     if batched:
         f = jax.vmap(f, in_axes=(0,) * 9 + (None,) * 4)

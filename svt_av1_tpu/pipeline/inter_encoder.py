@@ -16,11 +16,17 @@ resulting size map.  Nodes that cross the frame edge are forced to
 split to 8x8 (static masks), so the partition tree never needs the
 edge-forced rectangular forms.
 
-Motion is quarter-pel (AV1 low-precision MVs): exhaustive full-pel SAD
-search per size, then half- and quarter-pel refinement against subpel-
-phase plane banks (ops.mc.phase_bank) — whole-plane 8-tap convs once
-per frame, then per-block gathers.  Chroma (1/8-pel positions under
-quarter-pel luma MVs) uses an eighth-pel bank.
+Motion is quarter-pel (AV1 low-precision MVs): hierarchical full-pel
+search (HME centers + center-warped multi-size sweep), then a dense
+quarter-pel lattice refinement.  All per-block reference access rides
+ops.gather (grid-anchored tile gathers); subpel interpolation happens
+ON the gathered patches with per-block kernels (_interp_patch) — no
+whole-plane phase banks.
+
+Partition selection runs in two preset-selected modes (rdo flag, wired
+to enc_mode): full RD (J = recon SSE + lambda*estimated bits, residual
+coding at every size feeding the merge) or fast SAD-cost merge with
+residual coding only at the selected size.
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from svt_av1_tpu.ops import cdef as CD
+from svt_av1_tpu.ops import gather as G
 from svt_av1_tpu.ops import deblock as DB
 from svt_av1_tpu.ops import mc as MC
 from svt_av1_tpu.ops import me as ME
@@ -63,7 +70,11 @@ def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
                   bd: int = 8):
     nbh, nbw, bs, _ = src_blocks.shape
     resid = (src_blocks - pred_blocks).reshape(-1, bs, bs)
-    coeff = T.fwd_txfm2d_batch_exact(resid, tx_size, T.DCT_DCT, bd)
+    # forward txfm on the MXU (f32 matrix path): the fwd side is an
+    # encoder choice — levels are self-consistent with the normative
+    # int32 INVERSE below, so recon parity never depends on it (max
+    # |err| < 0.05 coeff LSB for bd<=10, see ops/transforms.py)
+    coeff = T.fwd_txfm2d_batch(resid, tx_size, T.DCT_DCT, bd)
     levels = Q.quantize_batch(coeff, qindex, tx_size, bd)
     dq = Q.dequantize_batch(levels, qindex, tx_size, bd)
     rec = T.inv_txfm2d_batch(dq, tx_size, T.DCT_DCT, bd)
@@ -72,106 +83,194 @@ def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
     return levels.reshape(nbh, nbw, bs, bs), recon
 
 
-def _gather_bank(bank, py_idx, px_idx, off_r, off_c, bs: int, pad: int):
-    """Per-block gather from a phase bank [n,n,H+2p,W+2p].
+def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
+                         lam, prior8, bd: int = 8):
+    """Dense quarter-pel refinement around full-pel MVs — ONE patch
+    gather per block, then every candidate is a static slice.
 
-    The phase axes fold into the row index of a 2-D view so each block
-    is ONE [bs,bs] dynamic-slice (vmapped) — tile-granular 2-D gathers;
-    per-pixel index arrays or 4-D slices are pathologically slow on
-    TPU."""
-    n = bank.shape[0]
-    hp = bank.shape[2]
-    flat = bank.reshape(n * n * hp, bank.shape[3])
-    nbh, nbw = off_r.shape
-    base_r = (jnp.arange(nbh)[:, None] * bs + pad + off_r
-              + (py_idx * n + px_idx) * hp).reshape(-1)
-    base_c = (jnp.arange(nbw)[None, :] * bs + pad + off_c).reshape(-1)
+    After full-pel ME all blocks sit at integer MVs, so every
+    quarter-pel delta d in the 7x7 lattice {-6..6 step 2}^2 (1/8-pel
+    units) has the SAME (integer offset, phase) decomposition across
+    blocks.  We gather a [bs+8, bs+8] patch per block from the padded
+    reference, interpolate the 4x4 quarter-pel phase grid on-patch with
+    batched static-slice convs, and evaluate all 49 candidates
+    (including d=0, which doubles as the true-reference re-score of the
+    warped-sweep winner) as static slices.  This replaced a 16-round
+    per-candidate gather loop (_subpel_refine) that was ~75% of the
+    720p P-step (481 ms -> ~25 ms measured on one chip).
 
-    def one(r, c):
-        return jax.lax.dynamic_slice(flat, (r, c), (bs, bs))
+    Arithmetic matches ops.mc.filter_plane case-for-case (copy / x-only
+    / y-only / 2-D rounding), so the costs equal what bank-gather MC
+    produces.  ref HalfPelSearch_LCU / QuarterPelSearch_LCU
+    (EbMotionEstimation.c:3829/:4746).
+    """
+    from svt_av1_tpu import tables as _tbl
+    table = _tbl.spec_tables()["subpel_filters_regular"]
+    kern = {p: tuple(int(v) for v in table[p]) for p in (4, 8, 12)}
+    hi = (1 << bd) - 1
+    nbh, nbw = mv_fp.shape[:2]
+    # patch top-left = block origin + mv - 4 (filter halo + the -1
+    # integer reach of negative deltas); N-MINOR layout so the block
+    # axis rides the 128-wide vector lanes
+    patch = G.gather_blocks_grid(ref_pad, mv_fp[..., 0], mv_fp[..., 1],
+                                 bs, pad, pad - 1, halo=8, off=-4)
+    patch = jnp.transpose(patch, (1, 2, 0))          # [ext, ext, N]
 
-    out = jax.vmap(one)(base_r, base_c)
-    return out.reshape(nbh, nbw, bs, bs)
+    def hconv(p, ker):                               # -> [:, bs+1, N]
+        out = None
+        for k, c in enumerate(ker):
+            t = c * p[:, k : k + bs + 1, :]
+            out = t if out is None else out + t
+        return out
+
+    def vconv(p, ker):                               # -> [bs+1, :, N]
+        out = None
+        for k, c in enumerate(ker):
+            t = c * p[k : k + bs + 1, :, :]
+            out = t if out is None else out + t
+        return out
+
+    rs = lambda x, n: (x + (1 << (n - 1))) >> n
+    offset0 = 1 << (bd + 6)                          # 1 << (bd+FILTER_BITS-1)
+    offset_bits = bd + 11                            # bd + 2*7 - 3
+    sub = (1 << (bd - 1)) + (1 << (bd - 2))
+    # pixel-domain phase grid P[py][px]: [bs+1, bs+1, N] each
+    P = [[None] * 4 for _ in range(4)]
+    P[0][0] = patch[3 : 4 + bs, 3 : 4 + bs, :]
+    im = {}
+    for pxi, px in enumerate((4, 8, 12)):
+        # x-only (av1_convolve_x_sr_c rounding)
+        P[0][pxi + 1] = jnp.clip(
+            rs(rs(hconv(patch[3 : 4 + bs, :, :], kern[px]), 3), 4), 0, hi)
+        im[px] = rs(hconv(patch, kern[px]) + offset0, 3)
+    for pyi, py in enumerate((4, 8, 12)):
+        # y-only (av1_convolve_y_sr_c rounding)
+        P[pyi + 1][0] = jnp.clip(
+            rs(vconv(patch[:, 3 : 4 + bs, :], kern[py]), 7), 0, hi)
+        for pxi, px in enumerate((4, 8, 12)):
+            # 2-D (av1_convolve_2d_sr_c rounding)
+            P[pyi + 1][pxi + 1] = jnp.clip(
+                rs(vconv(im[px], kern[py]) + (1 << offset_bits), 11) - sub,
+                0, hi)
+
+    src = jnp.transpose(src_blocks.reshape(-1, bs, bs), (1, 2, 0))
+    best_cost = None
+    best_mv = None
+    for dy in range(-6, 7, 2):
+        pyi = ((2 * dy) & 15) >> 2
+        fy = dy >> 3
+        for dx in range(-6, 7, 2):
+            pxi = ((2 * dx) & 15) >> 2
+            fx = dx >> 3
+            pred = P[pyi][pxi][fy + 1 : fy + 1 + bs, fx + 1 : fx + 1 + bs, :]
+            sad = jnp.abs(src - pred).sum((0, 1)).reshape(nbh, nbw)
+            mv8c = mv_fp * 8 + jnp.array([dy, dx], jnp.int32)
+            cost = sad + ((lam * ME.mv_rate_bits(mv8c - prior8)) >> 4)
+            if best_cost is None:
+                best_cost, best_mv = cost, mv8c
+            else:
+                better = cost < best_cost
+                best_cost = jnp.where(better, cost, best_cost)
+                best_mv = jnp.where(better[..., None], mv8c, best_mv)
+    return best_mv, best_cost
 
 
-def _mc_luma(bank, mv8, bs: int, pad: int):
-    """Quarter-pel luma MC from the 4x4 phase bank; mv8 in 1/8 pel (even)."""
-    frac16_r = (mv8[..., 0] * 2) & 15
-    frac16_c = (mv8[..., 1] * 2) & 15
-    return _gather_bank(bank, frac16_r >> 2, frac16_c >> 2,
-                        mv8[..., 0] >> 3, mv8[..., 1] >> 3, bs, pad)
+def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool):
+    """Per-block subpel interpolation on gathered patches.
 
-
-def _mc_chroma(bank, mv8, bs: int, pad: int):
-    """Eighth-pel chroma MC; chroma 1/16-pel frac == mv8 & 15 (4:2:0)."""
-    frac_r = mv8[..., 0] & 15
-    frac_c = mv8[..., 1] & 15
-    return _gather_bank(bank, frac_r >> 1, frac_c >> 1,
-                        mv8[..., 0] >> 4, mv8[..., 1] >> 4, bs, pad)
-
-
-def _subpel_refine(src_blocks, bank, mv8, cost, bs: int, pad: int, lam: int,
-                   prior8):
-    """Half- then quarter-pel 8-neighbor refinement (ref
-    HalfPelSearch_LCU / QuarterPelSearch_LCU, batched over all blocks);
-    same rate-biased cost as the full-pel stage."""
-    for step in (4, 2):
-        base = mv8  # neighbors of the step-start best (bounds total drift)
-        for dy in (-step, 0, step):
-            for dx in (-step, 0, step):
-                if dy == 0 and dx == 0:
-                    continue
-                cand = base + jnp.array([dy, dx], jnp.int32)
-                pred = _mc_luma(bank, cand, bs, pad)
-                s = (jnp.abs(src_blocks - pred).sum((-1, -2))
-                     + ((lam * ME.mv_rate_bits(cand - prior8)) >> 4))
-                better = s < cost
-                cost = jnp.where(better, s, cost)
-                mv8 = jnp.where(better[..., None], cand, mv8)
-    return mv8, cost
-
-
-def _jnt_pred_grid(plane_pad, mv8, bs: int, pad: int, chroma: bool,
-                   bd: int = 8):
-    """Batched compound-domain (CONV_BUF) prediction: one bs x bs block
-    per grid cell from the full-pel padded plane, per-block subpel
-    kernels selected arithmetically (no per-block control flow).
-    Mirrors ops.mc.jnt_block / jnt_pred_np exactly."""
+    patch: [N, bs+7, bs+7] int32 full-pel windows (top-left at position
+    - 3, the 8-tap halo); ph_r/ph_c: [nbh, nbw] phase16 indices.
+    Regular path reproduces ops.mc.filter_plane case-for-case (copy /
+    x-only / y-only / 2-D rounding, selected per block arithmetically);
+    jnt path is the CONV_BUF-domain av1_jnt_convolve_2d formula (valid
+    for every phase).  N-minor layout: the block axis rides the vector
+    lanes.  Returns [nbh, nbw, bs, bs].
+    """
     from svt_av1_tpu import tables as _tbl
     table = jnp.asarray(_tbl.spec_tables()["subpel_filters_regular"],
-                        jnp.int32)                       # [16][8]
-    gh, gw = mv8.shape[:2]
+                        jnp.int32)                       # [16, 8]
+    nbh, nbw = ph_r.shape
+    onehot = lambda ph: (ph.reshape(-1)[:, None]
+                         == jnp.arange(16)[None]).astype(jnp.int32)
+    kx = onehot(ph_c) @ table                            # [N, 8]
+    ky = onehot(ph_r) @ table
+    p = jnp.transpose(patch, (1, 2, 0))                  # [bs+7, bs+7, N]
+    rs = lambda x, n: (x + (1 << (n - 1))) >> n
+    hi = (1 << bd) - 1
+    offset0 = 1 << (bd + 6)
+    ob = bd + 11
+
+    def hconv(src):
+        out = None
+        for k in range(8):
+            t = src[:, k : k + bs, :] * kx[:, k]
+            out = t if out is None else out + t
+        return out                                       # [rows, bs, N]
+
+    def vconv(src):
+        out = None
+        for k in range(8):
+            t = src[k : k + bs] * ky[:, k]
+            out = t if out is None else out + t
+        return out                                       # [bs, cols, N]
+
+    hc = hconv(p)                                        # [bs+7, bs, N]
+    im = rs(hc + offset0, 3)
+    twod = vconv(im)
+    if jnt:
+        out = rs(twod + (1 << ob), 7)
+        return jnp.transpose(out, (2, 0, 1)).reshape(nbh, nbw, bs, bs)
+    sub = (1 << (bd - 1)) + (1 << (bd - 2))
+    twod = jnp.clip(rs(twod + (1 << ob), 11) - sub, 0, hi)
+    x_only = jnp.clip(rs(rs(hc[3 : 3 + bs], 3), 4), 0, hi)
+    y_only = jnp.clip(rs(vconv(p[:, 3 : 3 + bs, :]), 7), 0, hi)
+    copy = p[3 : 3 + bs, 3 : 3 + bs, :]
+    phx0 = ph_c.reshape(-1) == 0
+    phy0 = ph_r.reshape(-1) == 0
+    out = jnp.where(phx0 & phy0, copy,
+                    jnp.where(phy0, x_only,
+                              jnp.where(phx0, y_only, twod)))
+    return jnp.transpose(out, (2, 0, 1)).reshape(nbh, nbw, bs, bs)
+
+
+def _mc_patch(plane_pad, mv8, bs: int, pad: int, chroma: bool, bd: int,
+              jnt: bool = False):
+    """Subpel MC via one grid-anchored patch gather + on-patch interp
+    (replaces whole-plane phase banks + per-block bank gathers: XLA's
+    per-slice gather ran at ~3.7 us/slice; ops.gather's one-hot-matmul
+    tile gather is ~35x faster)."""
     if chroma:
-        f = mv8 >> 4
-        ph = mv8 & 15
+        f_r, f_c = mv8[..., 0] >> 4, mv8[..., 1] >> 4
+        ph_r, ph_c = mv8[..., 0] & 15, mv8[..., 1] & 15
     else:
-        f = mv8 >> 3
-        ph = (mv8 * 2) & 15
-    win = bs + 7
-    r0 = (jnp.arange(gh)[:, None] * bs + f[..., 0] + pad).reshape(-1)
-    c0 = (jnp.arange(gw)[None, :] * bs + f[..., 1] + pad).reshape(-1)
-
-    def slc(r, c):
-        return jax.lax.dynamic_slice(plane_pad, (r, c), (win, win))
-
-    patches = jax.vmap(slc)(r0, c0).reshape(gh, gw, win, win)
-    onehot = lambda p: (p[..., None] == jnp.arange(16)).astype(jnp.int32)
-    kx = jnp.einsum("ghp,pk->ghk", onehot(ph[..., 1]), table)
-    ky = jnp.einsum("ghp,pk->ghk", onehot(ph[..., 0]), table)
-    im = None
-    for k in range(8):
-        term = kx[..., k, None, None] * patches[..., :, k : k + bs]
-        im = term if im is None else im + term
-    im = (im + (1 << (bd + 6)) + 4) >> 3                 # round_0 = 3
-    res = None
-    for k in range(8):
-        term = ky[..., k, None, None] * im[..., k : k + bs, :]
-        res = term if res is None else res + term
-    offset_bits = bd + 11                                # bd + 2*7 - 3
-    return (res + (1 << offset_bits) + 64) >> 7          # round_1 = 7
+        f_r, f_c = mv8[..., 0] >> 3, mv8[..., 1] >> 3
+        ph_r, ph_c = (mv8[..., 0] * 2) & 15, (mv8[..., 1] * 2) & 15
+    patch = G.gather_blocks_grid(plane_pad, f_r, f_c, bs, pad, pad,
+                                 halo=7, off=-3)
+    return _interp_patch(patch, ph_r, ph_c, bs, bd, jnt)
 
 
 COMP_EXTRA_BITS = 8  # comp_inter + ref pair + compound mode signaling
+# RD-path bit estimates (full merge runs on J = SSE + lambda*bits):
+MODE_BITS = 9          # inter mode + ref + skip flags per leaf
+PART_NONE_BITS = 1.0   # partition symbol, NONE vs SPLIT (default-CDF avg)
+PART_SPLIT_BITS = 3.0
+
+
+def _coeff_bits(lv):
+    """Per-block coefficient-rate estimate in bits from quantized levels.
+
+    Models the coefficient syntax's magnitude cost (base + br + golomb
+    tail ~ 3 + 2*bitlength(|l|) bits per nonzero) plus an eob/skip
+    amortization — the batched stand-in for per-symbol CDF lookups (ref
+    av1_estimate_syntax_rate, EbMdRateEstimation.c:76).  lv: [..., n, n]
+    -> [...] int32 bits.
+    """
+    a = jnp.abs(lv)
+    nb = jnp.ceil(jnp.log2(a.astype(jnp.float32) + 1.0)).astype(jnp.int32)
+    bits = jnp.where(a > 0, 3 + 2 * nb, 0).sum((-1, -2))
+    nz = (a > 0).any((-1, -2))
+    return bits + jnp.where(nz, 4, 1)
 
 
 def _sum4(a):
@@ -189,7 +288,8 @@ def _tiles8(x, t: int):
 
 
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
-                 nrefs: int = 1, compound: bool = False, bd: int = 8):
+                 nrefs: int = 1, compound: bool = False, bd: int = 8,
+                 rdo: bool = True):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
@@ -234,8 +334,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         su = su.astype(jnp.int32)
         sv = sv.astype(jnp.int32)
         cpad = pad // 2 + 1
-        banks = []
-        padded = []   # full-pel padded planes (compound jnt path)
+        padded = []   # full-pel padded planes (all MC is patch-gathered)
         for i in range(nrefs):
             py_ = MC.pad_for_filter(jnp, refs[3 * i].astype(jnp.int32), pad)
             pu_ = MC.pad_for_filter(jnp, refs[3 * i + 1].astype(jnp.int32),
@@ -243,11 +342,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             pv_ = MC.pad_for_filter(jnp, refs[3 * i + 2].astype(jnp.int32),
                                     cpad)
             padded.append((py_, pu_, pv_))
-            banks.append((MC.phase_bank(jnp, py_, 4, bd),
-                          MC.phase_bank(jnp, pu_, 2, bd),
-                          MC.phase_bank(jnp, pv_, 2, bd)))
 
-        def me_one_ref(ry_i, bank_y_i):
+        def me_one_ref(ry_i, py_pad_i):
             # hierarchical full-pel ME: quarter-res center search, then a
             # +-4 multi-size sweep on a center-warped reference (10x fewer
             # offsets than exhaustive; ref HME levels 0-2)
@@ -261,18 +357,15 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                                              lam, priors)
             mv_i, cost_i = {}, {}
             for bs in SIZES:
-                # re-score the winner against the TRUE reference (the
-                # warped sweep cost is approximate near tile seams)
-                pred0 = _mc_luma(bank_y_i, p2[bs][0] * 8, bs, pad)
-                true_cost = (jnp.abs(_block(sy, bs) - pred0).sum((-1, -2))
-                             + ((lam * ME.mv_rate_bits(
-                                 (p2[bs][0] - priors[bs]) * 8)) >> 4))
-                mv_i[bs], cost_i[bs] = _subpel_refine(
-                    _block(sy, bs), bank_y_i, p2[bs][0] * 8, true_cost, bs,
-                    pad, lam, priors[bs] * 8)
+                # dense quarter-pel refine against the TRUE reference;
+                # its d=0 candidate re-scores the warped-sweep winner
+                # (the warped cost is approximate near tile seams)
+                mv_i[bs], cost_i[bs] = _subpel_refine_dense(
+                    _block(sy, bs), py_pad_i, p2[bs][0], bs, pad, lam,
+                    priors[bs] * 8, bd)
             return mv_i, cost_i, priors
 
-        per_ref = [me_one_ref(refs[3 * i].astype(jnp.int32), banks[i][0])
+        per_ref = [me_one_ref(refs[3 * i].astype(jnp.int32), padded[i][0])
                    for i in range(nrefs)]
         mv, cost = per_ref[0][:2]
         refsel = {bs: None for bs in SIZES}
@@ -288,10 +381,10 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 if compound:
                     # COMPOUND_AVERAGE candidate from the per-ref best
                     # MVs (ref per-ref ME + BI candidate injection)
-                    mid0 = _jnt_pred_grid(padded[0][0], mv[bs], bs, pad,
-                                          False, bd)
-                    mid1 = _jnt_pred_grid(padded[1][0], mv1[bs], bs, pad,
-                                          False, bd)
+                    mid0 = _mc_patch(padded[0][0], mv[bs], bs, pad,
+                                     False, bd, jnt=True)
+                    mid1 = _mc_patch(padded[1][0], mv1[bs], bs, pad,
+                                     False, bd, jnt=True)
                     pred_c = MC.jnt_average(jnp, mid0, mid1, bd)
                     rate = (ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
                             + ME.mv_rate_bits(mv1[bs]
@@ -310,19 +403,92 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                     mv[bs] = mv_sel_single
                     cost[bs] = cost_single
 
-        # --- bottom-up merge decisions (rate-biased; static edge masks) ---
-        oh = (lam * LEAF_OVERHEAD_BITS) >> 4
-        split_oh = (lam * SPLIT_EXTRA_BITS) >> 4
-        j8 = cost[8] + oh
-        # 16-level
-        j_split16 = _sum4(j8) + split_oh
-        j16 = cost[16] + oh
-        use16 = j16 <= j_split16
-        j_at16 = jnp.where(use16, j16, j_split16)
-        # 32-level
-        j_split32 = _sum4(j_at16) + split_oh
-        j32 = cost[32] + oh
-        use32 = j32 <= j_split32
+        # --- per-size MC + residual coding + RD costs (rdo path) ---------
+        def mc_one(plane_idx, chroma, bs2, pad2, mvs, mvs_c, sel):
+            p0 = _mc_patch(padded[0][plane_idx], mvs, bs2, pad2, chroma,
+                           bd)
+            if nrefs == 1:
+                return p0
+            p1 = _mc_patch(padded[1][plane_idx], mvs, bs2, pad2, chroma,
+                           bd)
+            out = jnp.where((sel == 1)[..., None, None], p1, p0)
+            if compound:
+                m0 = _mc_patch(padded[0][plane_idx], mvs, bs2, pad2,
+                               chroma, bd, jnt=True)
+                m1 = _mc_patch(padded[1][plane_idx], mvs_c, bs2, pad2,
+                               chroma, bd, jnt=True)
+                pc = MC.jnt_average(jnp, m0, m1, bd)
+                out = jnp.where((sel == 2)[..., None, None], pc, out)
+            return out
+
+        levels = {}
+        rec_planes = {}
+        if rdo:
+            # full-RD merge: distortion = SSE of the ACTUAL recon (all
+            # three planes), rate = estimated coefficient bits + MV bits
+            # + mode/partition overheads, lambda ~ 3*qstep^2 (the
+            # reference's rdmult scaling, av1_compute_rd_mult /
+            # EbLambdaRateTables.h).  J compared in f32 (values to ~1e8;
+            # decisions only).  ref mode_decision_sb full-loop RD
+            # (EbProductCodingLoop.c:1880, EbRateDistortionCost.c).
+            if dynamic_q:
+                lam_rd = jnp.maximum(
+                    16, (ac * ac * 3) >> 6).astype(jnp.float32)
+            else:
+                acq = _tbl.ac_q(qindex, bd)
+                lam_rd = float(max(16, (acq * acq * 3) >> 6))
+            jcost = {}
+            for bs in SIZES:
+                src_b = _block(sy, bs)
+                pred_y = mc_one(0, False, bs, pad, mv[bs], mv_c[bs],
+                                refsel[bs])
+                ly, rec_y = _encode_plane(src_b, pred_y, q, TX_OF[bs], bd)
+                cbs = bs // 2
+                su_b, sv_b = _block(su, cbs), _block(sv, cbs)
+                pred_u = mc_one(1, True, cbs, cpad, mv[bs], mv_c[bs],
+                                refsel[bs])
+                pred_v = mc_one(2, True, cbs, cpad, mv[bs], mv_c[bs],
+                                refsel[bs])
+                lu, rec_u = _encode_plane(su_b, pred_u, q, TX_OF_C[bs], bd)
+                lv, rec_v = _encode_plane(sv_b, pred_v, q, TX_OF_C[bs], bd)
+                d = (((src_b - rec_y) ** 2).sum((-1, -2))
+                     + ((su_b - rec_u) ** 2).sum((-1, -2))
+                     + ((sv_b - rec_v) ** 2).sum((-1, -2)))
+                r = (_coeff_bits(ly) + _coeff_bits(lu) + _coeff_bits(lv)
+                     + ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
+                     + MODE_BITS)
+                if compound:
+                    r = r + jnp.where(
+                        refsel[bs] == 2,
+                        ME.mv_rate_bits(mv_c[bs] - per_ref[1][2][bs] * 8)
+                        + COMP_EXTRA_BITS, 0)
+                jcost[bs] = d.astype(jnp.float32) + lam_rd * r
+                levels[bs] = (ly.astype(jnp.int16), lu.astype(jnp.int16),
+                              lv.astype(jnp.int16))
+                rec_planes[bs] = (_unblock(rec_y), _unblock(rec_u),
+                                  _unblock(rec_v))
+            j8 = jcost[8] + lam_rd * PART_NONE_BITS
+            j_split16 = _sum4(j8) + lam_rd * PART_SPLIT_BITS
+            j16 = jcost[16] + lam_rd * PART_NONE_BITS
+            use16 = j16 <= j_split16
+            j_at16 = jnp.where(use16, j16, j_split16)
+            j_split32 = _sum4(j_at16) + lam_rd * PART_SPLIT_BITS
+            j32 = jcost[32] + lam_rd * PART_NONE_BITS
+            use32 = j32 <= j_split32
+        else:
+            # fast path (preset 8): SAD-domain rate-biased merge from the
+            # ME costs; residual coding happens once, at the selected
+            # size, below
+            oh = (lam * LEAF_OVERHEAD_BITS) >> 4
+            split_oh = (lam * SPLIT_EXTRA_BITS) >> 4
+            j8 = cost[8] + oh
+            j_split16 = _sum4(j8) + split_oh
+            j16 = cost[16] + oh
+            use16 = j16 <= j_split16
+            j_at16 = jnp.where(use16, j16, j_split16)
+            j_split32 = _sum4(j_at16) + split_oh
+            j32 = cost[32] + oh
+            use32 = j32 <= j_split32
 
         # edge legality: a merged node must lie fully inside the mi grid;
         # ph/pw are 32-padded so only the true frame geometry (baked in by
@@ -354,43 +520,38 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                     jnp.where(up2(use16)[..., None], up2(mv_c[16]),
                               mv_c[8])).astype(jnp.int16)
 
-        # --- residual coding at every size, all three planes -------------
-        def mc_sel(mc_fn, plane_idx, bs2, mvs2, mvs_c, sel, pad2,
-                   chroma):
-            p0 = mc_fn(banks[0][plane_idx], mvs2, bs2, pad2)
-            if nrefs == 1:
-                return p0
-            p1 = mc_fn(banks[1][plane_idx], mvs2, bs2, pad2)
-            out = jnp.where((sel == 1)[..., None, None], p1, p0)
-            if compound:
-                m0 = _jnt_pred_grid(padded[0][plane_idx], mvs2, bs2, pad2,
-                                    chroma, bd)
-                m1 = _jnt_pred_grid(padded[1][plane_idx], mvs_c, bs2,
-                                    pad2, chroma, bd)
-                pc = MC.jnt_average(jnp, m0, m1, bd)
-                out = jnp.where((sel == 2)[..., None, None], pc, out)
-            return out
+        if not rdo:
+            # --- motion compensation ONCE at selected-cell granularity ---
+            # The interpolation is translation-invariant, so MCing a
+            # 32x32 leaf equals MCing its sixteen 8x8 cells with the same
+            # MV: one patch gather + on-patch interp per plane at 8x8
+            # (luma) / 4x4 (chroma) cells replaces per-size MC.
+            mv32 = mv_sel.astype(jnp.int32)
+            mv32c = (mv2_sel.astype(jnp.int32) if mv2_sel is not None
+                     else None)
+            pred_y_pl = _unblock(mc_one(0, False, 8, pad, mv32, mv32c,
+                                        ref8))
+            pred_u_pl = _unblock(mc_one(1, True, 4, cpad, mv32, mv32c,
+                                        ref8))
+            pred_v_pl = _unblock(mc_one(2, True, 4, cpad, mv32, mv32c,
+                                        ref8))
 
-        levels = {}
-        rec_planes = {}
-        for bs in SIZES:
-            pred_y = mc_sel(_mc_luma, 0, bs, mv[bs], mv_c[bs], refsel[bs],
-                            pad, False)
-            ly, rec_y = _encode_plane(_block(sy, bs), pred_y, q,
-                                      TX_OF[bs], bd)
-            cbs = bs // 2
-            pred_u = mc_sel(_mc_chroma, 1, cbs, mv[bs], mv_c[bs],
-                            refsel[bs], cpad, True)
-            pred_v = mc_sel(_mc_chroma, 2, cbs, mv[bs], mv_c[bs],
-                            refsel[bs], cpad, True)
-            lu, rec_u = _encode_plane(_block(su, cbs), pred_u, q,
-                                      TX_OF_C[bs], bd)
-            lv, rec_v = _encode_plane(_block(sv, cbs), pred_v, q,
-                                      TX_OF_C[bs], bd)
-            levels[bs] = (ly.astype(jnp.int16), lu.astype(jnp.int16),
-                          lv.astype(jnp.int16))
-            rec_planes[bs] = (_unblock(rec_y), _unblock(rec_u),
-                              _unblock(rec_v))
+            # residual coding at every size against the selected pred
+            for bs in SIZES:
+                ly, rec_y = _encode_plane(_block(sy, bs),
+                                          _block(pred_y_pl, bs),
+                                          q, TX_OF[bs], bd)
+                cbs = bs // 2
+                lu, rec_u = _encode_plane(_block(su, cbs),
+                                          _block(pred_u_pl, cbs), q,
+                                          TX_OF_C[bs], bd)
+                lv, rec_v = _encode_plane(_block(sv, cbs),
+                                          _block(pred_v_pl, cbs), q,
+                                          TX_OF_C[bs], bd)
+                levels[bs] = (ly.astype(jnp.int16), lu.astype(jnp.int16),
+                              lv.astype(jnp.int16))
+                rec_planes[bs] = (_unblock(rec_y), _unblock(rec_u),
+                                  _unblock(rec_v))
 
         # --- final recon: per-cell select of the chosen size's recon -----
         def select_plane(idx_plane, shift):
@@ -419,11 +580,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             sizes_y = jnp.repeat(jnp.repeat(sz8, 8, 0), 8, 1)
             sizes_c = jnp.repeat(jnp.repeat(sz8 >> 1, 4, 0), 4, 1)
             cy = DB.deblock_plane(jnp, cy, sizes_y, lf_levels[0],
-                                  lf_levels[1], True)
+                                  lf_levels[1], True, bd=bd)
             cu = DB.deblock_plane(jnp, cu, sizes_c, lf_levels[2],
-                                  lf_levels[2], False)
+                                  lf_levels[2], False, bd=bd)
             cv = DB.deblock_plane(jnp, cv, sizes_c, lf_levels[3],
-                                  lf_levels[3], False)
+                                  lf_levels[3], False, bd=bd)
 
         if use_cdef:
             # per-8x8-unit skip: the selected leaf has all-zero levels
@@ -445,7 +606,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             damping = (3 + (q >> 6)) if dynamic_q else CD.pick_damping(qindex)
             (cy, cu, cv), idx_sb = CD.cdef_search_and_apply(
                 jnp, (cy, cu, cv),
-                (crop(sy, 0), crop(su, 1), crop(sv, 1)), sk, damping)
+                (crop(sy, 0), crop(su, 1), crop(sv, 1)), sk, damping,
+                coeff_shift=bd - 8)
             idx_sb = idx_sb.astype(jnp.uint8)
 
         px_dt = jnp.uint8 if bd == 8 else jnp.uint16
@@ -518,8 +680,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
 def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
                           deblock: bool = True, cdef: bool = False,
-                          bd: int = 8):
-    fn = p_frame_step(ph, pw, qindex, search, bd=bd)
+                          bd: int = 8, rdo: bool = True):
+    fn = p_frame_step(ph, pw, qindex, search, bd=bd, rdo=rdo)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -527,10 +689,11 @@ def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
 @functools.lru_cache(maxsize=8)
 def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
-                          deblock: bool = True, cdef: bool = False):
+                          deblock: bool = True, cdef: bool = False,
+                          rdo: bool = True):
     """Two-reference (fwd + bwd) step for hierarchical-B mini-GOPs.
     fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u, r1v) -> P outputs + ref8."""
-    fn = p_frame_step(ph, pw, qindex, search, nrefs=2)
+    fn = p_frame_step(ph, pw, qindex, search, nrefs=2, rdo=rdo)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -538,10 +701,11 @@ def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
 @functools.lru_cache(maxsize=4)
 def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
-                              cdef: bool = False, bd: int = 8):
+                              cdef: bool = False, bd: int = 8,
+                              rdo: bool = True):
     """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v); one compile
     serves every qindex (rate control)."""
-    fn = p_frame_step(ph, pw, None, search, bd=bd)
+    fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)
 
@@ -550,12 +714,12 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
 def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
                               cdef: bool = False, compound: bool = False,
-                              bd: int = 8):
+                              bd: int = 8, rdo: bool = True):
     """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
     r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
     (hier-B layer offsets, rate control).  compound=True adds the
     COMPOUND_AVERAGE candidate (fwd+bwd pairs only)."""
     fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound,
-                      bd=bd)
+                      bd=bd, rdo=rdo)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -230,7 +230,7 @@ def dispatch_batch_device(frames, qindex: int, mi_rows: int, mi_cols: int,
 
 def materialize_batch(out, nbh: int, nbw: int, with_recon: bool = True):
     n = 7 if with_recon else 4
-    arrs = [np.asarray(a) for a in out[:n]]
+    arrs = [np.asarray(a) for a in jax.device_get(list(out[:n]))]
     g = arrs[0].shape[0]
     return [
         {
@@ -284,7 +284,9 @@ def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
 
 def materialize_frame(out, nbh: int, nbw: int):
-    modes, ly, lu, lv, ry, ru, rv = (np.asarray(a) for a in out)
+    # one batched fetch: the tunneled link pays ~30 ms RTT per transfer
+    modes, ly, lu, lv, ry, ru, rv = (np.asarray(a)
+                                     for a in jax.device_get(list(out)))
     return {
         "modes": modes, "levels_y": ly, "levels_u": lu, "levels_v": lv,
         "recon_y": unblock_planes(ry), "recon_u": unblock_planes(ru),

@@ -33,12 +33,22 @@ class MultiStreamEncoder:
     P frames batch through a vmapped P step with per-stream refs.
     """
 
-    def __init__(self, config: EncoderConfig, n_streams: int) -> None:
+    def __init__(self, config: EncoderConfig, n_streams: int,
+                 mesh=None) -> None:
         assert config.pred_structure == 0 and not config.intra_only, \
             "multi-stream batching targets flat low-delay P"
         assert not config.enable_restoration
         self.n = n_streams
         self.cfg = config
+        # optional device mesh: the stream axis shards over 'gop' — jit
+        # propagates the input sharding through the whole step (GSPMD),
+        # so every device encodes its own streams with no collectives
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            assert n_streams % mesh.devices.size == 0, \
+                (n_streams, mesh.devices.size)
+            self._shard = NamedSharding(mesh, PartitionSpec("gop"))
         # one logical Encoder per stream for entropy/packetization state
         self.encs: List[Encoder] = []
         for _ in range(n_streams):
@@ -49,6 +59,17 @@ class MultiStreamEncoder:
             self.encs.append(Encoder(c))
         self._refs = None      # stacked device ref planes [S, ...]
         self._idx = 0
+
+
+    def _put(self, x):
+        """Upload a [S, ...] stacked array, sharded over the mesh when
+        one is configured."""
+        import jax
+        import jax.numpy as jnp
+        a = jnp.asarray(x)
+        if self._shard is not None:
+            a = jax.device_put(a, self._shard)
+        return a
 
     def send(self, frames: List) -> List[Packet]:
         import jax
@@ -66,16 +87,21 @@ class MultiStreamEncoder:
 
         if key or self._refs is None:
             nbh, nbw = ph // 8, pw // 8
-            sy = jnp.asarray(np.stack([IE.block_planes(
+            sy = self._put(np.stack([IE.block_planes(
                 IE.pad_plane(f.y.astype(px), ph, pw), 8) for f in frames]))
-            su = jnp.asarray(np.stack([IE.block_planes(
+            su = self._put(np.stack([IE.block_planes(
                 IE.pad_plane(f.u.astype(px), ph // 2, pw // 2), 4)
                 for f in frames]))
-            sv = jnp.asarray(np.stack([IE.block_planes(
+            sv = self._put(np.stack([IE.block_planes(
                 IE.pad_plane(f.v.astype(px), ph // 2, pw // 2), 4)
                 for f in frames]))
-            out = IE.build_batch_frame_encoder(nbh, nbw, qindex,
-                                               cfg.bit_depth)(sy, su, sv)
+            if e0._rc is None:
+                out = IE.build_batch_frame_encoder(nbh, nbw, qindex,
+                                                   cfg.bit_depth)(sy, su, sv)
+            else:
+                # dynamic-q batch so VBR q changes never recompile
+                out = IE.build_batch_frame_encoder_dyn(
+                    nbh, nbw, cfg.bit_depth)(sy, su, sv, jnp.int32(qindex))
             deb = None
             if cfg.enable_deblocking or cfg.enable_cdef:
                 from svt_av1_tpu.ops import cdef as CDEF
@@ -88,7 +114,8 @@ class MultiStreamEncoder:
                 s_y = jax.vmap(_unblock_dev)(sy)
                 s_u = jax.vmap(_unblock_dev)(su)
                 s_v = jax.vmap(_unblock_dev)(sv)
-                deb = _intra_postproc_fn(ph, pw, True, cfg.enable_cdef)(
+                deb = _intra_postproc_fn(ph, pw, True, cfg.enable_cdef,
+                                         cfg.bit_depth)(
                     y, u, v, s_y, s_u, s_v, out[1], out[2], out[3],
                     jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                     jnp.int32(lvls[3]),
@@ -106,24 +133,27 @@ class MultiStreamEncoder:
                     for k in ("recon_y", "recon_u", "recon_v")]
             pads = ((0, 0), (0, ph32 - ph), (0, pw32 - pw))
             padc = ((0, 0), (0, (ph32 - ph) // 2), (0, (pw32 - pw) // 2))
-            self._refs = (jnp.pad(jnp.asarray(recs[0]), pads, mode="edge"),
-                          jnp.pad(jnp.asarray(recs[1]), padc, mode="edge"),
-                          jnp.pad(jnp.asarray(recs[2]), padc, mode="edge"))
+            self._refs = (
+                self._put(np.pad(recs[0], pads, mode="edge")),
+                self._put(np.pad(recs[1], padc, mode="edge")),
+                self._put(np.pad(recs[2], padc, mode="edge")))
             pkts = []
             for s in range(self.n):
-                pkt = self.encs[s]._make_packet(frames[s], devs[s], qindex)
+                pkt = self.encs[s]._make_packet(frames[s], devs[s], qindex,
+                                                coded_idx=self._idx - 1)
                 pkt.pts = self._idx - 1
                 pkts.append(pkt)
+            self._rc_feedback(pkts, True)
             return pkts
 
         step = _batched_p_step(ph32, pw32, seq.mi_rows, seq.mi_cols,
                                cfg.enable_deblocking, cfg.enable_cdef,
-                               cfg.bit_depth)
-        sy = jnp.asarray(np.stack([IE.pad_plane(f.y.astype(px), ph32, pw32)
-                                   for f in frames]))
-        su = jnp.asarray(np.stack([IE.pad_plane(
+                               cfg.bit_depth, rdo=cfg.enc_mode <= 7)
+        sy = self._put(np.stack([IE.pad_plane(f.y.astype(px), ph32, pw32)
+                                 for f in frames]))
+        su = self._put(np.stack([IE.pad_plane(
             f.u.astype(px), ph32 // 2, pw32 // 2) for f in frames]))
-        sv = jnp.asarray(np.stack([IE.pad_plane(
+        sv = self._put(np.stack([IE.pad_plane(
             f.v.astype(px), ph32 // 2, pw32 // 2) for f in frames]))
         out = step(sy, su, sv, *self._refs, jnp.int32(qindex))
         pads = ((0, 0), (0, ph32 - ph), (0, pw32 - pw))
@@ -135,10 +165,22 @@ class MultiStreamEncoder:
         pkts = []
         for s in range(self.n):
             per = tuple(a[s] for a in out)
-            pkt = self.encs[s]._make_inter_packet(frames[s], per, qindex)
+            pkt = self.encs[s]._make_inter_packet(frames[s], per, qindex,
+                                                  coded_idx=self._idx - 1)
             pkt.pts = self._idx - 1
             pkts.append(pkt)
+        self._rc_feedback(pkts, False)
         return pkts
+
+    def _rc_feedback(self, pkts: List[Packet], is_key: bool) -> None:
+        """Streams run in lockstep with a SHARED q, so the controller that
+        picks q (encs[0]'s) absorbs the mean per-stream bits — without
+        this, VBR/CVBR froze at the initial qindex (packets bypass
+        Encoder._finish_one where _rc.update normally runs)."""
+        rc = self.encs[0]._rc
+        if rc is not None:
+            mean_bits = sum(len(p.payload) for p in pkts) * 8 / len(pkts)
+            rc.update(int(mean_bits), is_key)
 
 
 import functools
@@ -146,13 +188,13 @@ import functools
 
 @functools.lru_cache(maxsize=4)
 def _batched_p_step(ph32: int, pw32: int, mi_rows: int, mi_cols: int,
-                    deblock: bool, cdef: bool, bd: int):
+                    deblock: bool, cdef: bool, bd: int, rdo: bool = True):
     """vmapped dynamic-q P step over the stream axis (shared q)."""
     import jax
     import jax.numpy as jnp
     from svt_av1_tpu.ops import deblock as DB
 
-    fn = PE.p_frame_step(ph32, pw32, None, bd=bd)
+    fn = PE.p_frame_step(ph32, pw32, None, bd=bd, rdo=rdo)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
 
     def one(sy, su, sv, ry, ru, rv, q):

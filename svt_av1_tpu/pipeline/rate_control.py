@@ -34,6 +34,7 @@ class RateController:
                  min_qp: int = 0, max_qp: int = 63,
                  constrained: bool = False) -> None:
         self.target_bpf = max(1.0, target_bit_rate / max(fps, 1e-6))
+        self.fps = max(fps, 1.0)
         self.min_qi = max(1, qp_to_qindex(max(min_qp, 1)))
         self.max_qi = qp_to_qindex(max_qp)
         self.constrained = constrained
@@ -67,6 +68,6 @@ class RateController:
             self.qi -= int(step)
         if self.constrained:
             # CVBR: hard-clamp drift to one second of buffered bits
-            cap = self.target_bpf * 30
+            cap = self.target_bpf * self.fps
             self.fullness = float(np.clip(self.fullness, -cap, cap))
         self.qi = int(np.clip(self.qi, self.min_qi, self.max_qi))

@@ -82,3 +82,46 @@ def test_bd10_inter_e2e_bit_exact():
             np.testing.assert_array_equal(shown[d].y, recs[d].y)
             np.testing.assert_array_equal(shown[d].u, recs[d].u)
             np.testing.assert_array_equal(shown[d].v, recs[d].v)
+
+
+def test_bd10_inloop_filters_bit_exact():
+    """10-bit DLF + CDEF (highbd semantics: thresholds/strengths scaled
+    << 2, damping + 2, shifted direction search) must mirror-decode
+    bit-exactly across intra, flat-P, and hier-B compound paths."""
+    W, H = 192, 128
+    base = synthetic_frame(W, H, seed=9, bit_depth=10)
+
+    def clip(n):
+        out = []
+        for i in range(n):
+            f = synthetic_frame(W, H, seed=9, bit_depth=10)
+            f.y[:] = np.roll(base.y, (i, 2 * i), (0, 1))
+            f.u[:] = np.roll(base.u, (0, i), (0, 1))
+            f.v[:] = np.roll(base.v, (0, i), (0, 1))
+            out.append(f)
+        return out
+
+    for kw in (dict(intra_period=-2),
+               dict(intra_period=-1, pred_structure=0),
+               dict(intra_period=-1, pred_structure=2,
+                    hierarchical_levels=1, compound_mode=1)):
+        enc = Encoder(EncoderConfig(width=W, height=H, qp=35, bit_depth=10,
+                                    enable_deblocking=True, enable_cdef=True,
+                                    scene_change_detection=False, **kw))
+        dec = Decoder()
+        recons = {}
+        shown = []
+        for pkt in enc.encode_all(clip(3)):
+            out = dec.decode_temporal_unit(pkt.payload)
+            if pkt.recon is not None:
+                key = pkt.display_idx if pkt.display_idx is not None \
+                    else len(recons)
+                recons[key] = pkt.recon
+            if out is not None:
+                shown.append(out)
+        assert len(shown) == 3
+        for i, got in enumerate(shown):
+            want = recons[i]
+            np.testing.assert_array_equal(got.y, want.y)
+            np.testing.assert_array_equal(got.u, want.u)
+            np.testing.assert_array_equal(got.v, want.v)

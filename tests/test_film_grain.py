@@ -63,7 +63,7 @@ def test_film_grain_e2e_output_parity():
         enc.send_picture(f)
         pkt = enc.get_packet()
         d = dec.decode_temporal_unit(pkt.payload)
-        gy, gu, gv = apply_grain(enc._grain, pkt.recon.y, pkt.recon.u,
+        gy, gu, gv = apply_grain(enc._grain_for(i), pkt.recon.y, pkt.recon.u,
                                  pkt.recon.v)
         np.testing.assert_array_equal(d.y, gy)
         np.testing.assert_array_equal(d.u, gu)
