@@ -626,14 +626,27 @@ struct TileWriter {
     enc.encode_symbol(y_mode, cdf, 13);
     update_icdf(cdf, y_mode, 13);
     if (y_mode >= V_PRED && y_mode <= D67_PRED) {
+      int delta = angles_map
+                      ? static_cast<const int8_t*>(
+                            static_cast<const void*>(angles_map))
+                            [static_cast<size_t>(r4 >> 1) * nbw + (c4 >> 1)]
+                      : 0;
       cdf = t.angle_delta + (y_mode - V_PRED) * 8;
+      enc.encode_symbol(delta + MAX_ANGLE_DELTA, cdf, 7);
+      update_icdf(cdf, delta + MAX_ANGLE_DELTA, 7);
+    }
+    // uv mode (cfl-allowed context at 8x8)
+    int uv = uv_map
+                 ? uv_map[static_cast<size_t>(r4 >> 1) * nbw + (c4 >> 1)]
+                 : 0;
+    cdf = t.uv_mode + (1 * 13 + y_mode) * 15;
+    enc.encode_symbol(uv, cdf, 14);
+    update_icdf(cdf, uv, 14);
+    if (uv >= V_PRED && uv <= D67_PRED) {  // angle_delta_uv (always 0)
+      cdf = t.angle_delta + (uv - V_PRED) * 8;
       enc.encode_symbol(MAX_ANGLE_DELTA, cdf, 7);
       update_icdf(cdf, MAX_ANGLE_DELTA, 7);
     }
-    // uv mode (DC, cfl allowed)
-    cdf = t.uv_mode + (1 * 13 + y_mode) * 15;
-    enc.encode_symbol(0, cdf, 14);
-    update_icdf(cdf, 0, 14);
 
     // grids + partition neighbor bytes
     for (int i = 0; i < 2; ++i) {
@@ -677,7 +690,10 @@ struct TileWriter {
   const uint8_t* ref_map = nullptr;  // [nb8h][nb8w] ref type 1..7 (LAST..
                                      // ALTREF); 0 = compound cell;
                                      // null = all LAST (flat P)
-  const int32_t* mvs2 = nullptr;     // second (bwd) MV of compound cells
+  const int32_t* mvs2 = nullptr;
+  const uint8_t* txty_map = nullptr;
+  const uint8_t* angles_map = nullptr;  // per-block angle delta (int8)
+  const uint8_t* uv_map = nullptr;      // per-block chroma mode     // second (bwd) MV of compound cells
   int ref_select = 0;                // frame codes comp_inter bits
   int comp_fwd = 1, comp_bwd = 7;    // frame-level BIDIR pair
   const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8/16/32
@@ -1382,8 +1398,15 @@ struct TileWriter {
       int pbs = plane ? bs / 2 : bs;
       // txs_ctx for square tx: log2(dim/4) (tx_size_ctx, syntax.py)
       int txs_ctx = pbs == 4 ? 0 : (pbs == 8 ? 1 : (pbs == 16 ? 2 : 3));
+      // luma tx type from the per-cell search map (0 = DCT, 9 = IDTX);
+      // chroma inherits it for the inverse but its syntax stays class-2D
+      int ttx = (plane == 0 && txty_map)
+                    ? txty_map[static_cast<size_t>(r4 >> 1) * nb8w +
+                               (c4 >> 1)]
+                    : 0;
       int cul = write_coeffs_inter(lvs[plane], pbs, pbs, txs_ctx,
-                                   plane ? 1 : 0, sctx, dctx, plane == 0);
+                                   plane ? 1 : 0, sctx, dctx, plane == 0,
+                                   ttx);
       set_txb(plane, pr, pc, w4, w4, cul);
     }
   }
@@ -1391,10 +1414,10 @@ struct TileWriter {
   // inter tx-type branch wrapper around write_coeffs
   int write_coeffs_inter(const int32_t* lv, int w, int h, int txs_ctx,
                          int plane_type, int sctx, int dctx,
-                         bool tx_type_flag) {
+                         bool tx_type_flag, int tx_type) {
     // identical to write_coeffs except the tx-type symbol source
-    return write_coeffs_impl(lv, w, h, txs_ctx, plane_type, 0, sctx, dctx,
-                             tx_type_flag, 0, true);
+    return write_coeffs_impl(lv, w, h, txs_ctx, plane_type, tx_type, sctx,
+                             dctx, tx_type_flag, 0, true);
   }
 
   void partition(int r4, int c4, int n4) {
@@ -1446,11 +1469,14 @@ long svt_encode_tile(int mi_rows, int mi_cols, int qindex, int reduced_tx_set,
                      const int32_t* cdf_blob, const uint8_t* modes,
                      const int32_t* ly, const int32_t* lu, const int32_t* lv,
                      int nbh, int nbw, uint8_t* out, long out_cap,
-                     const uint8_t* cdef_idx, int cdef_bits) {
+                     const uint8_t* cdef_idx, int cdef_bits,
+                     const uint8_t* angles, const uint8_t* uv_modes) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.cdef_idx = cdef_idx;
   tw.cdef_bits = cdef_bits;
+  tw.angles_map = angles;
+  tw.uv_map = uv_modes;
   tw.nsb_w = (mi_cols + 15) / 16;
   return tw.encode(modes, ly, lu, lv, nbh, nbw, out, out_cap);
 }
@@ -1463,7 +1489,7 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            const uint8_t* cdef_idx, int cdef_bits,
                            const uint8_t* refs, const uint8_t* sign_bias,
                            const int32_t* mvs2, int comp_fwd,
-                           int comp_bwd) {
+                           int comp_bwd, const uint8_t* txty) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
@@ -1471,6 +1497,7 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
   tw.mvs = mvs;
   tw.ref_map = refs;
   tw.mvs2 = mvs2;
+  tw.txty_map = txty;
   tw.ref_select = mvs2 != nullptr;
   tw.comp_fwd = comp_fwd;
   tw.comp_bwd = comp_bwd;

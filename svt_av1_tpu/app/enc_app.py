@@ -24,9 +24,46 @@ import sys
 import time
 
 
+# config-file tokens (ref Config/Sample.cfg key names) -> argparse dests
+CFG_KEYS = {
+    "InputFile": "input", "StreamFile": "output", "ReconFile": "recon",
+    "SourceWidth": "width", "SourceHeight": "height", "QP": "qp",
+    "FrameToBeEncoded": "frames", "EncoderMode": "preset",
+    "IntraPeriod": "intra_period", "PredStructure": "pred_struct",
+    "HierarchicalLevels": "hierarchical_levels", "FrameRate": "fps",
+    "TileCol": "tiles_log2", "EncoderBitDepth": "bit_depth",
+    "CompressedTenBitFormat": "packed10", "RateControlMode": "rc_mode",
+    "TargetBitRate": "tbr", "LookAheadDistance": "lookahead",
+    "UseQpFile": None, "QpFile": "qp_file",
+}
+
+
+def parse_config_file(path: str) -> dict:
+    """ref config-file layer (EbAppConfig.c / Config/Sample.cfg): lines
+    of 'Token : value'.  Returns {argparse dest: value}; the caller
+    installs these as parser DEFAULTS so explicit CLI flags still win
+    (the reference's precedence)."""
+    out = {}
+    for raw in open(path):
+        line = raw.split("#")[0].strip()
+        if not line or ":" not in line:
+            continue
+        k, v = (t.strip() for t in line.split(":", 1))
+        dest = CFG_KEYS.get(k)
+        if dest is None:
+            continue
+        try:
+            out[dest] = int(v)
+        except ValueError:
+            out[dest] = v
+    return out
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="svt_av1_tpu.enc_app", add_help=False)
     p.add_argument("--help", action="help")
+    p.add_argument("-c", dest="config_file",
+                   help="config file (Sample.cfg token syntax)")
     p.add_argument("-i", dest="input")
     p.add_argument("-b", dest="output")
     p.add_argument("-o", dest="recon")
@@ -42,7 +79,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--tiles-log2", type=int, default=0)
     p.add_argument("--stat-report", action="store_true")
+    p.add_argument("--stat-file", dest="stat_file",
+                   help="per-frame bits/PSNR log + summary (ref StatFile)")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--bit-depth", dest="bit_depth", type=int, default=8)
+    p.add_argument("--compressed-ten-bit", dest="packed10", type=int,
+                   default=0, help="raw input is SVT packed 10-bit")
+    p.add_argument("--qp-file", dest="qp_file",
+                   help="per-frame QP overrides, one per line (ref -qp-file)")
+    p.add_argument("--rc", dest="rc_mode", type=int, default=0,
+                   help="0 CQP, 2 VBR, 3 CVBR")
+    p.add_argument("--tbr", dest="tbr", type=int, default=0,
+                   help="target bitrate (bits/s) for VBR/CVBR")
+    p.add_argument("--lookahead", dest="lookahead", type=int, default=0)
+    p.add_argument("--nch", type=int, default=1,
+                   help="channels: comma-separate -i/-b per channel "
+                        "(lockstep multi-stream, ref EbAppMain.c:196)")
     p.add_argument("--gop-shards", type=int, default=1,
                    help="encode N GOPs in lockstep over a device mesh "
                         "(needs --intra-period >= 1 and flat pred "
@@ -50,44 +102,67 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def open_reader(path, args):
+    from svt_av1_tpu.io import Y4MReader, YuvReader
+    from svt_av1_tpu.io.yuv import YuvReader10, YuvReaderPacked10
+    fh = sys.stdin.buffer if path == "-" else open(path, "rb")
+    head = fh.peek(9)[:9] if hasattr(fh, "peek") else b""
+    if path.endswith(".y4m") or head.startswith(b"YUV4MPEG2"):
+        r = Y4MReader(fh)
+        return r, r.w, r.h
+    if not (args.width and args.height):
+        raise SystemExit("raw YUV requires -w and -h")
+    w, h = args.width, args.height
+    if args.bit_depth == 10:
+        r = (YuvReaderPacked10(fh, w, h) if args.packed10
+             else YuvReader10(fh, w, h))
+    else:
+        r = YuvReader(fh, w, h)
+    return r, w, h
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.config_file:
+        # file values become defaults; explicit CLI flags still win
+        parser.set_defaults(**parse_config_file(args.config_file))
+        args = parser.parse_args(argv)
     from svt_av1_tpu.config import EncoderConfig
-    from svt_av1_tpu.io import IvfWriter, Y4MReader, YuvReader
+    from svt_av1_tpu.io import IvfWriter
     from svt_av1_tpu.io.yuv import synthetic_frame
     from svt_av1_tpu.pipeline.encoder import Encoder
+
+    if args.nch > 1:
+        return run_multichannel(args)
 
     if args.synthetic:
         if not (args.width and args.height):
             print("--synthetic requires -w and -h", file=sys.stderr)
             return 2
-        frames = (synthetic_frame(args.width, args.height, seed=i)
+        frames = (synthetic_frame(args.width, args.height, seed=i,
+                                  bit_depth=args.bit_depth)
                   for i in range(args.synthetic))
         width, height = args.width, args.height
     else:
         if not args.input:
             print("missing -i input (or --synthetic N)", file=sys.stderr)
             return 2
-        fh = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-        head = fh.peek(9)[:9] if hasattr(fh, "peek") else b""
-        if args.input.endswith(".y4m") or head.startswith(b"YUV4MPEG2"):
-            reader = Y4MReader(fh)
-            width, height = reader.width, reader.height
-        else:
-            if not (args.width and args.height):
-                print("raw YUV requires -w and -h", file=sys.stderr)
-                return 2
-            reader = YuvReader(fh, args.width, args.height)
-            width, height = args.width, args.height
+        reader, width, height = open_reader(args.input, args)
         frames = reader.frames()
 
     cfg = EncoderConfig(width=width, height=height, qp=args.qp,
                         enc_mode=args.preset,
+                        bit_depth=args.bit_depth,
                         intra_period=args.intra_period,
                         pred_structure=args.pred_struct,
                         hierarchical_levels=args.hierarchical_levels,
                         tile_columns_log2=args.tiles_log2,
                         stat_report=args.stat_report,
+                        rate_control_mode=args.rc_mode,
+                        target_bit_rate=args.tbr,
+                        look_ahead_distance=args.lookahead,
+                        frame_rate_num=args.fps,
                         recon_output=bool(args.recon) or args.stat_report,
                         num_gop_shards=args.gop_shards)
     if args.gop_shards > 1:
@@ -104,6 +179,11 @@ def main(argv=None) -> int:
     out = open(args.output, "wb") if args.output else None
     ivf = IvfWriter(out, width, height, args.fps, 1) if out else None
     rec_fh = open(args.recon, "wb") if args.recon else None
+    stat_fh = open(args.stat_file, "w") if args.stat_file else None
+    stats = {"bits": 0, "psnr": []}
+    if stat_fh:
+        args.stat_report = True
+        stat_fh.write("frame\tbytes\tpsnr_y\tpsnr_u\tpsnr_v\n")
 
     t0 = time.perf_counter()
     state = {"n_out": 0, "total": 0, "pend": b""}
@@ -143,11 +223,27 @@ def main(argv=None) -> int:
                 print(f"frame {pkt.pts}: {len(pkt.payload)} bytes, "
                       f"PSNR {pkt.psnr[0]:.2f}/{pkt.psnr[1]:.2f}/"
                       f"{pkt.psnr[2]:.2f}")
+            if stat_fh and pkt.psnr:
+                stats["bits"] += len(pkt.payload) * 8
+                stats["psnr"].append(pkt.psnr)
+                stat_fh.write(f"{pkt.pts}\t{len(pkt.payload)}\t"
+                              f"{pkt.psnr[0]:.4f}\t{pkt.psnr[1]:.4f}\t"
+                              f"{pkt.psnr[2]:.4f}\n")
+
+    qp_overrides = None
+    if args.qp_file:
+        qp_overrides = []
+        for line in open(args.qp_file):
+            line = line.strip()
+            qp_overrides.append(int(line) if line and line != "-1" else None)
 
     n_in = 0
     for frame in frames:
         if args.frames and n_in >= args.frames:
             break
+        if qp_overrides is not None and hasattr(enc, "push_qp"):
+            enc.push_qp(qp_overrides[n_in] if n_in < len(qp_overrides)
+                        else None)
         enc.send_picture(frame)
         n_in += 1
         drain()
@@ -161,9 +257,74 @@ def main(argv=None) -> int:
         out.close()
     if rec_fh:
         rec_fh.close()
+    if stat_fh:
+        import numpy as _np
+        if stats["psnr"]:
+            m = _np.mean(_np.asarray(stats["psnr"]), axis=0)
+            stat_fh.write(f"# summary: {n_out} frames, {stats['bits']} bits, "
+                          f"mean PSNR {m[0]:.4f}/{m[1]:.4f}/{m[2]:.4f}\n")
+        stat_fh.close()
     kbps = total * 8 * args.fps / max(n_out, 1) / 1000
     print(f"encoded {n_out} frames in {dt:.2f}s ({n_out / max(dt, 1e-9):.2f} "
           f"fps), {total} bytes (~{kbps:.0f} kbps @ {args.fps}fps)",
+          file=sys.stderr)
+    return 0
+
+
+def run_multichannel(args) -> int:
+    """-nch N lockstep channels (ref EbAppMain.c:196-215 multi-channel
+    instances): N same-geometry streams batched per device step through
+    MultiStreamEncoder; -i/-b take comma-separated per-channel paths."""
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.io import IvfWriter
+    from svt_av1_tpu.pipeline.multistream import MultiStreamEncoder
+
+    n = args.nch
+    ins = (args.input or "").split(",")
+    outs = (args.output or "").split(",") if args.output else [None] * n
+    if len(ins) != n or len(outs) != n:
+        print("--nch N needs N comma-separated -i (and -b) paths",
+              file=sys.stderr)
+        return 2
+    readers = []
+    width = height = None
+    for path in ins:
+        r, w, h = open_reader(path, args)
+        if width is None:
+            width, height = w, h
+        elif (w, h) != (width, height):
+            print("all channels must share one geometry", file=sys.stderr)
+            return 2
+        readers.append(r.frames())
+    cfg = EncoderConfig(width=width, height=height, qp=args.qp,
+                        enc_mode=args.preset, bit_depth=args.bit_depth,
+                        intra_period=args.intra_period, pred_structure=0,
+                        recon_output=False,
+                        scene_change_detection=False)
+    ms = MultiStreamEncoder(cfg, n)
+    writers = [IvfWriter(open(o, "wb"), width, height, args.fps, 1)
+               if o else None for o in outs]
+    t0 = time.perf_counter()
+    done = 0
+    while not args.frames or done < args.frames:
+        batch = []
+        for r in readers:
+            f = next(r, None)
+            if f is None:
+                break
+            batch.append(f)
+        if len(batch) < n:
+            break
+        for ch, pkt in enumerate(ms.send(batch)):
+            if writers[ch]:
+                writers[ch].write_frame(pkt.payload, pkt.pts)
+        done += 1
+    for wtr in writers:
+        if wtr:
+            wtr.finalize()
+    dt = time.perf_counter() - t0
+    print(f"encoded {done} frames x {n} channels in {dt:.2f}s "
+          f"({done * n / max(dt, 1e-9):.2f} fps aggregate)",
           file=sys.stderr)
     return 0
 

@@ -139,7 +139,6 @@ class EncoderConfig:
             "super_block_size=128": self.super_block_size == 128,
             "enable_warped_motion": self.enable_warped_motion,
             "screen_content_mode": bool(self.screen_content_mode),
-            "adaptive_quantization": self.enable_adaptive_quantization,
         }
         enabled = [k for k, v in unimplemented.items() if v]
         if enabled:

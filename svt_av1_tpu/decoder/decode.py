@@ -22,6 +22,10 @@ from svt_av1_tpu.ops import intra
 from svt_av1_tpu.ops import mc as MC
 from svt_av1_tpu.ops import quant as Q
 from svt_av1_tpu.ops import transforms as T
+
+# intra chroma tx derivation (spec Mode_To_Txfm_Type via compute_tx_type)
+_UV_TX = {0: 0, 1: 1, 2: 2, 9: 3}  # DC->DCT, V->ADST_DCT, H->DCT_ADST,
+                                   # SMOOTH->ADST_ADST
 from svt_av1_tpu.pipeline.inter_encoder import PAD, SEARCH_RANGE
 from svt_av1_tpu.pipeline.tile import (LEAF_MI, SB_MI, read_partition_symbol)
 from svt_av1_tpu.utils.bits import BitReader
@@ -365,6 +369,9 @@ class Decoder:
                 "high-precision MVs unsupported (allow_high_precision_mv=0)"
             assert abs(m[0]) <= lim and abs(m[1]) <= lim, \
                 f"MV {m} beyond decoder reference padding"
+        ltx = 0   # luma tx type; chroma INHERITS it (spec compute_tx_type
+                  # inter-chroma branch; the reduced inter set allows IDTX
+                  # at every chroma tx size here)
         for plane, tx_size in enumerate(
                 (self._TX_OF[bs], self._TX_OF_C[bs], self._TX_OF_C[bs])):
             pr = r4 >> (plane > 0)
@@ -378,11 +385,13 @@ class Decoder:
                 txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
                                              full_block_tx=True,
                                              larger_block=False)
-                levels, cul, _ = S.read_coeffs_txb(
+                levels, cul, ptx = S.read_coeffs_txb(
                     dec, fc, tx_size, int(plane > 0), txb_ctx, dc_ctx,
                     read_tx_type=True, reduced_tx_set=self.fp.reduced_tx_set,
                     allow_tx_type=self.fp.base_q_idx > 0, is_inter=True)
                 tc.set_txb(plane, pr, pc, w4, w4, cul)
+                if plane == 0:
+                    ltx = ptx
 
             py = (pr + (self.toff[0] >> (plane > 0))) * 4
             px = (pc + (self.toff[1] >> (plane > 0))) * 4
@@ -413,7 +422,7 @@ class Decoder:
                     r0 : r0 + pbs, c0 : c0 + pbs]
             bd2 = self.seq.bit_depth
             dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size, bd2)
-            resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT, bd2)
+            resid = T.inv_txfm2d_np(dq, tx_size, ltx, bd2)
             self.rec[plane][py : py + pbs, px : px + pbs] = np.clip(
                 pred + resid, 0, (1 << bd2) - 1)
 
@@ -430,16 +439,23 @@ class Decoder:
         cdf = fc.kf_y_mode[actx][lctx]
         y_mode = dec.decode_symbol(cdf, 13)
         update_icdf(cdf, y_mode, 13)
+        y_delta = 0
         if S.V_PRED <= y_mode <= S.D67_PRED:
             cdf = fc.angle_delta[y_mode - S.V_PRED]
             d = dec.decode_symbol(cdf, 7)
             update_icdf(cdf, d, 7)
-            assert d == S.MAX_ANGLE_DELTA, "nonzero angle delta unsupported"
+            y_delta = d - S.MAX_ANGLE_DELTA
 
         cdf = fc.uv_mode[1][y_mode]
         uv_mode = dec.decode_symbol(cdf, 14)
         update_icdf(cdf, uv_mode, 14)
-        assert uv_mode == S.DC_PRED, "only DC chroma supported"
+        uv_delta = 0
+        if S.V_PRED <= uv_mode <= S.D67_PRED:
+            cdf = fc.angle_delta[uv_mode - S.V_PRED]
+            d = dec.decode_symbol(cdf, 7)
+            update_icdf(cdf, d, 7)
+            uv_delta = d - S.MAX_ANGLE_DELTA
+        assert uv_mode in _UV_TX, f"unsupported uv mode {uv_mode}"
 
         tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, y_mode, skip)
 
@@ -448,7 +464,8 @@ class Decoder:
             pc = c4 >> (plane > 0)
             w4 = LEAF_MI >> (plane > 0)
             bs = 8 if plane == 0 else 4
-            mode = y_mode if plane == 0 else uv_mode
+            mode = ((y_mode, y_delta) if plane == 0
+                    else (uv_mode, uv_delta))
             if skip:
                 levels = np.zeros((bs, bs), np.int32)
                 tc.set_txb(plane, pr, pc, w4, w4, 0)
@@ -480,6 +497,10 @@ class Decoder:
             pred = intra.predict_block_np(mode, above, left, tl, ha, hl,
                                           bs, bs, bd, above_ext=above_ext)
             dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size, bd)
-            resid = T.inv_txfm2d_np(dq, tx_size, T.DCT_DCT, bd)
+            # intra chroma tx type is derived from the uv mode (spec
+            # compute_tx_type; ref intra_mode_to_tx_type,
+            # EbModeDecision.c:1851); luma stays at the coded DCT
+            ctx_type = T.DCT_DCT if plane == 0 else _UV_TX[uv_mode]
+            resid = T.inv_txfm2d_np(dq, tx_size, ctx_type, bd)
             rec[py : py + bs, px : px + bs] = np.clip(pred + resid, 0,
                                                       (1 << bd) - 1)

@@ -62,6 +62,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.svt_encode_tile_inter.restype = ctypes.c_long
     lib.svt_encode_tile_inter.argtypes = [
@@ -74,6 +75,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     return lib
 
@@ -90,7 +92,7 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
                     modes: np.ndarray, levels_y: np.ndarray,
                     levels_u: np.ndarray, levels_v: np.ndarray,
                     reduced_tx_set: bool = True, cdef_idx=None,
-                    cdef_bits: int = 2) -> bytes:
+                    cdef_bits: int = 2, angles=None, uv_modes=None) -> bytes:
     lib = _lib()
     blob = build_blob(fc)
     assert blob.size == lib.svt_tile_blob_size(), \
@@ -108,12 +110,18 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
 
     ci = None if cdef_idx is None else np.ascontiguousarray(cdef_idx,
                                                             np.uint8)
+    an = None if angles is None else np.ascontiguousarray(
+        angles.astype(np.int8).view(np.uint8))
+    uv = None if uv_modes is None else np.ascontiguousarray(uv_modes,
+                                                            np.uint8)
     n = lib.svt_encode_tile(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(m, ctypes.c_uint8),
         p(ly, ctypes.c_int32), p(lu, ctypes.c_int32), p(lv, ctypes.c_int32),
         nbh, nbw, p(out, ctypes.c_uint8), cap,
-        None if ci is None else p(ci, ctypes.c_uint8), cdef_bits)
+        None if ci is None else p(ci, ctypes.c_uint8), cdef_bits,
+        None if an is None else p(an, ctypes.c_uint8),
+        None if uv is None else p(uv, ctypes.c_uint8))
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])
@@ -124,7 +132,7 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                           levels: dict, reduced_tx_set: bool = True,
                           cdef_idx=None, cdef_bits: int = 2,
                           refs=None, sign_bias=None, mvs2=None,
-                          comp_pair=(1, 7)) -> bytes:
+                          comp_pair=(1, 7), txty=None) -> bytes:
     """levels: {8: (ly,lu,lv), 16: (...), 32: (...)} per-size level grids."""
     lib = _lib()
     blob = build_blob(fc)
@@ -150,6 +158,7 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
     sb = None if sign_bias is None else np.ascontiguousarray(sign_bias,
                                                              np.uint8)
     m2 = None if mvs2 is None else np.ascontiguousarray(mvs2, np.int32)
+    tt = None if txty is None else np.ascontiguousarray(txty, np.uint8)
     n = lib.svt_encode_tile_inter(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(sz, ctypes.c_uint8),
@@ -159,7 +168,8 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
         None if rf is None else p(rf, ctypes.c_uint8),
         None if sb is None else p(sb, ctypes.c_uint8),
         None if m2 is None else p(m2, ctypes.c_int32),
-        comp_pair[0], comp_pair[1])
+        comp_pair[0], comp_pair[1],
+        None if tt is None else p(tt, ctypes.c_uint8))
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

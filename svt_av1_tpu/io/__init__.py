@@ -7,4 +7,4 @@ write_ivf_frame_header (EbAppProcessCmd.c:1076/:1120).
 
 from svt_av1_tpu.io.ivf import IvfReader, IvfWriter  # noqa: F401
 from svt_av1_tpu.io.yuv import (Y4MReader, YuvReader, YuvReader10,  # noqa: F401
-                                synthetic_frame)
+                                YuvReaderPacked10, synthetic_frame)

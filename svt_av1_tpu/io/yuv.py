@@ -45,6 +45,49 @@ class YuvReader10:
             yield Frame(y.copy(), u.copy(), v.copy())
 
 
+class YuvReaderPacked10:
+    """SVT 'compressed ten bit' 4:2:0 reader (ref ReadInputFrames,
+    EbAppProcessCmd.c:846-864 with compressed_ten_bit_format=1).
+
+    Per frame: three 8-bit MSB planes (Y, U, V) followed by three 2-bit
+    LSB planes packed 4 samples/byte MSB-first (width/4 bytes per row).
+    sample = (msb << 2) | lsb.
+    """
+
+    def __init__(self, fh, width: int, height: int) -> None:
+        assert width % 4 == 0, "packed 10-bit needs width % 4 == 0"
+        self.fh, self.w, self.h = fh, width, height
+
+    @staticmethod
+    def _unpack2(buf: np.ndarray, h: int, w: int) -> np.ndarray:
+        """[h, w/4] packed bytes -> [h, w] 2-bit samples."""
+        b = buf.reshape(h, w // 4)
+        out = np.empty((h, w), np.uint16)
+        for j, sh in enumerate((6, 4, 2, 0)):
+            out[:, j::4] = (b >> sh) & 3
+        return out
+
+    def frames(self):
+        w, h = self.w, self.h
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        n8 = w * h + 2 * cw * ch
+        n2 = w * h // 4 + 2 * (cw * ch // 4)
+        while True:
+            buf = self.fh.read(n8 + n2)
+            if len(buf) < n8 + n2:
+                return
+            a = np.frombuffer(buf, np.uint8)
+            y8 = a[: w * h].reshape(h, w).astype(np.uint16)
+            u8 = a[w * h : w * h + cw * ch].reshape(ch, cw).astype(np.uint16)
+            v8 = a[w * h + cw * ch : n8].reshape(ch, cw).astype(np.uint16)
+            p = a[n8:]
+            y2 = self._unpack2(p[: w * h // 4], h, w)
+            u2 = self._unpack2(p[w * h // 4 : w * h // 4 + cw * ch // 4],
+                               ch, cw)
+            v2 = self._unpack2(p[w * h // 4 + cw * ch // 4 :], ch, cw)
+            yield Frame((y8 << 2) | y2, (u8 << 2) | u2, (v8 << 2) | v2)
+
+
 class YuvReader:
     """Planar I420 raw file reader (ref ReadInputFrames)."""
 

@@ -67,14 +67,14 @@ def _deriv(angle: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def dir_tables(mode: int, h: int, w: int):
-    """Static (use_above, idx, shift) tables for a fixed-angle mode.
+def dir_tables(angle: int, h: int, w: int):
+    """Static (use_above, idx, shift) tables for a fixed prediction
+    angle (base mode angle + 3 * angle_delta; spec 7.11.2.4).
 
     idx indexes the concatenated edge array [topleft, edge[0..w+h-1]]
     (so stored index = spec base + 1); semantics are the C reference's
     av1_dr_prediction_z{1,2,3}_c with upsample 0.
     """
-    angle = MODE_ANGLE[mode]
     r = np.arange(h)[:, None]
     c = np.arange(w)[None, :]
     if angle < 90:                      # zone 1: above only
@@ -184,7 +184,11 @@ def predict_all_modes(above, left, topleft, have_above, have_left,
     l = left[:, :, None]           # [B, H, 1]
     ones = xp.ones((B, h, w), jnp.int32 if xp is jnp else np.int32)
 
-    need_dir = any(m in MODE_ANGLE and m not in (V, H) for m in modes)
+    def _md(m):
+        return (m[0], m[1]) if isinstance(m, tuple) else (m, 0)
+
+    need_dir = any(mm in MODE_ANGLE and (mm not in (V, H) or d != 0)
+                   for mm, d in (_md(m) for m in modes))
     if need_dir:
         rep_a = xp.broadcast_to(above[:, -1:], (B, h))
         rep_l = xp.broadcast_to(left[:, -1:], (B, w))
@@ -201,6 +205,9 @@ def predict_all_modes(above, left, topleft, have_above, have_left,
 
     out = []
     for m in modes:
+        delta = 0
+        if isinstance(m, tuple):
+            m, delta = m
         if m == DC:
             s_a = above.sum(axis=1)
             s_l = left.sum(axis=1)
@@ -212,9 +219,9 @@ def predict_all_modes(above, left, topleft, have_above, have_left,
                                   (s_l + (h >> 1)) >> int(np.log2(h)),
                                   1 << (bd - 1))))
             out.append(dc[:, None, None] * ones)
-        elif m == V:
+        elif m == V and delta == 0:
             out.append(a * ones)
-        elif m == H:
+        elif m == H and delta == 0:
             out.append(l * ones)
         elif m == SMOOTH:
             wy = SM_WEIGHTS[h][None, :, None]
@@ -239,8 +246,9 @@ def predict_all_modes(above, left, topleft, have_above, have_left,
             out.append(xp.where((pl <= pa) & (pl <= ptl), l * ones,
                                 xp.where(pa <= ptl, a * ones,
                                          tl[:, None, None] * ones)))
-        else:  # directional base angle
-            use_above, idx, shift = dir_tables(m, h, w)
+        else:  # directional angle (base + 3*delta)
+            use_above, idx, shift = dir_tables(
+                MODE_ANGLE[m] + 3 * delta, h, w)
             src = xp.where(xp.asarray(use_above)[None],
                            cat_above[:, idx], cat_left[:, idx])
             src1 = xp.where(xp.asarray(use_above)[None],
@@ -251,13 +259,14 @@ def predict_all_modes(above, left, topleft, have_above, have_left,
     return xp.stack(out, axis=1)
 
 
-def predict_block_np(mode: int, above: np.ndarray, left: np.ndarray,
+def predict_block_np(mode, above: np.ndarray, left: np.ndarray,
                      topleft: int, have_above: bool, have_left: bool,
                      h: int, w: int, bd: int = 8,
                      above_ext: np.ndarray | None = None,
                      left_ext: np.ndarray | None = None) -> np.ndarray:
-    """Single-block numpy prediction (mirror decoder).  above_ext /
-    left_ext are passed only when spec-available (caller resolves)."""
+    """Single-block numpy prediction (mirror decoder).  mode may be an
+    int or a (mode, angle_delta) tuple; above_ext / left_ext are passed
+    only when spec-available (caller resolves)."""
     preds = predict_all_modes(
         above[None].astype(np.int32), left[None].astype(np.int32),
         np.array([topleft], np.int32), np.array([have_above]),

@@ -47,10 +47,10 @@ class GopShardedEncoder:
         self.L = gop_length
         self.G = n_shards
         self.mesh = mesh if mesh is not None else gop_mesh(n_shards)
-        cfg = config.replace(intra_period=gop_length - 1,
-                             scene_change_detection=False,
-                             num_gop_shards=1)
-        self._ms = MultiStreamEncoder(cfg, n_shards, mesh=self.mesh)
+        self._cfg = config.replace(intra_period=gop_length - 1,
+                                   scene_change_detection=False,
+                                   num_gop_shards=1)
+        self._ms = MultiStreamEncoder(self._cfg, n_shards, mesh=self.mesh)
         self._buf: list = []
         self._packets: list = []
         self._emitted = 0
@@ -79,14 +79,20 @@ class GopShardedEncoder:
         chunks = [self._buf[g * self.L : (g + 1) * self.L]
                   for g in range(self.G)]
         self._buf = []
-        per_slot = [[] for _ in range(self.G)]
-        # reset lockstep state: every super-GOP restarts at a keyframe
-        self._ms._idx = 0
-        self._ms._refs = None
-        for t in range(self.L):
-            pkts = self._ms.send([chunks[g][t] for g in range(self.G)])
-            for g, p in enumerate(pkts):
-                per_slot[g].append(p)
+        # GOPs are the elastic-recovery unit (SURVEY §5): a failure mid
+        # super-GOP discards only this super-GOP's device state; one
+        # retry re-encodes it from the buffered source frames on a fresh
+        # lockstep encoder before giving up.
+        from svt_av1_tpu.pipeline.multistream import MultiStreamEncoder
+        for attempt in range(2):
+            try:
+                per_slot = self._encode_chunks(chunks)
+                break
+            except Exception:
+                if attempt:
+                    raise
+                self._ms = MultiStreamEncoder(self._cfg, self.G,
+                                              mesh=self.mesh)
         base = self._emitted
         for g in range(self.G):
             for t, p in enumerate(per_slot[g]):
@@ -96,6 +102,17 @@ class GopShardedEncoder:
                 p.display_idx = p.pts
                 self._packets.append(p)
         self._emitted += n_real
+
+    def _encode_chunks(self, chunks) -> list:
+        per_slot = [[] for _ in range(self.G)]
+        # reset lockstep state: every super-GOP restarts at a keyframe
+        self._ms._idx = 0
+        self._ms._refs = None
+        for t in range(self.L):
+            pkts = self._ms.send([chunks[g][t] for g in range(self.G)])
+            for g, p in enumerate(pkts):
+                per_slot[g].append(p)
+        return per_slot
 
     def get_packet(self):
         return self._packets.pop(0) if self._packets else None

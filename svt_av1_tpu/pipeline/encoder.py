@@ -65,7 +65,11 @@ class Encoder:
         # preset signal derivation (ref signal_derivation_enc_dec_kernel_oq,
         # EbEncDecProcess.c:1229): presets 0-7 run the full-RD partition
         # merge; preset 8 keeps the fast SAD merge
+        from svt_av1_tpu.utils.trace import global_tracer
+        self._tracer = global_tracer()   # SVT_TRACE=<path> enables
         self._rdo = config.enc_mode <= 7
+        # presets <= 5 additionally search the inter tx-type set
+        self._txs = config.enc_mode <= 5
         self._grain = None
         if config.enable_film_grain:
             from svt_av1_tpu.ops.film_grain import preset_params
@@ -98,7 +102,28 @@ class Encoder:
                 config.max_qp_allowed,
                 constrained=config.rate_control_mode == 3)
 
+    def push_qp(self, qp: Optional[int]) -> None:
+        """Queue a per-frame QP override, consumed in coding order (ref
+        use_qp_file / SendQpOnTheFly, EbAppProcessCmd.c:925).  None keeps
+        the configured/RC-chosen q for that frame."""
+        if not hasattr(self, "_qp_queue"):
+            self._qp_queue: list = []
+        self._qp_queue.append(qp)
+
+    def _aq_offset(self, frame: Frame) -> int:
+        """Frame-level adaptive quantization from picture analysis (ref
+        SourceBasedOperations QP scaling; pipeline/analysis.py)."""
+        if not self.cfg.enable_adaptive_quantization:
+            return 0
+        from svt_av1_tpu.pipeline.analysis import analyze, aq_frame_offset
+        return aq_frame_offset(analyze(frame.y), self.cfg.bit_depth)
+
     def _frame_qindex(self, is_key: bool) -> int:
+        q = getattr(self, "_qp_queue", None)
+        if q:
+            override = q.pop(0)
+            if override is not None:
+                return _qp_to_qindex(int(override))
         if self._rc is not None:
             return self._rc.frame_qindex(is_key)
         return _qp_to_qindex(self.cfg.qp)
@@ -130,6 +155,42 @@ class Encoder:
             return mad > 40.0
         return mad > max(25.0, 4.0 * avg)
 
+    # -- checkpoint / resume (SURVEY §5: GOP-boundary resume is free by
+    # design — references never cross a keyframe) -------------------------------
+    def checkpoint(self) -> dict:
+        """Snapshot the encoder's stream state.  Take it when no work is
+        in flight (all packets drained); resuming restarts at the next
+        GOP boundary — if the resume point is mid-GOP the first frame is
+        coded as a keyframe, keeping the stream decodable."""
+        assert not self._pending and not self._inbox and not self._packets, \
+            "drain packets before checkpointing"
+        assert not (self._hier and self._buf), "flush the mini-GOP first"
+        st = {"send_idx": self._send_idx, "frame_idx": self._frame_idx,
+              "scd_avg": getattr(self, "_scd_avg", None)}
+        if self._rc is not None:
+            st["rc"] = {"fullness": self._rc.fullness, "qi": self._rc.qi,
+                        "boot": self._rc._bootstrapped}
+        return st
+
+    def restore(self, st: dict) -> None:
+        """Resume from a checkpoint() snapshot (e.g. in a fresh process
+        after a host loss — the elastic-recovery unit is the GOP)."""
+        self._send_idx = st["send_idx"]
+        self._frame_idx = st["frame_idx"]
+        if st.get("scd_avg") is not None:
+            self._scd_avg = st["scd_avg"]
+        self._scd_prev = None
+        self._ref_dev = None           # forces an intra/key restart point
+        if self._hier:
+            self._store = {}
+            self._free_slots = list(range(8))
+            self._anchor = None
+            self._buf = []
+        if "rc" in st and self._rc is not None:
+            self._rc.fullness = st["rc"]["fullness"]
+            self._rc.qi = st["rc"]["qi"]
+            self._rc._bootstrapped = st["rc"]["boot"]
+
     # -- ref eb_svt_enc_stream_header ------------------------------------------
     def stream_header(self) -> bytes:
         return O.write_sequence_header(self.seq)
@@ -145,6 +206,10 @@ class Encoder:
         if frame is None:
             self.flush()
             return
+        with self._tracer.span("dispatch", self._send_idx):
+            self._send_inner(frame)
+
+    def _send_inner(self, frame: Frame) -> None:
         if self.cfg.intra_only:
             self._inbox.append(frame)
             if len(self._inbox) >= max(1, self.cfg.device_batch):
@@ -234,6 +299,8 @@ class Encoder:
             if isinstance(step, CodeStep):
                 base_q = self._frame_qindex(False)
                 q = layer_qindex(base_q, step.layer)
+                q = max(1, min(255,
+                               q + self._aq_offset(frames[step.disp])))
                 self._dispatch_code(step, frames[step.disp], q,
                                     pending_pins.pop(step.disp, 0))
                 self._unpin(step.fwd)
@@ -253,6 +320,7 @@ class Encoder:
         self._send_idx += 1
         key = self._is_key(d) or self._scene_cut(frame)
         qindex = self._frame_qindex(key)
+        qindex = max(1, min(255, qindex + self._aq_offset(frame)))
         if not key:
             qindex = max(1, min(255, qindex + q_off))
         if key or getattr(self, "_ldb_last", None) is None:
@@ -274,7 +342,8 @@ class Encoder:
         lvls = self._lf_levels(qindex, False)
         fn = PE.build_b_frame_encoder_dyn(
             ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-            cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo)
+            cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
+            txs=self._txs)
         out = fn(sy, su, sv, *self._ldb_last[0], *self._ldb_golden[0],
                  jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                  jnp.int32(lvls[3]))
@@ -315,7 +384,8 @@ class Encoder:
         if step.bwd is None:
             fn = PE.build_p_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo)
+                cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
+                txs=self._txs)
             out = fn(sy, su, sv, *fwd["dev"], *dyn)
             nrefs = 1
         else:
@@ -324,7 +394,7 @@ class Encoder:
             fn = PE.build_b_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                 cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth,
-                rdo=self._rdo)
+                rdo=self._rdo, txs=self._txs)
             out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
             nrefs = 2
         slot = self._free_slots.pop(0)
@@ -362,11 +432,12 @@ class Encoder:
             IE.pad_plane(f.v, ph // 2, pw // 2), 4) for f in frames]))
         if self._rc is None:
             out = IE.build_batch_frame_encoder(
-                nbh, nbw, qindex, self.cfg.bit_depth)(sy_b, su_b, sv_b)
+                nbh, nbw, qindex, self.cfg.bit_depth,
+                rich=self._txs)(sy_b, su_b, sv_b)
         else:
             # dynamic-q batch (per-batch shared q; VBR feedback per batch)
             out = IE.build_batch_frame_encoder_dyn(
-                nbh, nbw, self.cfg.bit_depth)(
+                nbh, nbw, self.cfg.bit_depth, rich=self._txs)(
                 sy_b, su_b, sv_b, jnp.int32(qindex))
         deb = None
         if (self.cfg.enable_deblocking or self.cfg.enable_cdef) and \
@@ -430,7 +501,7 @@ class Encoder:
             out, nbh, nbw = IE.dispatch_frame_device(
                 frame.y, frame.u, frame.v, qindex,
                 self.seq.mi_rows, self.seq.mi_cols,
-                self.cfg.bit_depth)
+                self.cfg.bit_depth, rich=self._txs)
         else:
             nbh, nbw = ph // 8, pw // 8
             sy = jnp.asarray(IE.block_planes(
@@ -442,7 +513,8 @@ class Encoder:
                 IE.pad_plane(frame.v.astype(self._px), ph // 2, pw // 2),
                 4))
             out = IE.build_frame_encoder_dyn(nbh, nbw,
-                                             self.cfg.bit_depth)(
+                                             self.cfg.bit_depth,
+                                             rich=self._txs)(
                 sy, su, sv, jnp.int32(qindex))
         planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
         deb = None
@@ -473,6 +545,7 @@ class Encoder:
 
         key = self._is_key(self._send_idx) or self._scene_cut(frame)
         qindex = self._frame_qindex(key)
+        qindex = max(1, min(255, qindex + self._aq_offset(frame)))
         if not key:
             qindex = max(1, min(255, qindex + q_off))
         self._send_idx += 1
@@ -508,7 +581,7 @@ class Encoder:
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols, qindex,
                     deblock=self.cfg.enable_deblocking,
                     cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
-                    rdo=self._rdo)
+                    rdo=self._rdo, txs=self._txs)
                 out = fn(sy, su, sv, *self._ref_dev)
             else:
                 # dynamic-q step: lookahead/RC vary q per frame without
@@ -517,7 +590,7 @@ class Encoder:
                 fn = PE.build_p_frame_encoder_dyn(
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                     cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
-                    rdo=self._rdo)
+                    rdo=self._rdo, txs=self._txs)
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]))
@@ -540,6 +613,10 @@ class Encoder:
                                   None, meta))
 
     def _finish_one(self) -> None:
+        with self._tracer.span("entropy+packetize", self._frame_idx):
+            self._finish_one_inner()
+
+    def _finish_one_inner(self) -> None:
         entry = self._pending.pop(0)
         if entry[0] == "se":
             pkt = Packet(entry[1], entry[2], False, show=True,
@@ -618,7 +695,8 @@ class Encoder:
         need_rec = self._need_recon()
         idxs = [i for i in range(len(out))
                 if need_rec or i not in (5, 6, 7)]
-        vals = jax.device_get([out[i] for i in idxs])
+        with self._tracer.span("fetch"):
+            vals = jax.device_get([out[i] for i in idxs])
         arrs = {i: np.asarray(v) for i, v in zip(idxs, vals)}
         sizes, mv = arrs[0], arrs[1].astype(np.int32)
         levels = {8: tuple(_unpack_levels(arrs[2 + p], 8) for p in range(3)),
@@ -628,6 +706,8 @@ class Encoder:
                             for p in range(3))}
         ry, ru, rv = arrs.get(5), arrs.get(6), arrs.get(7)
         cdef_idx = arrs[8] if cfg.enable_cdef and len(out) > 8 else None
+        # tx-type search output rides at the END of the tuple
+        txty = arrs[len(out) - 1] if self._txs else None
         # per-cell ref types from the device refsel map (0 -> ref0,
         # 1 -> ref1); hier-B pairs (LAST, ALTREF), low-delay B (LAST,
         # GOLDEN)
@@ -680,6 +760,7 @@ class Encoder:
             t_mv = sl(mv, r0, c0, hm, wm, 2, align=4)
             t_refs = sl(refs8, r0, c0, hm, wm, 2, align=4)
             t_mv2 = sl(mvs2, r0, c0, hm, wm, 2, align=4)
+            t_tt = sl(txty, r0, c0, hm, wm, 2, align=4)
             t_ci = sl(cdef_idx, r0, c0, hm, wm, 16)
             t_lv = {bs: tuple(sl(levels[bs][p], r0, c0, hm, wm, bs // 4,
                                  align=32 // bs)
@@ -692,13 +773,14 @@ class Encoder:
                         fc, hm, wm, qindex, t_sizes, t_mv, t_lv,
                         cdef_idx=t_ci, refs=t_refs, sign_bias=sign_bias,
                         mvs2=t_mv2 if ref_select else None,
-                        comp_pair=comp_pair or (1, 7))
+                        comp_pair=comp_pair or (1, 7), txty=t_tt)
                 if cfg.entropy_backend == "cpp":
                     raise RuntimeError("C++ entropy backend unavailable")
             tw = TileWriter(fc, hm, wm, qindex, lr=lr)
             return tw.encode_inter(t_sizes, t_mv, t_lv, cdef_idx=t_ci,
                                    refs=t_refs, sign_bias=sign_bias,
-                                   comp_pair=comp_pair, mvs2=t_mv2)
+                                   comp_pair=comp_pair, mvs2=t_mv2,
+                                   txty=t_tt)
 
         jobs = [(r01, c01) for r01 in trows for c01 in tcols]
         if len(jobs) > 1:
@@ -765,14 +847,18 @@ class Encoder:
                 tile = native.encode_tile_cpp(
                     fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
                     dev["modes"].astype(np.uint8), dev["levels_y"],
-                    dev["levels_u"], dev["levels_v"], cdef_idx=cdef_idx)
+                    dev["levels_u"], dev["levels_v"], cdef_idx=cdef_idx,
+                    angles=dev.get("angles"),
+                    uv_modes=dev.get("uv_modes"))
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
             tw = TileWriter(fc, self.seq.mi_rows, self.seq.mi_cols, qindex,
                             lr=lr)
             tile = tw.encode(dev["modes"], dev["levels_y"], dev["levels_u"],
-                             dev["levels_v"], cdef_idx=cdef_idx)
+                             dev["levels_v"], cdef_idx=cdef_idx,
+                             angles=dev.get("angles"),
+                             uv_modes=dev.get("uv_modes"))
         # intra frames stay single-tile: the wavefront predicts across
         # tile boundaries (tile info is per-frame, so inter frames of the
         # same stream may still tile)

@@ -67,17 +67,17 @@ def _unblock(blocks):
 
 
 def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
-                  bd: int = 8):
+                  bd: int = 8, tx_type: int = T.DCT_DCT):
     nbh, nbw, bs, _ = src_blocks.shape
     resid = (src_blocks - pred_blocks).reshape(-1, bs, bs)
     # forward txfm on the MXU (f32 matrix path): the fwd side is an
     # encoder choice — levels are self-consistent with the normative
     # int32 INVERSE below, so recon parity never depends on it (max
     # |err| < 0.05 coeff LSB for bd<=10, see ops/transforms.py)
-    coeff = T.fwd_txfm2d_batch(resid, tx_size, T.DCT_DCT, bd)
+    coeff = T.fwd_txfm2d_batch(resid, tx_size, tx_type, bd)
     levels = Q.quantize_batch(coeff, qindex, tx_size, bd)
     dq = Q.dequantize_batch(levels, qindex, tx_size, bd)
-    rec = T.inv_txfm2d_batch(dq, tx_size, T.DCT_DCT, bd)
+    rec = T.inv_txfm2d_batch(dq, tx_size, tx_type, bd)
     recon = jnp.clip(pred_blocks + rec.reshape(nbh, nbw, bs, bs), 0,
                      (1 << bd) - 1)
     return levels.reshape(nbh, nbw, bs, bs), recon
@@ -289,7 +289,7 @@ def _tiles8(x, t: int):
 
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                  nrefs: int = 1, compound: bool = False, bd: int = 8,
-                 rdo: bool = True):
+                 rdo: bool = True, txs: bool = False):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
@@ -309,6 +309,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
     results stay batched device arrays instead of per-PU loops).
     """
     pad = search + 1
+    txs = txs and rdo
     from svt_av1_tpu import tables as _tbl
     dynamic_q = qindex is None
 
@@ -438,35 +439,69 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 acq = _tbl.ac_q(qindex, bd)
                 lam_rd = float(max(16, (acq * acq * 3) >> 6))
             jcost = {}
+            txty = {}
             for bs in SIZES:
                 src_b = _block(sy, bs)
                 pred_y = mc_one(0, False, bs, pad, mv[bs], mv_c[bs],
                                 refsel[bs])
-                ly, rec_y = _encode_plane(src_b, pred_y, q, TX_OF[bs], bd)
                 cbs = bs // 2
                 su_b, sv_b = _block(su, cbs), _block(sv, cbs)
                 pred_u = mc_one(1, True, cbs, cpad, mv[bs], mv_c[bs],
                                 refsel[bs])
                 pred_v = mc_one(2, True, cbs, cpad, mv[bs], mv_c[bs],
                                 refsel[bs])
-                lu, rec_u = _encode_plane(su_b, pred_u, q, TX_OF_C[bs], bd)
-                lv, rec_v = _encode_plane(sv_b, pred_v, q, TX_OF_C[bs], bd)
-                d = (((src_b - rec_y) ** 2).sum((-1, -2))
-                     + ((su_b - rec_u) ** 2).sum((-1, -2))
-                     + ((sv_b - rec_v) ** 2).sum((-1, -2)))
-                r = (_coeff_bits(ly) + _coeff_bits(lu) + _coeff_bits(lv)
-                     + ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
-                     + MODE_BITS)
+                base_r = (ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
+                          + MODE_BITS)
                 if compound:
-                    r = r + jnp.where(
+                    base_r = base_r + jnp.where(
                         refsel[bs] == 2,
                         ME.mv_rate_bits(mv_c[bs] - per_ref[1][2][bs] * 8)
                         + COMP_EXTRA_BITS, 0)
-                jcost[bs] = d.astype(jnp.float32) + lam_rd * r
-                levels[bs] = (ly.astype(jnp.int16), lu.astype(jnp.int16),
-                              lv.astype(jnp.int16))
-                rec_planes[bs] = (_unblock(rec_y), _unblock(rec_u),
-                                  _unblock(rec_v))
+                # tx-type search (ref ENCDEC_TX_SEARCH full-loop,
+                # EbProductCodingLoop.c:1880): code the leaf with every
+                # candidate type of the inter reduced set (DCT, IDTX) and
+                # keep the J winner.  Inter chroma inherits the luma type
+                # (spec compute_tx_type), so variants are evaluated
+                # jointly; when the winning variant has NO luma coeffs
+                # the tx-type symbol is never coded and the decoder
+                # infers DCT — force the DCT variant there.
+                cand_types = ((T.DCT_DCT,) if not txs
+                              else (T.DCT_DCT, T.IDTX))
+                best = None
+                for ty in cand_types:
+                    ly, rec_y = _encode_plane(src_b, pred_y, q, TX_OF[bs],
+                                              bd, ty)
+                    lu, rec_u = _encode_plane(su_b, pred_u, q,
+                                              TX_OF_C[bs], bd, ty)
+                    lv, rec_v = _encode_plane(sv_b, pred_v, q,
+                                              TX_OF_C[bs], bd, ty)
+                    d = (((src_b - rec_y) ** 2).sum((-1, -2))
+                         + ((su_b - rec_u) ** 2).sum((-1, -2))
+                         + ((sv_b - rec_v) ** 2).sum((-1, -2)))
+                    r = (_coeff_bits(ly) + _coeff_bits(lu)
+                         + _coeff_bits(lv) + base_r)
+                    j = d.astype(jnp.float32) + lam_rd * r
+                    if best is None:
+                        best = [j, ly, lu, lv, rec_y, rec_u, rec_v,
+                                jnp.zeros_like(j, dtype=jnp.uint8)]
+                    else:
+                        pick = ((j < best[0])
+                                & (ly != 0).any((-1, -2)))
+                        w2 = lambda a, b: jnp.where(
+                            pick[..., None, None], a, b)
+                        best = [jnp.where(pick, j, best[0]),
+                                w2(ly, best[1]), w2(lu, best[2]),
+                                w2(lv, best[3]), w2(rec_y, best[4]),
+                                w2(rec_u, best[5]), w2(rec_v, best[6]),
+                                jnp.where(pick, jnp.uint8(ty),
+                                          best[7])]
+                jcost[bs] = best[0]
+                txty[bs] = best[7]
+                levels[bs] = (best[1].astype(jnp.int16),
+                              best[2].astype(jnp.int16),
+                              best[3].astype(jnp.int16))
+                rec_planes[bs] = (_unblock(best[4]), _unblock(best[5]),
+                                  _unblock(best[6]))
             j8 = jcost[8] + lam_rd * PART_NONE_BITS
             j_split16 = _sum4(j8) + lam_rd * PART_SPLIT_BITS
             j16 = jcost[16] + lam_rd * PART_NONE_BITS
@@ -519,6 +554,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                     up2(up2(use32))[..., None], up2(up2(mv_c[32])),
                     jnp.where(up2(use16)[..., None], up2(mv_c[16]),
                               mv_c[8])).astype(jnp.int16)
+        txty8 = None
+        if txs:
+            txty8 = jnp.where(up2(up2(use32)), up2(up2(txty[32])),
+                              jnp.where(up2(use16), up2(txty[16]),
+                                        txty[8])).astype(jnp.uint8)
 
         if not rdo:
             # --- motion compensation ONCE at selected-cell granularity ---
@@ -642,6 +682,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             out = out + (ref8,)
         if compound:
             out = out + (mv2_sel,)
+        if txs:
+            out = out + (txty8,)
         return out
 
     # static edge-legality masks in mi-grid terms are bound by the caller
@@ -680,8 +722,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
 def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
                           deblock: bool = True, cdef: bool = False,
-                          bd: int = 8, rdo: bool = True):
-    fn = p_frame_step(ph, pw, qindex, search, bd=bd, rdo=rdo)
+                          bd: int = 8, rdo: bool = True, txs: bool = False):
+    fn = p_frame_step(ph, pw, qindex, search, bd=bd, rdo=rdo, txs=txs)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -690,10 +732,10 @@ def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
 def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
                           deblock: bool = True, cdef: bool = False,
-                          rdo: bool = True):
+                          rdo: bool = True, txs: bool = False):
     """Two-reference (fwd + bwd) step for hierarchical-B mini-GOPs.
     fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u, r1v) -> P outputs + ref8."""
-    fn = p_frame_step(ph, pw, qindex, search, nrefs=2, rdo=rdo)
+    fn = p_frame_step(ph, pw, qindex, search, nrefs=2, rdo=rdo, txs=txs)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -702,10 +744,10 @@ def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
 def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
                               cdef: bool = False, bd: int = 8,
-                              rdo: bool = True):
+                              rdo: bool = True, txs: bool = False):
     """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v); one compile
     serves every qindex (rate control)."""
-    fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo)
+    fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo, txs=txs)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)
 
@@ -714,12 +756,13 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
 def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
                               cdef: bool = False, compound: bool = False,
-                              bd: int = 8, rdo: bool = True):
+                              bd: int = 8, rdo: bool = True,
+                              txs: bool = False):
     """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
     r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
     (hier-B layer offsets, rate control).  compound=True adds the
     COMPOUND_AVERAGE candidate (fwd+bwd pairs only)."""
     fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound,
-                      bd=bd, rdo=rdo)
+                      bd=bd, rdo=rdo, txs=txs)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -16,8 +16,9 @@ neighbor access is static-shape gathers (no dynamic slices).  Anti-diagonal
 order is consistent with the decoder's Z-order because any above/left
 neighbor precedes the block in both orders.
 
-v1 scope: uniform 8x8 luma partition (4x4 chroma), mode set
-{DC, V, H, SMOOTH, PAETH}, DC chroma, DCT only, CQP.
+Scope: uniform 8x8 luma partition (4x4 chroma); 13 base modes (plus
++-1..3 angle deltas and a DC/V/H/SMOOTH chroma pick at presets <= 5),
+DCT residuals, static or traced q.
 """
 
 from __future__ import annotations
@@ -32,36 +33,65 @@ from svt_av1_tpu.ops import intra
 from svt_av1_tpu.ops import quant as Q
 from svt_av1_tpu.ops import transforms as T
 
-# mode-decision candidate list (indices into intra.predict_all_modes output)
-MODE_IDS = np.array(intra.ALL_MODES, np.int32)  # [13] -> AV1 mode enums
-D203_IDX = intra.ALL_MODES.index(intra.D203)
+# mode-decision candidate lists (indices into intra.predict_all_modes
+# output).  The rich set (presets <= 5) adds +-1..3 angle deltas on every
+# directional base (ref angle-delta candidate injection,
+# EbModeDecision.c:1120+); chroma then picks between DC/V/H/SMOOTH.
+DIR_MODES = (intra.V, intra.H, intra.D45, intra.D135, intra.D113,
+             intra.D157, intra.D203, intra.D67)
+RICH_MODES = tuple(intra.ALL_MODES) + tuple(
+    (m, d) for m in DIR_MODES for d in (-3, -2, -1, 1, 2, 3))
+UV_MODES = (intra.DC, intra.V, intra.H, intra.SMOOTH)
+# intra chroma tx type is DERIVED from the uv mode (spec compute_tx_type
+# -> Mode_To_Txfm_Type; ref intra_mode_to_tx_type, EbModeDecision.c:1851)
+UV_TX = {intra.DC: T.DCT_DCT, intra.V: T.ADST_DCT,
+         intra.H: T.DCT_ADST, intra.SMOOTH: T.ADST_ADST}
+
+
+def _cand_tables(cands):
+    mode_ids, deltas, is_d203 = [], [], []
+    for c in cands:
+        m, d = c if isinstance(c, tuple) else (c, 0)
+        mode_ids.append(m)
+        deltas.append(d)
+        is_d203.append(m == intra.D203)
+    return (np.array(mode_ids, np.int32), np.array(deltas, np.int32),
+            np.array(is_d203))
 
 LUMA_BS = 8
 CHROMA_BS = 4
 
 
-def _encode_plane_batch(src, pred, qindex: int, tx_size: int, bd: int = 8):
+def _encode_plane_batch(src, pred, qindex: int, tx_size: int, bd: int = 8,
+                        tx_type: int = T.DCT_DCT):
     """residual -> (levels, recon) for a [B, n, n] batch."""
     resid = src - pred
-    coeff = T.fwd_txfm2d_batch_exact(resid, tx_size, T.DCT_DCT, bd)
+    coeff = T.fwd_txfm2d_batch_exact(resid, tx_size, tx_type, bd)
     levels = Q.quantize_batch(coeff, qindex, tx_size, bd)
     dq = Q.dequantize_batch(levels, qindex, tx_size, bd)
-    rec_resid = T.inv_txfm2d_batch(dq, tx_size, T.DCT_DCT, bd)
+    rec_resid = T.inv_txfm2d_batch(dq, tx_size, tx_type, bd)
     recon = jnp.clip(pred + rec_resid, 0, (1 << bd) - 1)
     return levels, recon
 
 
-def frame_step(nbh: int, nbw: int, qindex, bd: int = 8):
+def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
+               rich: bool = False):
     """The (unjitted) full-frame intra encode step for a block grid.
 
     fn(src_y [nbh,nbw,8,8], src_u [nbh,nbw,4,4], src_v)
     -> (modes [nbh,nbw], levels_y [nbh,nbw,8,8],
         levels_u, levels_v [nbh,nbw,4,4],
-        recon_y [nbh,nbw,8,8], recon_u, recon_v)  (all int32)
+        recon_y [nbh,nbw,8,8], recon_u, recon_v
+        [, angle_deltas [nbh,nbw] i32, uv_modes [nbh,nbw] i32 — rich])
 
+    rich=True (presets <= 5) widens mode decision: 61 luma candidates
+    (13 base + 48 angle-delta variants) and a 4-way chroma mode pick.
     Exposed unjitted so parallel/ can vmap it over GOP-sharded frame
     batches; use build_frame_encoder for the single-frame jitted form.
     """
+    cands = RICH_MODES if rich else tuple(intra.ALL_MODES)
+    mode_ids_np, deltas_np, d203_np = _cand_tables(cands)
+    uv_cands = UV_MODES if rich else (intra.DC,)
     # staircase wavefront d = 2r + c: the above-right neighbor (r-1, c+1)
     # lands on d-1, so spec-available above-right rows are real recon
     # (classic WPP two-column offset; the reference gets the same order
@@ -84,12 +114,14 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8):
         ru = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
         rv = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
         modes = jnp.zeros((nbh + 1, nbw + 1), jnp.int32)
+        angles = jnp.zeros((nbh + 1, nbw + 1), jnp.int32)
+        uvm = jnp.zeros((nbh + 1, nbw + 1), jnp.int32)
         ly = jnp.zeros((nbh + 1, nbw + 1, LUMA_BS, LUMA_BS), jnp.int32)
         lu = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
         lv = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
 
         def body(d, state):
-            ry, ru, rv, modes, ly, lu, lv = state
+            ry, ru, rv, modes, angles, uvm, ly, lu, lv = state
             r = jnp.maximum(0, (d - nbw + 2) // 2) + jnp.arange(B)
             c = d - 2 * r
             valid = (r < nbh) & (c >= 0) & (c < nbw)
@@ -114,14 +146,15 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8):
             above_ext = ry[r_up, c_ar, LUMA_BS - 1, :]
             preds = intra.predict_all_modes(
                 above, left, topleft, ha, hl, LUMA_BS, LUMA_BS, bd,
-                modes=intra.ALL_MODES, above_ext=above_ext,
-                ar_avail=ar_avail)  # [B,13,8,8]
+                modes=cands, above_ext=above_ext,
+                ar_avail=ar_avail)  # [B,M,8,8]
             src = sy[rc, cc]
             sse = ((preds - src[:, None]) ** 2).sum((-1, -2))
-            # D203 reads below-left pixels the wavefront cannot provide
-            # where the spec makes them available: exclude it there
-            sse = sse.at[:, D203_IDX].add(
-                jnp.where(bl_avail, 1 << 30, 0))
+            # D203 (all deltas) reads below-left pixels the wavefront
+            # cannot provide where the spec makes them available:
+            # exclude those candidates there
+            sse = sse + (jnp.asarray(d203_np)[None, :]
+                         & bl_avail[:, None]) * (1 << 30)
             best = jnp.argmin(sse, axis=1)
             pred = jnp.take_along_axis(
                 preds, best[:, None, None, None], axis=1)[:, 0]
@@ -129,30 +162,50 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8):
                                               bd)
             ry = ry.at[rs, cs].set(recon)
             ly = ly.at[rs, cs].set(lvls)
-            modes = modes.at[rs, cs].set(jnp.asarray(MODE_IDS)[best])
+            modes = modes.at[rs, cs].set(jnp.asarray(mode_ids_np)[best])
+            angles = angles.at[rs, cs].set(jnp.asarray(deltas_np)[best])
 
-            # ---- chroma: DC prediction ----
-            for plane, (rp, lp, sp) in enumerate(
-                    ((ru, lu, su), (rv, lv, sv))):
+            # ---- chroma: joint U+V mode pick over uv_cands (each
+            # candidate coded with its DERIVED tx type, UV_TX) ----
+            cpreds = []
+            for rp in (ru, rv):
                 above_c = rp[r_up, cs, CHROMA_BS - 1, :]
                 left_c = rp[rs, c_lf, :, CHROMA_BS - 1]
                 tl_c = rp[r_up, c_lf, CHROMA_BS - 1, CHROMA_BS - 1]
-                pred_c = intra.predict_all_modes(
+                cpreds.append(intra.predict_all_modes(
                     above_c, left_c, tl_c, ha, hl,
-                    CHROMA_BS, CHROMA_BS, bd)[:, 0]  # DC
-                lvl_c, rec_c = _encode_plane_batch(
-                    sp[rc, cc], pred_c, qindex, T.TX_4X4, bd)
-                if plane == 0:
-                    ru = rp.at[rs, cs].set(rec_c)
-                    lu = lp.at[rs, cs].set(lvl_c)
-                else:
-                    rv = rp.at[rs, cs].set(rec_c)
-                    lv = lp.at[rs, cs].set(lvl_c)
+                    CHROMA_BS, CHROMA_BS, bd, modes=uv_cands))
+            lvl_u, rec_u, lvl_v, rec_v, sse_c = [], [], [], [], []
+            for i, cm in enumerate(uv_cands):
+                txc = UV_TX[cm]
+                li_u, ri_u = _encode_plane_batch(
+                    su[rc, cc], cpreds[0][:, i], qindex, T.TX_4X4, bd, txc)
+                li_v, ri_v = _encode_plane_batch(
+                    sv[rc, cc], cpreds[1][:, i], qindex, T.TX_4X4, bd, txc)
+                lvl_u.append(li_u)
+                rec_u.append(ri_u)
+                lvl_v.append(li_v)
+                rec_v.append(ri_v)
+                sse_c.append(((su[rc, cc] - ri_u) ** 2).sum((-1, -2))
+                             + ((sv[rc, cc] - ri_v) ** 2).sum((-1, -2)))
+            if len(uv_cands) > 1:
+                bc = jnp.argmin(jnp.stack(sse_c, axis=1), axis=1)
+            else:
+                bc = jnp.zeros(rs.shape, jnp.int32)
+            uvm = uvm.at[rs, cs].set(
+                jnp.asarray(np.array(uv_cands, np.int32))[bc])
+            pick = lambda lst: jnp.take_along_axis(
+                jnp.stack(lst, axis=1), bc[:, None, None, None],
+                axis=1)[:, 0]
+            ru = ru.at[rs, cs].set(pick(rec_u))
+            lu = lu.at[rs, cs].set(pick(lvl_u))
+            rv = rv.at[rs, cs].set(pick(rec_v))
+            lv = lv.at[rs, cs].set(pick(lvl_v))
 
-            return ry, ru, rv, modes, ly, lu, lv
+            return ry, ru, rv, modes, angles, uvm, ly, lu, lv
 
-        ry, ru, rv, modes, ly, lu, lv = jax.lax.fori_loop(
-            0, ndiag, body, (ry, ru, rv, modes, ly, lu, lv))
+        ry, ru, rv, modes, angles, uvm, ly, lu, lv = jax.lax.fori_loop(
+            0, ndiag, body, (ry, ru, rv, modes, angles, uvm, ly, lu, lv))
         trim = lambda a: a[:nbh, :nbw]
         # narrow dtypes before leaving the device: levels fit int8/int16
         # by the quantizer bound, recon/modes fit uint8 — the tunneled
@@ -163,49 +216,57 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8):
         else:
             dt_y = dt_c = jnp.int16   # dynamic q / highbd: conservative
         px = jnp.uint8 if bd == 8 else jnp.uint16
-        return (trim(modes).astype(jnp.uint8),
-                trim(ly).astype(dt_y), trim(lu).astype(dt_c),
-                trim(lv).astype(dt_c),
-                trim(ry).astype(px), trim(ru).astype(px),
-                trim(rv).astype(px))
+        out = (trim(modes).astype(jnp.uint8),
+               trim(ly).astype(dt_y), trim(lu).astype(dt_c),
+               trim(lv).astype(dt_c),
+               trim(ry).astype(px), trim(ru).astype(px),
+               trim(rv).astype(px))
+        if rich:
+            out = out + (trim(angles).astype(jnp.int8),
+                         trim(uvm).astype(jnp.uint8))
+        return out
 
     return step
 
 
 @functools.lru_cache(maxsize=8)
-def build_frame_encoder(nbh: int, nbw: int, qindex: int, bd: int = 8):
+def build_frame_encoder(nbh: int, nbw: int, qindex: int, bd: int = 8,
+                        rich: bool = False):
     """Jit-compiled single-frame encode step (see frame_step)."""
-    return jax.jit(frame_step(nbh, nbw, qindex, bd))
+    return jax.jit(frame_step(nbh, nbw, qindex, bd, rich))
 
 
 @functools.lru_cache(maxsize=4)
-def build_frame_encoder_dyn(nbh: int, nbw: int, bd: int = 8):
+def build_frame_encoder_dyn(nbh: int, nbw: int, bd: int = 8,
+                            rich: bool = False):
     """Dynamic-q variant: fn(sy, su, sv, qindex) — one compile serves
     every qindex (rate control changes q per frame)."""
     def wrapper(sy, su, sv, qindex):
         # frame_step closes over qindex; the traced scalar flows through
-        return frame_step(nbh, nbw, qindex, bd)(sy, su, sv)
+        return frame_step(nbh, nbw, qindex, bd, rich)(sy, su, sv)
 
     return jax.jit(wrapper)
 
 
 @functools.lru_cache(maxsize=4)
-def build_batch_frame_encoder_dyn(nbh: int, nbw: int, bd: int = 8):
+def build_batch_frame_encoder_dyn(nbh: int, nbw: int, bd: int = 8,
+                                  rich: bool = False):
     """Dynamic-q batched variant: fn(sy, su, sv, qindex) with a shared
     per-batch q scalar (intra-only VBR)."""
     def wrapper(sy, su, sv, qindex):
-        return frame_step(nbh, nbw, qindex, bd)(sy, su, sv)
+        return frame_step(nbh, nbw, qindex, bd, rich)(sy, su, sv)
 
     return jax.jit(jax.vmap(wrapper, in_axes=(0, 0, 0, None)))
 
 
 @functools.lru_cache(maxsize=8)
-def build_batch_frame_encoder(nbh: int, nbw: int, qindex: int, bd: int = 8):
+def build_batch_frame_encoder(nbh: int, nbw: int, qindex: int, bd: int = 8,
+                              rich: bool = False):
     """Jit-compiled multi-frame encode step: vmap over a leading frame
     axis.  Amortizes per-step fixed cost across independent frames —
     the TPU counterpart of the reference's multi-picture-in-flight
     pooled stages / multi-channel batching (EbAppMain.c:196-215)."""
-    return jax.jit(jax.vmap(frame_step(nbh, nbw, qindex, bd)))
+    return jax.jit(jax.vmap(frame_step(nbh, nbw, qindex, bd, rich)))
 
 
 def dispatch_batch_device(frames, qindex: int, mi_rows: int, mi_cols: int,
@@ -229,8 +290,10 @@ def dispatch_batch_device(frames, qindex: int, mi_rows: int, mi_cols: int,
 
 
 def materialize_batch(out, nbh: int, nbw: int, with_recon: bool = True):
-    n = 7 if with_recon else 4
-    arrs = [np.asarray(a) for a in jax.device_get(list(out[:n]))]
+    rich = len(out) > 7
+    sel = list(out[: 7 if with_recon else 4]) + list(out[7:])
+    arrs = [np.asarray(a) for a in jax.device_get(sel)]
+    nrec = 7 if with_recon else 4
     g = arrs[0].shape[0]
     return [
         {
@@ -239,6 +302,8 @@ def materialize_batch(out, nbh: int, nbw: int, with_recon: bool = True):
             "recon_y": unblock_planes(arrs[4][i]) if with_recon else None,
             "recon_u": unblock_planes(arrs[5][i]) if with_recon else None,
             "recon_v": unblock_planes(arrs[6][i]) if with_recon else None,
+            "angles": arrs[nrec][i] if rich else None,
+            "uv_modes": arrs[nrec + 1][i] if rich else None,
             "nbh": nbh, "nbw": nbw,
         }
         for i in range(g)
@@ -266,7 +331,7 @@ def pad_plane(plane: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
 
 def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                           qindex: int, mi_rows: int, mi_cols: int,
-                          bd: int = 8):
+                          bd: int = 8, rich: bool = False):
     """Asynchronously dispatch the device encode; returns (jax outputs,
     nbh, nbw).  JAX's async dispatch keeps the device busy while the host
     runs the entropy stage of earlier frames — the TPU equivalent of the
@@ -278,19 +343,21 @@ def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     sy = block_planes(pad_plane(y, ph, pw), LUMA_BS)
     su = block_planes(pad_plane(u, ph // 2, pw // 2), CHROMA_BS)
     sv = block_planes(pad_plane(v, ph // 2, pw // 2), CHROMA_BS)
-    fn = build_frame_encoder(nbh, nbw, qindex, bd)
+    fn = build_frame_encoder(nbh, nbw, qindex, bd, rich)
     out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
     return out, nbh, nbw
 
 
 def materialize_frame(out, nbh: int, nbw: int):
     # one batched fetch: the tunneled link pays ~30 ms RTT per transfer
-    modes, ly, lu, lv, ry, ru, rv = (np.asarray(a)
-                                     for a in jax.device_get(list(out)))
+    arrs = [np.asarray(a) for a in jax.device_get(list(out))]
+    modes, ly, lu, lv, ry, ru, rv = arrs[:7]
     return {
         "modes": modes, "levels_y": ly, "levels_u": lu, "levels_v": lv,
         "recon_y": unblock_planes(ry), "recon_u": unblock_planes(ru),
         "recon_v": unblock_planes(rv),
+        "angles": arrs[7] if len(arrs) > 7 else None,
+        "uv_modes": arrs[8] if len(arrs) > 8 else None,
         "nbh": nbh, "nbw": nbw,
     }
 

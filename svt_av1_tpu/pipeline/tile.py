@@ -142,9 +142,11 @@ class TileWriter:
 
     def encode(self, modes: np.ndarray, levels_y: np.ndarray,
                levels_u: np.ndarray, levels_v: np.ndarray,
-               cdef_idx=None) -> bytes:
+               cdef_idx=None, angles=None, uv_modes=None) -> bytes:
         tc = self.tc
         self.data = (modes, levels_y, levels_u, levels_v)
+        self.angles = angles        # per-block angle delta (None = 0)
+        self.uv_modes = uv_modes    # per-block chroma mode (None = DC)
         self.inter = False
         self.cdef_idx = cdef_idx
         for r4 in range(0, tc.mi_rows, SB_MI):
@@ -156,7 +158,8 @@ class TileWriter:
 
     def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
                      levels: dict, cdef_idx=None, refs=None,
-                     sign_bias=None, comp_pair=None, mvs2=None) -> bytes:
+                     sign_bias=None, comp_pair=None, mvs2=None,
+                     txty=None) -> bytes:
         """P/B-frame tile: variable-partition single-ref NEWMV blocks.
 
         sizes:  [nb8h, nb8w] leaf size (8/16/32) covering each 8x8 cell
@@ -177,6 +180,7 @@ class TileWriter:
         # using the frame-level BIDIR pair comp_pair with second MV mvs2
         self.comp_pair = comp_pair
         self.mvs2 = mvs2
+        self.txty = txty      # per-cell luma tx type (0/9); None = DCT
         self.ref_select = comp_pair is not None
         self.inter = True
         self.cdef_idx = cdef_idx
@@ -289,6 +293,10 @@ class TileWriter:
             mi.set_block(r4, c4, n4, n4, is_inter=True,
                          ref_frame=ref, mode=S.NEWMV, mv=mv8)
 
+        # luma tx type (reduced inter set: DCT / IDTX); chroma inherits
+        # it for the INVERSE transform (spec compute_tx_type) but its
+        # coefficient syntax always parses with class-2D contexts
+        ttx = 0 if self.txty is None else int(self.txty[r4 // 2, c4 // 2])
         for plane, (lvl, tx_size) in enumerate(
                 zip(lvls, (self._TX_OF[bs], self._TX_OF_C[bs],
                            self._TX_OF_C[bs]))):
@@ -302,7 +310,8 @@ class TileWriter:
                                          full_block_tx=True,
                                          larger_block=False)
             cul = S.write_coeffs_txb(
-                enc, fc, lvl, tx_size, int(plane > 0), 0, txb_ctx, dc_ctx,
+                enc, fc, lvl, tx_size, int(plane > 0),
+                ttx if plane == 0 else 0, txb_ctx, dc_ctx,
                 write_tx_type=True, reduced_tx_set=self.reduced_tx_set,
                 allow_tx_type=self.qindex > 0, is_inter=True)
             tc.set_txb(plane, pr, pc, w4, w4, cul)
@@ -327,15 +336,22 @@ class TileWriter:
         cdf = fc.kf_y_mode[actx][lctx]
         enc.encode_symbol(y_mode, cdf, 13)
         update_icdf(cdf, y_mode, 13)
-        if S.V_PRED <= y_mode <= S.D67_PRED:  # directional: angle delta 0
+        if S.V_PRED <= y_mode <= S.D67_PRED:  # directional: angle delta
+            delta = 0 if self.angles is None else int(self.angles[br, bc])
             cdf = fc.angle_delta[y_mode - S.V_PRED]
+            enc.encode_symbol(delta + S.MAX_ANGLE_DELTA, cdf, 7)
+            update_icdf(cdf, delta + S.MAX_ANGLE_DELTA, 7)
+
+        # uv mode (cfl-allowed context at 8x8)
+        uv = (S.DC_PRED if self.uv_modes is None
+              else int(self.uv_modes[br, bc]))
+        cdf = fc.uv_mode[1][y_mode]
+        enc.encode_symbol(uv, cdf, 14)
+        update_icdf(cdf, uv, 14)
+        if S.V_PRED <= uv <= S.D67_PRED:   # angle_delta_uv (always 0)
+            cdf = fc.angle_delta[uv - S.V_PRED]
             enc.encode_symbol(S.MAX_ANGLE_DELTA, cdf, 7)
             update_icdf(cdf, S.MAX_ANGLE_DELTA, 7)
-
-        # uv mode: DC, cfl allowed at 8x8
-        cdf = fc.uv_mode[1][y_mode]
-        enc.encode_symbol(S.DC_PRED, cdf, 14)
-        update_icdf(cdf, S.DC_PRED, 14)
 
         tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, y_mode, skip)
 
