@@ -749,9 +749,15 @@ struct TileWriter {
     return has_tr;
   }
 
+  // global motion (TRANSLATION only): per ref-type 1..7 active flag +
+  // translation (row, col) in 1/8-pel; pads the ref-MV stack and backs
+  // GLOBALMV exactly like the Python twin (entropy/mvp.py _find_stack)
+  const uint8_t* gm_type = nullptr;   // [7] or null
+  const int32_t* gm_vec = nullptr;    // [7][2] or null
+
   void find_mv_stack(int mi_row, int mi_col, int w4, int h4,
                      StackResult* out, int ref_frame = LAST_FRAME,
-                     int ref2 = -1) const {
+                     int ref2 = -1, int gmr = 0, int gmc = 0) const {
     const bool is_comp = ref2 > 0;
     Cand stack[MAX_STACK];
     int n_stack = 0;
@@ -1103,8 +1109,8 @@ struct TileWriter {
         }
         out->stack[i].weight = stack[i].weight;
       } else {
-        out->stack[i].mv[0] = 0;
-        out->stack[i].mv[1] = 0;
+        out->stack[i].mv[0] = static_cast<int16_t>(gmr);
+        out->stack[i].mv[1] = static_cast<int16_t>(gmc);
         out->stack[i].mv2[0] = 0;
         out->stack[i].mv2[1] = 0;
         out->stack[i].weight = 2;
@@ -1342,22 +1348,42 @@ struct TileWriter {
                    ref != 1);
       }
 
-      // mode (NEWMV) + drl + mv
-      StackResult res;
-      find_mv_stack(r4, c4, n4, n4, &res, ref);
-      code_bin(t.newmv + res.newmv_ctx() * 3, 0);   // mode != NEWMV -> 0
-      if (res.num_found > 1) {
-        code_bin(t.drl + res.drl_ctx(0) * 3, 0);    // drl_idx == 0
+      // mode + drl + mv: NEARESTMV when the MV equals stack[0] and
+      // GLOBALMV when it equals the frame's global translation (both
+      // skip MV coding); NEWMV otherwise -- mirrors pipeline/tile.py
+      int gmr = 0, gmc = 0, gact = 0;
+      if (gm_type && gm_type[ref - 1]) {
+        gact = 1;
+        gmr = gm_vec[(ref - 1) * 2];
+        gmc = gm_vec[(ref - 1) * 2 + 1];
       }
+      StackResult res;
+      find_mv_stack(r4, c4, n4, n4, &res, ref, -1, gmr, gmc);
       // predictor: stack[0], lowered to 1/4-pel precision (allow_hp=0)
       int pr_r = res.stack[0].mv[0], pr_c = res.stack[0].mv[1];
       if (pr_r & 1) pr_r += pr_r > 0 ? -1 : 1;
       if (pr_c & 1) pr_c += pr_c > 0 ? -1 : 1;
-      int dr = mv8_r - pr_r, dc = mv8_c - pr_c;
-      int j = (dr ? 2 : 0) | (dc ? 1 : 0);
-      code_sym(t.nmv_joints, j, 4);
-      if (j & 2) encode_mv_component(dr, 0, 1);
-      if (j & 1) encode_mv_component(dc, 1, 1);
+      if (mv8_r == pr_r && mv8_c == pr_c) {
+        mode = NEARESTMV;
+        code_bin(t.newmv + res.newmv_ctx() * 3, 1);
+        code_bin(t.zeromv + res.zeromv_ctx() * 3, 1);
+        code_bin(t.refmv + res.refmv_ctx() * 3, 0);
+      } else if (gact && mv8_r == gmr && mv8_c == gmc) {
+        mode = GLOBALMV;
+        code_bin(t.newmv + res.newmv_ctx() * 3, 1);
+        code_bin(t.zeromv + res.zeromv_ctx() * 3, 0);
+      } else {
+        mode = NEWMV;
+        code_bin(t.newmv + res.newmv_ctx() * 3, 0);
+        if (res.num_found > 1) {
+          code_bin(t.drl + res.drl_ctx(0) * 3, 0);  // drl_idx == 0
+        }
+        int dr = mv8_r - pr_r, dc = mv8_c - pr_c;
+        int j = (dr ? 2 : 0) | (dc ? 1 : 0);
+        code_sym(t.nmv_joints, j, 4);
+        if (j & 2) encode_mv_component(dr, 0, 1);
+        if (j & 1) encode_mv_component(dc, 1, 1);
+      }
     }
 
     // state update
@@ -1489,7 +1515,8 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            const uint8_t* cdef_idx, int cdef_bits,
                            const uint8_t* refs, const uint8_t* sign_bias,
                            const int32_t* mvs2, int comp_fwd,
-                           int comp_bwd, const uint8_t* txty) {
+                           int comp_bwd, const uint8_t* txty,
+                           const uint8_t* gm_type, const int32_t* gm_vec) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
@@ -1498,6 +1525,8 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
   tw.ref_map = refs;
   tw.mvs2 = mvs2;
   tw.txty_map = txty;
+  tw.gm_type = gm_type;
+  tw.gm_vec = gm_vec;
   tw.ref_select = mvs2 != nullptr;
   tw.comp_fwd = comp_fwd;
   tw.comp_bwd = comp_bwd;

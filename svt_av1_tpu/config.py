@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 # --- enums (ref: EbSvtAv1Enc.h / EbDefinitions.h) ---------------------------
 
 RC_MODE_CQP = 0       # constant QP             (ref rate_control_mode=0)
+RC_MODE_MODEL = 1     # model-based estimator    (ref rate_control_mode=1)
 RC_MODE_VBR = 2       # variable bitrate        (ref rate_control_mode=2)
 RC_MODE_CVBR = 3      # constrained VBR         (ref rate_control_mode=3)
 
@@ -65,9 +66,19 @@ class EncoderConfig:
     enable_cdef: bool = True     # CDEF in-loop filter (CQP only for now)
     enable_restoration: bool = False
     enable_film_grain: int = 0        # 0 off; 1..50 grain strength (ref
-                                      # film_grain_denoise_strength)
+                                      # film_grain_denoise_strength);
+                                      # -1 = estimate from source (ref
+                                      # noise_model.c flat-block AR fit)
     screen_content_mode: int = 0
     enable_warped_motion: bool = False
+    # frame-level interpolation filter: -1 auto (open-loop content
+    # decision), 0 EIGHTTAP_REGULAR, 1 EIGHTTAP_SMOOTH, 2 EIGHTTAP_SHARP
+    # (ref interpolation filter search, EbProductCodingLoop.c:1138)
+    interp_filter: int = -1
+    # global motion (TRANSLATION): open-loop per-frame estimation +
+    # GLOBALMV coding on IPPP chains (ref GM detection,
+    # EbInitialRateControlProcess.c:252; gm params spec 5.9.24)
+    enable_global_motion: bool = True
     compound_mode: int = 1            # 0 off, 1 COMPOUND_AVERAGE in
                                       # hier-B (ref compound_level)
     disable_cdf_update: bool = False  # keep per-symbol CDF adaptation on
@@ -109,10 +120,10 @@ class EncoderConfig:
             raise ValueError("enc_mode (preset) must be 0..8")
         if not (0 <= self.qp <= 63):
             raise ValueError("qp must be 0..63")
-        if self.rate_control_mode not in (RC_MODE_CQP, RC_MODE_VBR,
-                                          RC_MODE_CVBR):
+        if self.rate_control_mode not in (RC_MODE_CQP, RC_MODE_MODEL,
+                                          RC_MODE_VBR, RC_MODE_CVBR):
             raise NotImplementedError(
-                "rate_control_mode must be CQP(0)/VBR(2)/CVBR(3)")
+                "rate_control_mode must be CQP(0)/model(1)/VBR(2)/CVBR(3)")
         if self.rate_control_mode != RC_MODE_CQP and self.target_bit_rate <= 0:
             raise ValueError("VBR/CVBR require target_bit_rate > 0")
         if self.enable_restoration:
@@ -124,8 +135,12 @@ class EncoderConfig:
             raise ValueError("super_block_size must be 64 or 128")
         if self.fixed_partition_size not in (0, 8, 16, 32, 64):
             raise ValueError("fixed_partition_size must be 0/8/16/32/64")
-        if not (0 <= int(self.enable_film_grain) <= 50):
-            raise ValueError("enable_film_grain must be 0..50")
+        if self.interp_filter not in (-1, 0, 1, 2):
+            raise ValueError(
+                "interp_filter must be -1 (auto) / 0 regular / 1 smooth "
+                "/ 2 sharp")
+        if not (-1 <= int(self.enable_film_grain) <= 50):
+            raise ValueError("enable_film_grain must be -1 (auto) or 0..50")
         # round-1 capability gates — explicit, not silent
         unimplemented = {
             "film grain at bit_depth=10":

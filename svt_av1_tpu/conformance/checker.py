@@ -256,8 +256,9 @@ def _check_frame_header(payload: bytes, s: SeqInfo,
             raise ConformanceError("allow_high_precision_mv not produced")
         if b.f(1):
             raise ConformanceError("switchable filter not produced")
-        if b.f(2) != 0:
-            raise ConformanceError("non-REGULAR filter not produced")
+        if b.f(2) == 3:
+            raise ConformanceError("interpolation_filter BILINEAR "
+                                   "is not produced by this encoder")
         b.f(1)                               # is_motion_mode_switchable
     else:
         if b.f(1):
@@ -306,14 +307,57 @@ def _check_frame_header(payload: bytes, s: SeqInfo,
     b.f(1)                                   # reduced_tx_set
     if not is_intra:
         for _ in range(7):
-            if b.f(1):
-                raise ConformanceError("global motion not produced")
+            _check_global_motion_ref(b)
     if s.film_grain:
         _check_film_grain(b, is_intra, s)
     return {"show_existing": False, "is_intra": is_intra, "show": show,
             "refresh": refresh, "order_hint": order_hint,
             "tile_cols_log2": cols, "tile_rows_log2": rows,
             "tile_size_bytes": tsb, "bits": b.pos}
+
+
+def _gm_read_subexp(b, num_syms: int) -> int:
+    """spec 4.10.7 decode_subexp with k = 3 (SUBEXPFIN_K)."""
+    i = 0
+    mk = 0
+    k = 3
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if num_syms <= mk + 3 * a:
+            # ns(): quasi-uniform remainder
+            n = num_syms - mk
+            if n <= 1:
+                return mk
+            w = n.bit_length()
+            m = (1 << w) - n
+            v = b.f(w - 1)
+            if v < m:
+                return v + mk
+            return ((v << 1) - m + b.f(1)) + mk
+        if b.f(1):
+            i += 1
+            mk += a
+        else:
+            return b.f(b2) + mk
+
+
+def _check_global_motion_ref(b) -> None:
+    """spec 5.9.24/5.9.25 global_motion_params for one ref frame
+    (TRANSLATION only; allow_high_precision_mv is always 0 here)."""
+    if not b.f(1):                            # is_global
+        return
+    if b.f(1):                                # is_rot_zoom
+        raise ConformanceError("ROTZOOM global motion not produced")
+    if not b.f(1):                            # is_translation
+        raise ConformanceError("AFFINE global motion not produced")
+    for _ in range(2):
+        # read_global_param: translation, absBits = 9-1, so the coded
+        # range is [-(1<<8), 1<<8]; subexp over 2*mx+1 symbols
+        mx = 1 << 8
+        v = _gm_read_subexp(b, 2 * (mx + 1) - 1)
+        if not (0 <= v <= 2 * mx):
+            raise ConformanceError(f"global translation out of range: {v}")
 
 
 def _skip_allowed(s: SeqInfo, st: dict) -> bool:

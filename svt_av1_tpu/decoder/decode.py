@@ -135,22 +135,26 @@ class Decoder:
                 pv = MC.pad_for_filter(np, pad32(ref[2], 1), cpad)
                 self.planes_pad[slot] = (py, pu, pv)
                 bd = sp.bit_depth
-                self.banks[slot] = (MC.phase_bank(np, py, 4, bd),
-                                    MC.phase_bank(np, pu, 2, bd),
-                                    MC.phase_bank(np, pv, 2, bd))
+                filt = fp.interp_filter
+                self.banks[slot] = (MC.phase_bank(np, py, 4, bd, filt),
+                                    MC.phase_bank(np, pu, 2, bd, filt),
+                                    MC.phase_bank(np, pv, 2, bd, filt))
 
         self.cdef_idx_map = np.zeros((-(-mi_rows // SB_MI),
                                       -(-mi_cols // SB_MI)), np.int32)
 
-        # ---- loop restoration state (luma Wiener; spec 5.11.57) ----------
+        # ---- loop restoration state (luma Wiener/SGR; spec 5.11.57) ------
         self.lr = None
-        if sp.enable_restoration and fp.lr_types[0] == 2:
+        if sp.enable_restoration and fp.lr_types[0] in (2, 3):
             from svt_av1_tpu.ops import restoration as LRR
             unit = 64 << fp.lr_unit_shift
             nr = len(LRR.ru_grid(sp.height, unit))
             nc = len(LRR.ru_grid(sp.width, unit))
-            self.lr = {"unit": unit, "use": np.zeros((nr, nc), bool),
-                       "taps": np.zeros((nr, nc, 6), np.int32)}
+            self.lr = {"unit": unit, "type": fp.lr_types[0],
+                       "use": np.zeros((nr, nc), bool),
+                       "taps": np.zeros((nr, nc, 6), np.int32),
+                       "ep": np.zeros((nr, nc), np.int32),
+                       "xqd": np.zeros((nr, nc, 2), np.int32)}
 
         # ---- tiles (spec tile_group_obu; uniform spacing) ----------------
         trows, tcols = O.tile_starts(sp, fp.tile_cols_log2,
@@ -204,9 +208,16 @@ class Decoder:
         if self.lr is not None and self.lr["use"].any():
             from svt_av1_tpu.ops import restoration as LRR
             sub = np.ascontiguousarray(self.rec[0][: sp.height, : sp.width])
-            out = LRR.apply_wiener_plane(sub, sub.copy(), self.lr["unit"],
-                                         0, self.lr["use"],
-                                         self.lr["taps"])
+            if self.lr["type"] == 3:
+                out = LRR.apply_sgr_plane(sub, sub.copy(),
+                                          self.lr["unit"], 0,
+                                          self.lr["use"], self.lr["ep"],
+                                          self.lr["xqd"], sp.bit_depth)
+            else:
+                out = LRR.apply_wiener_plane(sub, sub.copy(),
+                                             self.lr["unit"], 0,
+                                             self.lr["use"],
+                                             self.lr["taps"])
             self.rec[0][: sp.height, : sp.width] = out
 
         # reference update (spec decode_frame_wrapup refresh)
@@ -234,6 +245,7 @@ class Decoder:
             self.mi = MVP.MiInter(hm, wm)
         self.dec = RangeDecoder(td)
         self._lr_ref = list(S.WIENER_MID) * 2   # per-tile wiener ref
+        self._sgr_ref = list(S.SGR_XQD_MID)     # per-tile sgrproj ref
         for r4 in range(0, hm, SB_MI):
             for c4 in range(0, wm, SB_MI):
                 self._cdef_done = False
@@ -244,17 +256,30 @@ class Decoder:
             self.w4_map[r0:r1, c0:c1] = self.mi.w4
 
     def _read_lr(self, r4: int, c4: int) -> None:
-        """Mirror of TileWriter._write_lr (spec read_lr, luma Wiener)."""
+        """Mirror of TileWriter._write_lr (spec read_lr; WIENER or
+        SGRPROJ luma frame type)."""
         if self.lr is None:
             return
         unit = self.lr["unit"]
         use, taps = self.lr["use"], self.lr["taps"]
+        sgr = self.lr["type"] == 3
         mi_rows, mi_cols = self.seq.mi_rows, self.seq.mi_cols
         py0, py1 = r4 * 4, min((r4 + SB_MI) * 4, mi_rows * 4)
         px0, px1 = c4 * 4, min((c4 + SB_MI) * 4, mi_cols * 4)
         nr, nc = use.shape
         for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
             for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):
+                if sgr:
+                    on = S._code_bin(None, self.dec,
+                                     self.fc.sgrproj_restore)
+                    if on:
+                        ep, xqd = S.code_sgr_filter(None, self.dec,
+                                                    self._sgr_ref)
+                        self._sgr_ref = list(xqd)
+                        use[ur, uc] = True
+                        self.lr["ep"][ur, uc] = ep
+                        self.lr["xqd"][ur, uc] = xqd
+                    continue
                 on = S._code_bin(None, self.dec, self.fc.wiener_restore)
                 if on:
                     t = S.code_wiener_filter(None, self.dec, self._lr_ref)
@@ -339,8 +364,11 @@ class Decoder:
         else:
             ref = S.code_single_ref(None, dec, fc, counts)
             ref2 = MVP.NONE_FRAME
+            gmv = (self.fp.gm_trans[ref - 1]
+                   if self.fp.gm_types[ref - 1] else (0, 0))
             res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
-                                    sign_bias=self.sign_bias)
+                                    sign_bias=self.sign_bias,
+                                    global_mv=gmv)
             mode = S.code_inter_mode(None, dec, fc, res)
             if mode in (S.NEWMV, S.NEARMV):
                 ref_mv_idx = S.code_drl_idx(None, dec, fc, res, mode)
@@ -401,12 +429,13 @@ class Decoder:
                 pp1 = self.planes_pad[self.fp.ref_frame_idx[ref2 - 1]]
                 ppad = PAD if plane == 0 else cpad
                 bd_ = self.seq.bit_depth
+                filt_ = self.fp.interp_filter
                 pred = MC.jnt_average(
                     np,
                     MC.jnt_pred_np(pp0[plane], py, px, mv8, pbs, ppad,
-                                   plane > 0, bd_),
+                                   plane > 0, bd_, filt_),
                     MC.jnt_pred_np(pp1[plane], py, px, mv8b, pbs, ppad,
-                                   plane > 0, bd_), bd_)
+                                   plane > 0, bd_, filt_), bd_)
             elif plane == 0:
                 r0 = py + PAD + (mv8[0] >> 3)
                 c0 = px + PAD + (mv8[1] >> 3)

@@ -76,6 +76,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
     ]
     return lib
 
@@ -132,7 +133,7 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                           levels: dict, reduced_tx_set: bool = True,
                           cdef_idx=None, cdef_bits: int = 2,
                           refs=None, sign_bias=None, mvs2=None,
-                          comp_pair=(1, 7), txty=None) -> bytes:
+                          comp_pair=(1, 7), txty=None, gm=None) -> bytes:
     """levels: {8: (ly,lu,lv), 16: (...), 32: (...)} per-size level grids."""
     lib = _lib()
     blob = build_blob(fc)
@@ -159,6 +160,14 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                                                              np.uint8)
     m2 = None if mvs2 is None else np.ascontiguousarray(mvs2, np.int32)
     tt = None if txty is None else np.ascontiguousarray(txty, np.uint8)
+    # global motion: {ref_type 1..7: (row8, col8)} -> [7] type + [7][2] mv
+    gt = gv = None
+    if gm:
+        gt = np.zeros(7, np.uint8)
+        gv = np.zeros((7, 2), np.int32)
+        for rt, mv8 in gm.items():
+            gt[rt - 1] = 1
+            gv[rt - 1] = mv8
     n = lib.svt_encode_tile_inter(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(sz, ctypes.c_uint8),
@@ -169,7 +178,9 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
         None if sb is None else p(sb, ctypes.c_uint8),
         None if m2 is None else p(m2, ctypes.c_int32),
         comp_pair[0], comp_pair[1],
-        None if tt is None else p(tt, ctypes.c_uint8))
+        None if tt is None else p(tt, ctypes.c_uint8),
+        None if gt is None else p(gt, ctypes.c_uint8),
+        None if gv is None else p(gv, ctypes.c_int32))
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

@@ -151,12 +151,14 @@ class MvStackResult:
 
 def find_mv_stack(mi: MiInter, mi_row: int, mi_col: int, w4: int, h4: int,
                   ref_frame: int = LAST_FRAME, sb_mi: int = 16,
-                  sign_bias=None) -> MvStackResult:
+                  sign_bias=None, global_mv=(0, 0)) -> MvStackResult:
     """Single-ref ref-MV stack + mode context (ref setup_ref_mv_list).
     sign_bias[ref 0..7]: 1 for backward refs (order hint > current) —
-    drives MV sign flips in the relaxed extension scans."""
+    drives MV sign flips in the relaxed extension scans.  global_mv is
+    the frame's TRANSLATION global motion for ref_frame in 1/8-pel
+    (spec setup_global_mv; pads the stack and backs GLOBALMV)."""
     return _find_stack(mi, mi_row, mi_col, w4, h4, (ref_frame,), sb_mi,
-                       sign_bias or (0,) * 8)
+                       sign_bias or (0,) * 8, global_mv)
 
 
 def find_mv_stack_comp(mi: MiInter, mi_row: int, mi_col: int, w4: int,
@@ -165,14 +167,14 @@ def find_mv_stack_comp(mi: MiInter, mi_row: int, mi_col: int, w4: int,
     """Compound ref-MV stack for the ref pair rf (ref setup_ref_mv_list
     compound path).  Stack entries are ((mv0, mv1), weight)."""
     return _find_stack(mi, mi_row, mi_col, w4, h4, tuple(rf), sb_mi,
-                       sign_bias or (0,) * 8)
+                       sign_bias or (0,) * 8, (0, 0))
 
 
 def _find_stack(mi: MiInter, mi_row: int, mi_col: int, w4: int, h4: int,
-                rf: tuple, sb_mi: int, sign_bias) -> MvStackResult:
+                rf: tuple, sb_mi: int, sign_bias,
+                global_mv=(0, 0)) -> MvStackResult:
     is_comp = len(rf) == 2
     ref_frame = rf[0]
-    global_mv = (0, 0)  # identity global motion
 
     stack: list[list] = []  # [mv | (mv0, mv1), weight]
     newmv_count = 0

@@ -249,6 +249,16 @@ class FrameParams:
     lr_types: tuple = (0, 0, 0)
     lr_unit_shift: int = 0            # luma RU = 64 << shift (sb 64)
     lr_uv_shift: int = 0
+    # frame-level interpolation_filter (spec 5.9.10 read_interpolation_
+    # filter; ref EbDefinitions.h InterpFilter): 0 EIGHTTAP_REGULAR,
+    # 1 EIGHTTAP_SMOOTH, 2 EIGHTTAP_SHARP; is_filter_switchable stays 0
+    interp_filter: int = 0
+    # global motion (spec 5.9.24 global_motion_params; ref
+    # WriteGlobalMotion, EbEntropyCoding.c:3532): per LAST..ALTREF type
+    # (0 IDENTITY, 1 TRANSLATION) and the translation in 1/8-pel units
+    # (even values -- allow_high_precision_mv=0), (row, col) like MVs
+    gm_types: tuple = (0,) * 7
+    gm_trans: tuple = ((0, 0),) * 7
 
     @property
     def is_intra(self) -> bool:
@@ -319,6 +329,114 @@ def _parse_tile_info(r: BitReader, sp: SequenceParams) -> tuple[int, int]:
     return cols_log2, rows_log2
 
 
+# ---- finite subexponential literals (spec 4.10.6 su / 5.9.25
+# read_global_param; ref aom_wb_write_signed_primitive_refsubexpfin,
+# EbEntropyCoding.c:3304-3453) -----------------------------------------
+
+def _recenter_nonneg(r: int, v: int) -> int:
+    if v > 2 * r:
+        return v
+    if v >= r:
+        return (v - r) << 1
+    return ((r - v) << 1) - 1
+
+
+def _inv_recenter_nonneg(r: int, v: int) -> int:
+    if v > 2 * r:
+        return v
+    if v & 1:
+        return r - ((v + 1) >> 1)
+    return r + (v >> 1)
+
+
+def _write_quniform(w: BitWriter, n: int, v: int) -> None:
+    if n <= 1:
+        return
+    l = (n - 1).bit_length()
+    m = (1 << l) - n
+    if v < m:
+        w.f(v, l - 1)
+    else:
+        w.f(m + ((v - m) >> 1), l - 1)
+        w.f((v - m) & 1, 1)
+
+
+def _read_quniform(r: BitReader, n: int) -> int:
+    if n <= 1:
+        return 0
+    l = (n - 1).bit_length()
+    m = (1 << l) - n
+    v = r.f(l - 1)
+    if v < m:
+        return v
+    return (v << 1) - m + r.f(1)
+
+
+def _write_subexpfin(w: BitWriter, n: int, k: int, v: int) -> None:
+    i = mk = 0
+    while True:
+        b = k + i - 1 if i else k
+        a = 1 << b
+        if n <= mk + 3 * a:
+            _write_quniform(w, n - mk, v - mk)
+            return
+        if v >= mk + a:
+            w.f(1, 1)
+            i += 1
+            mk += a
+        else:
+            w.f(0, 1)
+            w.f(v - mk, b)
+            return
+
+
+def _read_subexpfin(r: BitReader, n: int, k: int) -> int:
+    i = mk = 0
+    while True:
+        b = k + i - 1 if i else k
+        a = 1 << b
+        if n <= mk + 3 * a:
+            return _read_quniform(r, n - mk) + mk
+        if r.f(1):
+            i += 1
+            mk += a
+        else:
+            return r.f(b) + mk
+
+
+def _write_signed_subexp_ref(w: BitWriter, n: int, k: int, ref: int,
+                             v: int) -> None:
+    """signed value in [-(n-1), n-1] recentred on ref, subexp-coded."""
+    ref += n - 1
+    v += n - 1
+    sn = (n << 1) - 1
+    _write_subexpfin(w, sn, k, _recenter_finite(sn, ref, v))
+
+
+def _read_signed_subexp_ref(r: BitReader, n: int, k: int, ref: int) -> int:
+    ref += n - 1
+    sn = (n << 1) - 1
+    x = _read_subexpfin(r, sn, k)
+    if (ref << 1) <= sn:
+        v = _inv_recenter_nonneg(ref, x)
+    else:
+        v = sn - 1 - _inv_recenter_nonneg(sn - 1 - ref, x)
+    return v - (n - 1)
+
+
+def _recenter_finite(n: int, r: int, v: int) -> int:
+    if (r << 1) <= n:
+        return _recenter_nonneg(r, v)
+    return _recenter_nonneg(n - 1 - r, n - 1 - v)
+
+
+# translation-only GM literal params with allow_high_precision_mv=0:
+# abs bound 1<<(GM_ABS_TRANS_ONLY_BITS-1) = 256, coded at quarter-pel
+# (prec_diff GM_TRANS_ONLY_PREC_DIFF+1 = 14; wmmat = mv8 << 13)
+GM_TRANS_MAX = 1 << 8
+SUBEXPFIN_K = 3
+
+
 def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     """uncompressed_header() for a shown keyframe or single-ref inter frame
     (spec 5.9.2; ref WriteFrameHeaderObu EbEntropyCoding.c:4214)."""
@@ -346,7 +464,7 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
         w.f(0, 1)                # render_and_frame_size_different
         w.f(0, 1)                # allow_high_precision_mv
         w.f(0, 1)                # is_filter_switchable
-        w.f(0, 2)                # interpolation_filter = EIGHTTAP_REGULAR
+        w.f(fp.interp_filter, 2)  # interpolation_filter
         w.f(0, 1)                # is_motion_mode_switchable
         # use_ref_frame_mvs: seq enable_ref_frame_mvs = 0 -> no bit
     else:
@@ -403,8 +521,19 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     # allow_warped_motion: seq disabled -> no bit
     w.f(int(fp.reduced_tx_set), 1)
     if not fp.is_intra:
-        for _ in range(7):
-            w.f(0, 1)            # global_motion_params: is_global = 0
+        # global_motion_params (spec 5.9.24; TRANSLATION only)
+        for i in range(7):
+            t = fp.gm_types[i]
+            w.f(int(t != 0), 1)              # is_global
+            if t:
+                w.f(int(t == 2), 1)          # is_rot_zoom
+                if t != 2:
+                    w.f(int(t == 1), 1)      # is_translation
+            if t == 1:
+                for c in range(2):           # row then col (ref wmmat[0/1])
+                    _write_signed_subexp_ref(
+                        w, GM_TRANS_MAX + 1, SUBEXPFIN_K, 0,
+                        fp.gm_trans[i][c] >> 1)
     if sp.film_grain_present:
         _write_film_grain(w, fp)
     return w
@@ -538,9 +667,10 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
         assert r.f(1) == 0  # render size
         assert r.f(1) == 0  # allow_high_precision_mv
         assert r.f(1) == 0  # is_filter_switchable
-        assert r.f(2) == 0  # interpolation_filter
+        interp_filter = r.f(2)
         assert r.f(1) == 0  # is_motion_mode_switchable
     else:
+        interp_filter = 0
         assert r.f(1) == 0  # render size
     if not disable_cdf_update:
         assert r.f(1) == 0  # disable_frame_end_update_cdf
@@ -585,9 +715,20 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
             and skip_mode_allowed(sp, order_hint, ref_hints)):
         assert r.f(1) == 0, "skip_mode_present"
     reduced_tx_set = bool(r.f(1))
+    gm_types = [0] * 7
+    gm_trans = [(0, 0)] * 7
     if not is_intra:
-        for _ in range(7):
-            assert r.f(1) == 0  # is_global
+        for i in range(7):
+            if r.f(1):                       # is_global
+                rz = r.f(1)
+                assert rz == 0, "ROTZOOM global motion not produced"
+                assert r.f(1) == 1, "AFFINE global motion not produced"
+                row = _read_signed_subexp_ref(
+                    r, GM_TRANS_MAX + 1, SUBEXPFIN_K, 0) << 1
+                col = _read_signed_subexp_ref(
+                    r, GM_TRANS_MAX + 1, SUBEXPFIN_K, 0) << 1
+                gm_types[i] = 1
+                gm_trans[i] = (row, col)
     grain = None
     if sp.film_grain_present:
         grain = _parse_film_grain(r, is_intra)
@@ -596,7 +737,8 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
                        refresh, ref_idx, show_frame, order_hint, ref_hints,
                        reference_select, (l0, l1, lu, lv_),
                        cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str),
-                       grain, lr_types, lr_unit_shift, lr_uv_shift)
+                       grain, lr_types, lr_unit_shift, lr_uv_shift,
+                       interp_filter, tuple(gm_types), tuple(gm_trans))
 
 
 def tile_starts(sp: SequenceParams, cols_log2: int, rows_log2: int):

@@ -275,3 +275,77 @@ def preset_params(level: int, seed: int = 7391) -> FilmGrainParams:
         ar_coeffs_cb=(4, 8, 4, 16, 6),
         ar_coeffs_cr=(4, 8, 4, 16, -6),
         ar_coeff_shift=7)
+
+
+def estimate_params(y: np.ndarray, seed: int = 7391,
+                    max_points: int = 8) -> FilmGrainParams:
+    """Estimate film-grain parameters from a source luma plane.
+
+    The reference estimates a full AR noise model from flat blocks
+    (aom_noise_model_init / flat-block detection, noise_model.c:705 /
+    :582-696) on the denoise path.  This estimator keeps the same
+    structure at frame granularity:
+      1. find FLAT 16x16 blocks (low gradient energy — texture would
+         contaminate the noise measurement),
+      2. high-pass each flat block (3x3 laplacian) and measure noise
+         std per luma-intensity bin,
+      3. fit the piecewise-linear scaling function the bitstream codes
+         (scaling_points_y) from those per-bin stds; chroma points are
+         scaled from luma (flat chroma statistics are too sparse per
+         frame), AR shape from the preset template.
+
+    Returns apply_grain=False when the plane is essentially noise-free.
+    """
+    y32 = y.astype(np.int32)
+    h, w = y32.shape
+    bh, bw = h // 16, w // 16
+    if bh == 0 or bw == 0:
+        return FilmGrainParams(apply_grain=False)
+    blocks = y32[: bh * 16, : bw * 16].reshape(bh, 16, bw, 16)
+    blocks = blocks.transpose(0, 2, 1, 3).reshape(-1, 16, 16)
+    # gradient energy (texture measure) and laplacian noise per block
+    gx = np.abs(np.diff(blocks, axis=2)).mean((1, 2))
+    gy = np.abs(np.diff(blocks, axis=1)).mean((1, 2))
+    lap = (4 * blocks[:, 1:-1, 1:-1]
+           - blocks[:, :-2, 1:-1] - blocks[:, 2:, 1:-1]
+           - blocks[:, 1:-1, :-2] - blocks[:, 1:-1, 2:])
+    sig = lap.std(axis=(1, 2)) / np.sqrt(20.0)   # laplacian variance gain
+    grad = np.maximum(gx, gy)
+    flat = grad < max(2.0, np.percentile(grad, 25) * 1.5)
+    if flat.sum() < 4:
+        return FilmGrainParams(apply_grain=False)
+    means = blocks.mean((1, 2))
+    # per-intensity-bin noise std over flat blocks
+    pts = []
+    for lo in range(0, 256, 64):
+        m = flat & (means >= lo) & (means < lo + 64)
+        if m.sum() >= 2:
+            pts.append((min(255, lo + 32), float(np.median(sig[m]))))
+    if not pts:
+        return FilmGrainParams(apply_grain=False)
+    med = float(np.median([s for _, s in pts]))
+    if med < 0.8:                      # essentially clean source
+        return FilmGrainParams(apply_grain=False)
+    # scaling value: grain LUT unit is ~1/2^scaling_shift of pixel range;
+    # AR synthesis with the template has ~unit std, so scale ~ sigma<<shift/64
+    shift = 8
+    mk = lambda s: int(np.clip(round(s * (1 << shift) / 32.0), 1, 255))
+    pts = pts[:max_points]
+    if len(pts) == 1:
+        pts = [(0, pts[0][1]), (255, pts[0][1])]
+    spts = tuple((x, mk(s)) for x, s in pts)
+    return FilmGrainParams(
+        apply_grain=True, random_seed=seed,
+        num_y_points=len(spts), scaling_points_y=spts,
+        num_cb_points=2,
+        scaling_points_cb=((0, max(1, mk(med) // 2)),
+                           (255, max(1, mk(med) // 2))),
+        num_cr_points=2,
+        scaling_points_cr=((0, max(1, mk(med) // 2)),
+                           (255, max(1, mk(med) // 2))),
+        scaling_shift=shift,
+        ar_coeff_lag=1,
+        ar_coeffs_y=(6, 12, 6, 24),
+        ar_coeffs_cb=(4, 8, 4, 16, 6),
+        ar_coeffs_cr=(4, 8, 4, 16, -6),
+        ar_coeff_shift=7)

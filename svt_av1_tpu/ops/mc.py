@@ -32,11 +32,24 @@ ROUND0, ROUND1 = 3, 11  # 8-bit conv params (ref get_conv_params)
 BD = 8
 
 
+# frame-level interpolation_filter enum (spec 6.8.9 / ref EbDefinitions.h
+# InterpFilter): 0=EIGHTTAP_REGULAR, 1=EIGHTTAP_SMOOTH, 2=EIGHTTAP_SHARP
+FILTER_TABLES = ("subpel_filters_regular", "subpel_filters_smooth",
+                 "subpel_filters_sharp")
+
+
 @functools.lru_cache(maxsize=None)
+def kernel(phase: int, filt: int = 0) -> tuple:
+    """8-tap kernel for subpel phase 0..15 of one interp filter (spec
+    Subpel_Filters; ref sub_pel_filters_8/8smooth/8sharp,
+    EbInterPrediction.c:867-903)."""
+    k = tables.spec_tables()[FILTER_TABLES[filt]][phase]
+    return tuple(int(v) for v in k)
+
+
 def regular_kernel(phase: int) -> tuple:
     """8-tap EIGHTTAP_REGULAR kernel for subpel phase 0..15."""
-    k = tables.spec_tables()["subpel_filters_regular"][phase]
-    return tuple(int(v) for v in k)
+    return kernel(phase, 0)
 
 
 def _conv_h(xp, src, kernel):
@@ -60,7 +73,8 @@ def _round_shift(x, n: int):
     return (x + (1 << (n - 1))) >> n
 
 
-def filter_plane(xp, plane, phase_x: int, phase_y: int, bd: int = 8):
+def filter_plane(xp, plane, phase_x: int, phase_y: int, bd: int = 8,
+                 filt: int = 0):
     """Filter a whole (already padded) plane at one subpel phase.
 
     ``plane`` is int32 [H+7, W+7]: the caller pads with a 3-pixel
@@ -74,22 +88,22 @@ def filter_plane(xp, plane, phase_x: int, phase_y: int, bd: int = 8):
     if phase_y == 0:
         # ref av1_convolve_x_sr_c: res>>round_0 then >>(FILTER_BITS-round_0)
         src = plane[3 : plane.shape[0] - 4, :]
-        res = _conv_h(xp, src, regular_kernel(phase_x))
+        res = _conv_h(xp, src, kernel(phase_x, filt))
         res = _round_shift(res, ROUND0)
         res = _round_shift(res, FILTER_BITS - ROUND0)
         return xp.clip(res, 0, hi)
     if phase_x == 0:
         # ref av1_convolve_y_sr_c: single >>FILTER_BITS
         src = plane[:, 3 : plane.shape[1] - 4]
-        res = _conv_v(xp, src, regular_kernel(phase_y))
+        res = _conv_v(xp, src, kernel(phase_y, filt))
         res = _round_shift(res, FILTER_BITS)
         return xp.clip(res, 0, hi)
     # ref av1_convolve_2d_sr_c
     offset0 = 1 << (bd + FILTER_BITS - 1)
-    im = _round_shift(_conv_h(xp, plane, regular_kernel(phase_x)) + offset0,
+    im = _round_shift(_conv_h(xp, plane, kernel(phase_x, filt)) + offset0,
                       ROUND0)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
-    res = _round_shift(_conv_v(xp, im, regular_kernel(phase_y))
+    res = _round_shift(_conv_v(xp, im, kernel(phase_y, filt))
                        + (1 << offset_bits), ROUND1)
     res = res - ((1 << (bd - 1)) + (1 << (bd - 2)))  # offset removal
     # bits = 2*FILTER_BITS - ROUND0 - ROUND1 == 0: no final shift
@@ -110,7 +124,7 @@ def halfpel_planes(xp, plane_padded):
     ])
 
 
-def phase_bank(xp, plane_padded, step: int, bd: int = 8):
+def phase_bank(xp, plane_padded, step: int, bd: int = 8, filt: int = 0):
     """All (16/step)^2 subpel-phase planes of one padded plane.
 
     step=4: quarter-pel bank (luma with allow_high_precision_mv=0);
@@ -126,7 +140,7 @@ def phase_bank(xp, plane_padded, step: int, bd: int = 8):
         row = []
         for ix in range(n):
             row.append(filter_plane(xp, plane_padded, ix * step, iy * step,
-                                    bd))
+                                    bd, filt))
         rows.append(xp.stack(row))
     return xp.stack(rows)
 
@@ -167,7 +181,7 @@ def jnt_block(xp, patch, kx, ky, bd: int = 8):
 
 
 def jnt_filter_plane(xp, plane_padded, phase_x: int, phase_y: int,
-                     bd: int = 8):
+                     bd: int = 8, filt: int = 0):
     """Whole-plane CONV_BUF-domain jnt convolve at one subpel phase.
 
     ref av1_jnt_convolve_2d_c non-averaging pass (EbInterPrediction.c:267);
@@ -177,13 +191,14 @@ def jnt_filter_plane(xp, plane_padded, phase_x: int, phase_y: int,
     """
     offset0 = 1 << (bd + FILTER_BITS - 1)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
-    im = _round_shift(_conv_h(xp, plane_padded, regular_kernel(phase_x))
+    im = _round_shift(_conv_h(xp, plane_padded, kernel(phase_x, filt))
                       + offset0, ROUND0)
-    return _round_shift(_conv_v(xp, im, regular_kernel(phase_y))
+    return _round_shift(_conv_v(xp, im, kernel(phase_y, filt))
                         + (1 << offset_bits), JNT_ROUND1)
 
 
-def jnt_phase_bank(xp, plane_padded, step: int, bd: int = 8):
+def jnt_phase_bank(xp, plane_padded, step: int, bd: int = 8,
+                   filt: int = 0):
     """All (16/step)^2 CONV_BUF-domain phase planes of one padded plane
     (compound analog of phase_bank): whole-plane dense convs once, then
     compound MC is a pure per-block gather — this replaced per-block
@@ -191,7 +206,7 @@ def jnt_phase_bank(xp, plane_padded, step: int, bd: int = 8):
     n = 16 // step
     return xp.stack([
         xp.stack([jnt_filter_plane(xp, plane_padded, ix * step, iy * step,
-                                   bd) for ix in range(n)])
+                                   bd, filt) for ix in range(n)])
         for iy in range(n)])
 
 
@@ -208,7 +223,7 @@ def jnt_average(xp, res0, res1, bd: int = 8):
 
 
 def jnt_pred_np(plane_pad, py: int, px: int, mv8: tuple, bs: int,
-                pad: int, chroma: bool, bd: int = 8):
+                pad: int, chroma: bool, bd: int = 8, filt: int = 0):
     """Decoder-side per-block compound-domain prediction (numpy twin of
     the device path).  plane_pad is pad_for_filter(np, plane, pad)."""
     if chroma:
@@ -220,7 +235,7 @@ def jnt_pred_np(plane_pad, py: int, px: int, mv8: tuple, bs: int,
     r0 = py + fy + pad
     c0 = px + fx + pad
     patch = plane_pad[r0 : r0 + bs + 7, c0 : c0 + bs + 7]
-    return jnt_block(np, patch, regular_kernel(phx), regular_kernel(phy),
+    return jnt_block(np, patch, kernel(phx, filt), kernel(phy, filt),
                      bd)
 
 

@@ -106,7 +106,88 @@ def aq_frame_offset(stats: PictureStats, bd: int = 8) -> int:
     (EbSourceBasedOperationsProcess.c:89-283) reduced to frame level.
     """
     sc = 1 << (2 * (bd - 8))
-    act = max(1.0, stats.variance / sc - 4.0 * stats.noise ** 2)
-    # ~0 offset at var 1000; +-3 qindex per octave away from it
+    # noise discounts apparent activity (it is not structural masking)
+    act = max(1.0, stats.variance / sc / (1.0 + stats.noise))
+    # ~0 offset at activity 1000; +-3 qindex per octave away from it
     off = 3.0 * (np.log2(act) - np.log2(1000.0))
     return int(np.clip(round(off), -12, 12))
+
+
+def pick_interp_filter(stats: PictureStats, qindex: int,
+                       bd: int = 8) -> int:
+    """Frame-level interpolation-filter decision (0 REGULAR, 1 SMOOTH,
+    2 SHARP).
+
+    The reference searches regular/smooth/sharp per block inside mode
+    decision (interpolation filter search, EbProductCodingLoop.c:1138);
+    the TPU steps are compiled per filter, so the choice is made ONCE
+    per stream from open-loop source stats: SMOOTH when the reference
+    pictures are dominated by sensor noise at low rates (the softer
+    half-band response stops MC from copying noise into every
+    prediction), SHARP for high-detail content coded at high rates
+    (preserves the edges RD pays to keep), REGULAR otherwise.
+    """
+    sc = float(1 << (bd - 8))
+    noise = stats.noise / sc
+    detail = stats.variance / (sc * sc)
+    if noise > 3.0 and qindex >= 120:
+        return 1
+    if noise < 1.0 and detail > 3000 and qindex <= 100:
+        return 2
+    return 0
+
+
+def estimate_global_translation(prev_y: np.ndarray, cur_y: np.ndarray,
+                                max_fullpel: int = 15):
+    """Open-loop global TRANSLATION estimate between consecutive source
+    frames (ref global-motion detection on source ME fields,
+    EbInitialRateControlProcess.c:252; here a coarse-to-fine decimated
+    search so it runs before any device dispatch).
+
+    Returns (row8, col8) in 1/8-pel units (full-pel, so always even) or
+    None when the frame is not dominated by one translation.
+    """
+    p = prev_y.astype(np.int32)
+    c = cur_y.astype(np.int32)
+    h, w = c.shape
+    if h < 64 or w < 64:
+        return None
+
+    def sad_at(a, b, dy, dx, margin):
+        # overlap windows of b shifted by (dy, dx) against a
+        y0, y1 = margin + dy, a.shape[0] - margin + dy
+        x0, x1 = margin + dx, a.shape[1] - margin + dx
+        return np.abs(a[y0:y1, x0:x1]
+                      - b[margin:-margin, margin:-margin]).mean()
+
+    # 1/8-decimated exhaustive +-2 (covers +-16 full-pel), then refine
+    p8, c8 = decimate(np, p, 8), decimate(np, c, 8)
+    m = 3
+    best, bdy, bdx = None, 0, 0
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            s = sad_at(p8, c8, dy, dx, m)
+            if best is None or s < best:
+                best, bdy, bdx = s, dy, dx
+    dy, dx = bdy * 8, bdx * 8
+    # full-res refine +-4 around the coarse winner
+    m = 20
+    best, bdy, bdx = None, dy, dx
+    for ddy in range(-4, 5):
+        for ddx in range(-4, 5):
+            ty, tx = dy + ddy, dx + ddx
+            if abs(ty) > max_fullpel or abs(tx) > max_fullpel:
+                continue
+            if abs(ty) >= m or abs(tx) >= m:
+                continue
+            s = sad_at(p, c, ty, tx, m)
+            if best is None or s < best:
+                best, bdy, bdx = s, ty, tx
+    if best is None or (bdy, bdx) == (0, 0):
+        return None
+    # require the translation to explain the frame: clearly better than
+    # the zero-motion hypothesis
+    zero = sad_at(p, c, 0, 0, 20)
+    if best > 0.8 * zero:
+        return None
+    return (bdy * 8, bdx * 8)

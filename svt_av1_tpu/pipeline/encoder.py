@@ -70,10 +70,25 @@ class Encoder:
         self._rdo = config.enc_mode <= 7
         # presets <= 5 additionally search the inter tx-type set
         self._txs = config.enc_mode <= 5
+        # frame-level interpolation filter: forced by config, or decided
+        # once per stream from open-loop stats of the first inter source
+        # (analysis.pick_interp_filter); the decision is host-static
+        # because each filter compiles its own inter step
+        self._interp_filt = (config.interp_filter
+                             if config.interp_filter >= 0 else None)
+        # global motion (TRANSLATION, IPPP chains): open-loop per-frame
+        # estimate between consecutive sources; coded in the header and
+        # injected as a GLOBALMV candidate in the P step
+        self._gm_enab = (config.enable_global_motion
+                         and config.pred_structure == 0)
+        self._gm_prev_src = None
+        self._gm_by_idx = {}      # coded (send) idx -> {ref: (r8, c8)}
         self._grain = None
-        if config.enable_film_grain:
+        if config.enable_film_grain > 0:
             from svt_av1_tpu.ops.film_grain import preset_params
             self._grain = preset_params(int(config.enable_film_grain))
+        # enable_film_grain == -1: estimated from the first source frame
+        # (ref noise_model.c flat-block noise fit) in _send_inner
         self._frame_idx = 0
         self._send_idx = 0
         self._packets: list[Packet] = []
@@ -95,12 +110,18 @@ class Encoder:
             self._la = Lookahead(config.look_ahead_distance)
         self._rc = None
         if config.rate_control_mode != 0:
-            from svt_av1_tpu.pipeline.rate_control import RateController
+            from svt_av1_tpu.pipeline.rate_control import (
+                ModelRateController, RateController)
             fps = config.frame_rate_num / max(config.frame_rate_den, 1)
-            self._rc = RateController(
-                config.target_bit_rate, fps, config.min_qp_allowed,
-                config.max_qp_allowed,
-                constrained=config.rate_control_mode == 3)
+            if config.rate_control_mode == 1:
+                self._rc = ModelRateController(
+                    config.target_bit_rate, fps, config.min_qp_allowed,
+                    config.max_qp_allowed)
+            else:
+                self._rc = RateController(
+                    config.target_bit_rate, fps, config.min_qp_allowed,
+                    config.max_qp_allowed,
+                    constrained=config.rate_control_mode == 3)
 
     def push_qp(self, qp: Optional[int]) -> None:
         """Queue a per-frame QP override, consumed in coding order (ref
@@ -210,6 +231,9 @@ class Encoder:
             self._send_inner(frame)
 
     def _send_inner(self, frame: Frame) -> None:
+        if self.cfg.enable_film_grain == -1 and self._grain is None:
+            from svt_av1_tpu.ops.film_grain import estimate_params
+            self._grain = estimate_params(frame.y)
         if self.cfg.intra_only:
             self._inbox.append(frame)
             if len(self._inbox) >= max(1, self.cfg.device_batch):
@@ -343,7 +367,7 @@ class Encoder:
         fn = PE.build_b_frame_encoder_dyn(
             ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
             cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
-            txs=self._txs)
+            txs=self._txs, filt=self._pick_interp(frame, qindex))
         out = fn(sy, su, sv, *self._ldb_last[0], *self._ldb_golden[0],
                  jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                  jnp.int32(lvls[3]))
@@ -362,6 +386,16 @@ class Encoder:
                 "ref_hints": (0,) * 7}
         self._pending.append(("p", [frame], out, None, None, qindex, None,
                               meta))
+
+    def _pick_interp(self, frame: Frame, qindex: int) -> int:
+        """Resolve the stream's interpolation filter (spec
+        interpolation_filter; decided once, see __init__)."""
+        if self._interp_filt is None:
+            from svt_av1_tpu.pipeline.analysis import (analyze,
+                                                       pick_interp_filter)
+            self._interp_filt = pick_interp_filter(
+                analyze(frame.y), qindex, self.cfg.bit_depth)
+        return self._interp_filt
 
     def _dispatch_code(self, step, frame: Frame, qindex: int,
                        pins: int) -> None:
@@ -385,7 +419,7 @@ class Encoder:
             fn = PE.build_p_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                 cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
-                txs=self._txs)
+                txs=self._txs, filt=self._pick_interp(frame, qindex))
             out = fn(sy, su, sv, *fwd["dev"], *dyn)
             nrefs = 1
         else:
@@ -394,7 +428,8 @@ class Encoder:
             fn = PE.build_b_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                 cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth,
-                rdo=self._rdo, txs=self._txs)
+                rdo=self._rdo, txs=self._txs,
+                filt=self._pick_interp(frame, qindex))
             out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
             nrefs = 2
         slot = self._free_slots.pop(0)
@@ -477,20 +512,35 @@ class Encoder:
                 jnp.pad(v, padc, mode="edge"))
 
     def _lr_process(self, frame: Frame, y_plane: np.ndarray):
-        """Luma Wiener restoration: per-RU search against the source,
-        in-place apply on the (mi-padded) recon luma.  Returns the lr
-        syntax dict (ref rest_kernel search + av1_loop_restoration_filter;
-        host stage like entropy — see ops/restoration.py)."""
+        """Luma restoration: per-RU Wiener AND self-guided searches
+        against the source; the frame signals whichever type wins more
+        total SSE, then applies it in place on the (mi-padded) recon
+        luma.  Returns the lr syntax dict (ref rest_kernel search:
+        search_wiener + search_sgrproj, EbRestorationPick.c:705; host
+        stage like entropy — see ops/restoration.py)."""
         from svt_av1_tpu.ops import restoration as LRR
         h, w = self.seq.height, self.seq.width
+        src = frame.y[:h, :w].astype(np.int32)
         crop = np.ascontiguousarray(y_plane[:h, :w].astype(np.int32))
-        use, taps = LRR.search_wiener_plane(
-            frame.y[:h, :w].astype(np.int32), crop, crop.copy(), 64, 0)
-        if use.any():
-            out = LRR.apply_wiener_plane(crop, crop.copy(), 64, 0, use,
-                                         taps)
+        use_w, taps = LRR.search_wiener_plane(src, crop, crop.copy(),
+                                              64, 0)
+        use_s, ep, xqd, sse_s = LRR.search_sgr_plane(
+            src, crop, crop.copy(), 64, 0, bd=self.cfg.bit_depth)
+        # frame-level type pick by realized SSE (RU-off keeps self SSE)
+        got_w = crop
+        if use_w.any():
+            got_w = LRR.apply_wiener_plane(crop, crop.copy(), 64, 0,
+                                           use_w, taps)
+        sse_w = ((got_w.astype(np.int64) - src) ** 2).sum()
+        if use_s.any() and sse_s.sum() < sse_w:
+            out = LRR.apply_sgr_plane(crop, crop.copy(), 64, 0, use_s,
+                                      ep, xqd, self.cfg.bit_depth)
             y_plane[:h, :w] = out
-        return {"unit": 64, "use": use, "taps": taps}
+            return {"unit": 64, "type": 3, "use": use_s, "ep": ep,
+                    "xqd": xqd}
+        if use_w.any():
+            y_plane[:h, :w] = got_w
+        return {"unit": 64, "type": 2, "use": use_w, "taps": taps}
 
     def _intra_dispatch(self, frame: Frame, qindex: int):
         """Keyframe device dispatch; returns (out, deb, as-ref planes,
@@ -567,6 +617,8 @@ class Encoder:
                         "show": True, "display": self._send_idx - 1,
                         "order_hint": 0}
             self._ref_dev = ref_planes
+            if self._gm_enab:
+                self._gm_prev_src = frame.y
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
                                   deb, meta))
         else:
@@ -576,13 +628,27 @@ class Encoder:
                 frame.u.astype(self._px), ph32 // 2, pw32 // 2))
             sv = jnp.asarray(IE.pad_plane(
                 frame.v.astype(self._px), ph32 // 2, pw32 // 2))
+            gmv = None
+            if self._gm_enab and self._gm_prev_src is not None:
+                from svt_av1_tpu.pipeline.analysis import (
+                    estimate_global_translation)
+                gmv = estimate_global_translation(
+                    self._gm_prev_src, frame.y,
+                    max_fullpel=PE.SEARCH_RANGE - 1)
+                self._gm_prev_src = frame.y
+                if gmv is not None:
+                    self._gm_by_idx[self._send_idx - 1] = {1: gmv}
+            gm_args = (() if gmv is None
+                       else (jnp.asarray(np.asarray(gmv, np.int32)),))
             if self._rc is None and self._la is None:
                 fn = PE.build_p_frame_encoder(
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols, qindex,
                     deblock=self.cfg.enable_deblocking,
                     cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
-                    rdo=self._rdo, txs=self._txs)
-                out = fn(sy, su, sv, *self._ref_dev)
+                    rdo=self._rdo, txs=self._txs,
+                    filt=self._pick_interp(frame, qindex),
+                    gm=gmv is not None)
+                out = fn(sy, su, sv, *self._ref_dev, *gm_args)
             else:
                 # dynamic-q step: lookahead/RC vary q per frame without
                 # recompiling
@@ -590,10 +656,12 @@ class Encoder:
                 fn = PE.build_p_frame_encoder_dyn(
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                     cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
-                    rdo=self._rdo, txs=self._txs)
+                    rdo=self._rdo, txs=self._txs,
+                    filt=self._pick_interp(frame, qindex),
+                    gm=gmv is not None)
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
-                         jnp.int32(lvls[3]))
+                         jnp.int32(lvls[3]), *gm_args)
             meta = None
             if self.cfg.enable_restoration:
                 y = np.array(out[5][:ph, :pw])
@@ -735,6 +803,8 @@ class Encoder:
         if meta is not None:
             sign_bias = O.ref_sign_biases(self.seq, meta["order_hint"],
                                           meta["ref_hints"])
+        # global motion decided at dispatch for this coded frame
+        gm = self._gm_by_idx.pop(coded_idx, None)
         trows, tcols = O.tile_starts(self.seq, cfg.tile_columns_log2,
                                      cfg.tile_rows_log2)
 
@@ -773,14 +843,14 @@ class Encoder:
                         fc, hm, wm, qindex, t_sizes, t_mv, t_lv,
                         cdef_idx=t_ci, refs=t_refs, sign_bias=sign_bias,
                         mvs2=t_mv2 if ref_select else None,
-                        comp_pair=comp_pair or (1, 7), txty=t_tt)
+                        comp_pair=comp_pair or (1, 7), txty=t_tt, gm=gm)
                 if cfg.entropy_backend == "cpp":
                     raise RuntimeError("C++ entropy backend unavailable")
             tw = TileWriter(fc, hm, wm, qindex, lr=lr)
             return tw.encode_inter(t_sizes, t_mv, t_lv, cdef_idx=t_ci,
                                    refs=t_refs, sign_bias=sign_bias,
                                    comp_pair=comp_pair, mvs2=t_mv2,
-                                   txty=t_tt)
+                                   txty=t_tt, gm=gm)
 
         jobs = [(r01, c01) for r01 in trows for c01 in tcols]
         if len(jobs) > 1:
@@ -801,14 +871,23 @@ class Encoder:
                    "reference_select": ref_select}
         else:
             hdr = {"refresh_frame_flags": 0x01}
+        if gm:
+            gm_types = [0] * 7
+            gm_trans = [(0, 0)] * 7
+            for rt, mv8g in gm.items():
+                gm_types[rt - 1] = 1
+                gm_trans[rt - 1] = tuple(int(x) for x in mv8g)
+            hdr["gm_types"] = tuple(gm_types)
+            hdr["gm_trans"] = tuple(gm_trans)
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,
                            frame_type=O.INTER_FRAME,
+                           interp_filter=(self._interp_filt or 0),
                            filter_levels=self._lf_levels(qindex, False),
                            film_grain=self._grain_for(coded_idx),
-                           lr_types=(2, 0, 0) if lr is not None
-                           else (0, 0, 0),
+                           lr_types=((lr.get("type", 2), 0, 0)
+                                     if lr is not None else (0, 0, 0)),
                            **hdr, **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
@@ -868,8 +947,8 @@ class Encoder:
                            order_hint=(0 if meta is None
                                        else meta["order_hint"]),
                            film_grain=self._grain_for(coded_idx),
-                           lr_types=(2, 0, 0) if lr is not None
-                           else (0, 0, 0),
+                           lr_types=((lr.get("type", 2), 0, 0)
+                                     if lr is not None else (0, 0, 0)),
                            **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_sequence_header(self.seq)

@@ -84,7 +84,7 @@ def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
 
 
 def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
-                         lam, prior8, bd: int = 8):
+                         lam, prior8, bd: int = 8, filt: int = 0):
     """Dense quarter-pel refinement around full-pel MVs — ONE patch
     gather per block, then every candidate is a static slice.
 
@@ -105,7 +105,7 @@ def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
     (EbMotionEstimation.c:3829/:4746).
     """
     from svt_av1_tpu import tables as _tbl
-    table = _tbl.spec_tables()["subpel_filters_regular"]
+    table = _tbl.spec_tables()[MC.FILTER_TABLES[filt]]
     kern = {p: tuple(int(v) for v in table[p]) for p in (4, 8, 12)}
     hi = (1 << bd) - 1
     nbh, nbw = mv_fp.shape[:2]
@@ -175,7 +175,8 @@ def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
     return best_mv, best_cost
 
 
-def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool):
+def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool,
+                  filt: int = 0):
     """Per-block subpel interpolation on gathered patches.
 
     patch: [N, bs+7, bs+7] int32 full-pel windows (top-left at position
@@ -187,7 +188,7 @@ def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool):
     lanes.  Returns [nbh, nbw, bs, bs].
     """
     from svt_av1_tpu import tables as _tbl
-    table = jnp.asarray(_tbl.spec_tables()["subpel_filters_regular"],
+    table = jnp.asarray(_tbl.spec_tables()[MC.FILTER_TABLES[filt]],
                         jnp.int32)                       # [16, 8]
     nbh, nbw = ph_r.shape
     onehot = lambda ph: (ph.reshape(-1)[:, None]
@@ -234,7 +235,7 @@ def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool):
 
 
 def _mc_patch(plane_pad, mv8, bs: int, pad: int, chroma: bool, bd: int,
-              jnt: bool = False):
+              jnt: bool = False, filt: int = 0):
     """Subpel MC via one grid-anchored patch gather + on-patch interp
     (replaces whole-plane phase banks + per-block bank gathers: XLA's
     per-slice gather ran at ~3.7 us/slice; ops.gather's one-hot-matmul
@@ -247,7 +248,7 @@ def _mc_patch(plane_pad, mv8, bs: int, pad: int, chroma: bool, bd: int,
         ph_r, ph_c = (mv8[..., 0] * 2) & 15, (mv8[..., 1] * 2) & 15
     patch = G.gather_blocks_grid(plane_pad, f_r, f_c, bs, pad, pad,
                                  halo=7, off=-3)
-    return _interp_patch(patch, ph_r, ph_c, bs, bd, jnt)
+    return _interp_patch(patch, ph_r, ph_c, bs, bd, jnt, filt)
 
 
 COMP_EXTRA_BITS = 8  # comp_inter + ref pair + compound mode signaling
@@ -289,7 +290,8 @@ def _tiles8(x, t: int):
 
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                  nrefs: int = 1, compound: bool = False, bd: int = 8,
-                 rdo: bool = True, txs: bool = False):
+                 rdo: bool = True, txs: bool = False, filt: int = 0,
+                 gm: bool = False):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
@@ -318,6 +320,9 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
     def step(sy, su, sv, *rest):
         refs = rest[: 3 * nrefs]
         dyn = rest[3 * nrefs:]
+        # global-motion candidate (TRANSLATION): trailing dyn arg [2]
+        # int32 in 1/8-pel (spec GlobalMvs; injected per size below)
+        gmv = dyn[-1] if gm else None
         ph_mi, pw_mi = mi_extent[0], mi_extent[1]
         use_cdef = use_cdef_cell[0]
         if dynamic_q:
@@ -363,12 +368,29 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 # (the warped cost is approximate near tile seams)
                 mv_i[bs], cost_i[bs] = _subpel_refine_dense(
                     _block(sy, bs), py_pad_i, p2[bs][0], bs, pad, lam,
-                    priors[bs] * 8, bd)
+                    priors[bs] * 8, bd, filt)
             return mv_i, cost_i, priors
 
         per_ref = [me_one_ref(refs[3 * i].astype(jnp.int32), padded[i][0])
                    for i in range(nrefs)]
         mv, cost = per_ref[0][:2]
+        if gm and nrefs == 1:
+            # GLOBALMV candidate: prediction at the frame's global
+            # translation, charged mode bits but no MV bits (ref
+            # GLOBALMV injection, EbModeDecision.c inject loop)
+            mv = dict(mv)
+            cost = dict(cost)
+            for bs in SIZES:
+                nbh_g, nbw_g = mv[bs].shape[:2]
+                mvg = jnp.broadcast_to(gmv[None, None, :],
+                                       (nbh_g, nbw_g, 2)).astype(jnp.int32)
+                predg = _mc_patch(padded[0][0], mvg, bs, pad, False, bd,
+                                  filt=filt)
+                sadg = jnp.abs(_block(sy, bs) - predg).sum((-1, -2))
+                costg = sadg + ((lam * 4) >> 4)
+                use_g = costg < cost[bs]
+                mv[bs] = jnp.where(use_g[..., None], mvg, mv[bs])
+                cost[bs] = jnp.minimum(costg, cost[bs])
         refsel = {bs: None for bs in SIZES}
         mv_c = {bs: None for bs in SIZES}   # compound second (bwd) MV
         if nrefs == 2:
@@ -383,9 +405,9 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                     # COMPOUND_AVERAGE candidate from the per-ref best
                     # MVs (ref per-ref ME + BI candidate injection)
                     mid0 = _mc_patch(padded[0][0], mv[bs], bs, pad,
-                                     False, bd, jnt=True)
+                                     False, bd, jnt=True, filt=filt)
                     mid1 = _mc_patch(padded[1][0], mv1[bs], bs, pad,
-                                     False, bd, jnt=True)
+                                     False, bd, jnt=True, filt=filt)
                     pred_c = MC.jnt_average(jnp, mid0, mid1, bd)
                     rate = (ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
                             + ME.mv_rate_bits(mv1[bs]
@@ -407,17 +429,17 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         # --- per-size MC + residual coding + RD costs (rdo path) ---------
         def mc_one(plane_idx, chroma, bs2, pad2, mvs, mvs_c, sel):
             p0 = _mc_patch(padded[0][plane_idx], mvs, bs2, pad2, chroma,
-                           bd)
+                           bd, filt=filt)
             if nrefs == 1:
                 return p0
             p1 = _mc_patch(padded[1][plane_idx], mvs, bs2, pad2, chroma,
-                           bd)
+                           bd, filt=filt)
             out = jnp.where((sel == 1)[..., None, None], p1, p0)
             if compound:
                 m0 = _mc_patch(padded[0][plane_idx], mvs, bs2, pad2,
-                               chroma, bd, jnt=True)
+                               chroma, bd, jnt=True, filt=filt)
                 m1 = _mc_patch(padded[1][plane_idx], mvs_c, bs2, pad2,
-                               chroma, bd, jnt=True)
+                               chroma, bd, jnt=True, filt=filt)
                 pc = MC.jnt_average(jnp, m0, m1, bd)
                 out = jnp.where((sel == 2)[..., None, None], pc, out)
             return out
@@ -432,12 +454,16 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             # EbLambdaRateTables.h).  J compared in f32 (values to ~1e8;
             # decisions only).  ref mode_decision_sb full-loop RD
             # (EbProductCodingLoop.c:1880, EbRateDistortionCost.c).
+            # lambda ~ 0.25 * qstep^2 (qstep = ac_q/8): matches the
+            # effective libaom rdmult scale (rdmult=88q^2/24, rate in
+            # 1/512-bit units, dist << 4) — 3*qstep^2 measured ~0.5%
+            # BD-rate WORSE on the harness
             if dynamic_q:
                 lam_rd = jnp.maximum(
-                    16, (ac * ac * 3) >> 6).astype(jnp.float32)
+                    4, (ac * ac) >> 8).astype(jnp.float32)
             else:
                 acq = _tbl.ac_q(qindex, bd)
-                lam_rd = float(max(16, (acq * acq * 3) >> 6))
+                lam_rd = float(max(4, (acq * acq) >> 8))
             jcost = {}
             txty = {}
             for bs in SIZES:
@@ -722,8 +748,10 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
 def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
                           deblock: bool = True, cdef: bool = False,
-                          bd: int = 8, rdo: bool = True, txs: bool = False):
-    fn = p_frame_step(ph, pw, qindex, search, bd=bd, rdo=rdo, txs=txs)
+                          bd: int = 8, rdo: bool = True, txs: bool = False,
+                          filt: int = 0, gm: bool = False):
+    fn = p_frame_step(ph, pw, qindex, search, bd=bd, rdo=rdo, txs=txs,
+                      filt=filt, gm=gm)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -732,10 +760,12 @@ def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
 def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
                           deblock: bool = True, cdef: bool = False,
-                          rdo: bool = True, txs: bool = False):
+                          rdo: bool = True, txs: bool = False,
+                          filt: int = 0):
     """Two-reference (fwd + bwd) step for hierarchical-B mini-GOPs.
     fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u, r1v) -> P outputs + ref8."""
-    fn = p_frame_step(ph, pw, qindex, search, nrefs=2, rdo=rdo, txs=txs)
+    fn = p_frame_step(ph, pw, qindex, search, nrefs=2, rdo=rdo, txs=txs,
+                      filt=filt)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -744,10 +774,12 @@ def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
 def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
                               cdef: bool = False, bd: int = 8,
-                              rdo: bool = True, txs: bool = False):
-    """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v); one compile
-    serves every qindex (rate control)."""
-    fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo, txs=txs)
+                              rdo: bool = True, txs: bool = False,
+                              filt: int = 0, gm: bool = False):
+    """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v[, gmv]); one
+    compile serves every qindex (rate control)."""
+    fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo, txs=txs,
+                      filt=filt, gm=gm)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)
 
@@ -757,12 +789,12 @@ def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
                               cdef: bool = False, compound: bool = False,
                               bd: int = 8, rdo: bool = True,
-                              txs: bool = False):
+                              txs: bool = False, filt: int = 0):
     """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
     r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
     (hier-B layer offsets, rate control).  compound=True adds the
     COMPOUND_AVERAGE candidate (fwd+bwd pairs only)."""
     fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound,
-                      bd=bd, rdo=rdo, txs=txs)
+                      bd=bd, rdo=rdo, txs=txs, filt=filt)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -148,7 +148,8 @@ class MultiStreamEncoder:
 
         step = _batched_p_step(ph32, pw32, seq.mi_rows, seq.mi_cols,
                                cfg.enable_deblocking, cfg.enable_cdef,
-                               cfg.bit_depth, rdo=cfg.enc_mode <= 7)
+                               cfg.bit_depth, rdo=cfg.enc_mode <= 7,
+                               txs=cfg.enc_mode <= 5)
         sy = self._put(np.stack([IE.pad_plane(f.y.astype(px), ph32, pw32)
                                  for f in frames]))
         su = self._put(np.stack([IE.pad_plane(
@@ -188,13 +189,14 @@ import functools
 
 @functools.lru_cache(maxsize=4)
 def _batched_p_step(ph32: int, pw32: int, mi_rows: int, mi_cols: int,
-                    deblock: bool, cdef: bool, bd: int, rdo: bool = True):
+                    deblock: bool, cdef: bool, bd: int, rdo: bool = True,
+                    txs: bool = False):
     """vmapped dynamic-q P step over the stream axis (shared q)."""
     import jax
     import jax.numpy as jnp
     from svt_av1_tpu.ops import deblock as DB
 
-    fn = PE.p_frame_step(ph32, pw32, None, bd=bd, rdo=rdo)
+    fn = PE.p_frame_step(ph32, pw32, None, bd=bd, rdo=rdo, txs=txs)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
 
     def one(sy, su, sv, ry, ru, rv, q):

@@ -25,6 +25,55 @@ def qp_to_qindex(qp: int) -> int:
     return min(255, max(1, qp * 4))
 
 
+class ModelRateController:
+    """Model-based rate control (ref rate_control_mode=1,
+    RateControlModel / rate_control_get_quantizer,
+    EbRateControlProcess.c:3958): maintains a bits ~= C / qstep model
+    from feedback and inverts it per frame to hit the target, with a
+    leaky-bucket drift correction on top."""
+
+    KEY_BOOST_Q = 24
+
+    def __init__(self, target_bit_rate: int, fps: float,
+                 min_qp: int = 0, max_qp: int = 63) -> None:
+        from svt_av1_tpu import tables
+        self._tables = tables
+        self.target_bpf = max(1.0, target_bit_rate / max(fps, 1e-6))
+        self.fps = max(fps, 1.0)
+        self.min_qi = max(1, qp_to_qindex(max(min_qp, 1)))
+        self.max_qi = qp_to_qindex(max_qp)
+        self.C = None          # bits * qstep (complexity constant)
+        self.fullness = 0.0
+        self.qi = 128
+
+    def _qstep(self, qi: int) -> float:
+        return max(1.0, self._tables.ac_q(int(qi), 8) / 8.0)
+
+    def frame_qindex(self, is_key: bool) -> int:
+        if self.C is not None:
+            # invert the model: qstep* = C / target (with drift credit)
+            budget = self.target_bpf - 0.1 * self.fullness
+            want = self.C / max(budget, 1.0)
+            lo, hi = self.min_qi, self.max_qi
+            while lo < hi:      # qstep is monotone in qindex
+                mid = (lo + hi) // 2
+                if self._qstep(mid) < want:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            self.qi = lo
+        qi = self.qi - (self.KEY_BOOST_Q if is_key else 0)
+        return int(np.clip(qi, self.min_qi, self.max_qi))
+
+    def update(self, bits: int, is_key: bool) -> None:
+        budget = self.target_bpf * (4.0 if is_key else 1.0)
+        self.fullness += bits - budget
+        if is_key:
+            return              # keyframes have their own scale; skip C
+        c_obs = bits * self._qstep(self.qi)
+        self.C = c_obs if self.C is None else 0.75 * self.C + 0.25 * c_obs
+
+
 class RateController:
     """Leaky-bucket VBR: pick per-frame qindex, absorb bit feedback."""
 

@@ -118,23 +118,35 @@ class TileWriter:
         # per-SB RU syntax is interleaved at SB starts (spec read_lr)
         self.lr = lr
         self._lr_ref = list(S.WIENER_MID) * 2 if lr else None
+        self._sgr_ref = list(S.SGR_XQD_MID) if lr else None
 
     def _write_lr(self, r4: int, c4: int) -> None:
         """spec read_lr mirror: code RUs whose index range starts in
-        this SB (luma plane, WIENER frame type)."""
+        this SB (luma plane; WIENER or SGRPROJ frame type)."""
         if self.lr is None:
             return
         unit = self.lr["unit"]
-        use, taps = self.lr["use"], self.lr["taps"]
+        use = self.lr["use"]
+        sgr = self.lr.get("type", 2) == 3
         py0, py1 = r4 * 4, min((r4 + SB_MI) * 4, self.tc.mi_rows * 4)
         px0, px1 = c4 * 4, min((c4 + SB_MI) * 4, self.tc.mi_cols * 4)
         nr, nc = use.shape
         for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
             for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):
                 on = int(use[ur, uc])
+                if sgr:
+                    S._code_bin(self.enc, None, self.fc.sgrproj_restore,
+                                on)
+                    if on:
+                        ep = int(self.lr["ep"][ur, uc])
+                        xqd = tuple(int(x) for x in self.lr["xqd"][ur, uc])
+                        _, out = S.code_sgr_filter(self.enc, None,
+                                                   self._sgr_ref, ep, xqd)
+                        self._sgr_ref = list(out)
+                    continue
                 S._code_bin(self.enc, None, self.fc.wiener_restore, on)
                 if on:
-                    t = tuple(int(x) for x in taps[ur, uc])
+                    t = tuple(int(x) for x in self.lr["taps"][ur, uc])
                     # coded order: vertical then horizontal taps
                     S.code_wiener_filter(self.enc, None, self._lr_ref,
                                          t[3:] + t[:3])
@@ -159,7 +171,7 @@ class TileWriter:
     def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
                      levels: dict, cdef_idx=None, refs=None,
                      sign_bias=None, comp_pair=None, mvs2=None,
-                     txty=None) -> bytes:
+                     txty=None, gm=None) -> bytes:
         """P/B-frame tile: variable-partition single-ref NEWMV blocks.
 
         sizes:  [nb8h, nb8w] leaf size (8/16/32) covering each 8x8 cell
@@ -181,6 +193,9 @@ class TileWriter:
         self.comp_pair = comp_pair
         self.mvs2 = mvs2
         self.txty = txty      # per-cell luma tx type (0/9); None = DCT
+        # global motion: {ref_type: (row8, col8)} TRANSLATION per ref
+        # (spec 5.9.24; blocks whose MV equals it code GLOBALMV)
+        self.gm = gm or {}
         self.ref_select = comp_pair is not None
         self.inter = True
         self.cdef_idx = cdef_idx
@@ -280,18 +295,31 @@ class TileWriter:
         else:
             S.code_single_ref(enc, None, fc, counts, ref)
 
-            # mode + drl + MV (predictor from the shared ref-MV stack)
+            # mode + drl + MV (predictor from the shared ref-MV stack);
+            # NEARESTMV when the MV equals the top stack entry and
+            # GLOBALMV when it equals the frame's global translation
+            # (both skip MV coding; ref write_modes_b mode selection)
+            gmv = self.gm.get(ref, (0, 0))
             res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
-                                    sign_bias=self.sign_bias)
-            S.code_inter_mode(enc, None, fc, res, S.NEWMV)
-            S.code_drl_idx(enc, None, fc, res, S.NEWMV, 0)
+                                    sign_bias=self.sign_bias,
+                                    global_mv=gmv)
             pred_mv = MVP.lower_mv_precision(res.stack[0][0])
-            S.code_mv(enc, None, fc, pred_mv, mv8)
+            if mv8 == pred_mv:
+                mode = S.NEARESTMV
+                S.code_inter_mode(enc, None, fc, res, mode)
+            elif ref in self.gm and mv8 == gmv:
+                mode = S.GLOBALMV
+                S.code_inter_mode(enc, None, fc, res, mode)
+            else:
+                mode = S.NEWMV
+                S.code_inter_mode(enc, None, fc, res, mode)
+                S.code_drl_idx(enc, None, fc, res, mode, 0)
+                S.code_mv(enc, None, fc, pred_mv, mv8)
 
             tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4),
                          S.DC_PRED, skip)
             mi.set_block(r4, c4, n4, n4, is_inter=True,
-                         ref_frame=ref, mode=S.NEWMV, mv=mv8)
+                         ref_frame=ref, mode=mode, mv=mv8)
 
         # luma tx type (reduced inter set: DCT / IDTX); chroma inherits
         # it for the INVERSE transform (spec compute_tx_type) but its

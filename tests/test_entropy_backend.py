@@ -143,3 +143,20 @@ def test_cpp_inter_tile_byte_identical():
                                        refs=refs3, sign_bias=bias,
                                        mvs2=mv2, comp_pair=(1, 7))
         assert py3 == cpp3
+
+        # global motion: half the blocks carry the frame's translation
+        # (exercises GLOBALMV vs NEARESTMV precedence + gmv stack
+        # padding identically in both writers)
+        gm = {1: (16, -24)}
+        mv4 = mv.copy()
+        mv4[rng.random((gh, gw)) < 0.5] = gm[1]
+        tw4 = TileWriter(FrameContext(qindex), mi_rows, mi_cols, qindex)
+        py4 = tw4.encode_inter(sizes, mv4, levels, gm=gm)
+        cpp4 = B.encode_tile_inter_cpp(FrameContext(qindex), mi_rows,
+                                       mi_cols, qindex, sizes, mv4,
+                                       levels, gm=gm)
+        assert py4 == cpp4
+        # with gm absent the same MV field must cost more bits
+        tw5 = TileWriter(FrameContext(qindex), mi_rows, mi_cols, qindex)
+        py5 = tw5.encode_inter(sizes, mv4, levels)
+        assert len(py4) <= len(py5)

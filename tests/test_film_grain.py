@@ -70,3 +70,28 @@ def test_film_grain_e2e_output_parity():
         np.testing.assert_array_equal(d.v, gv)
         assert np.abs(d.y.astype(int)
                       - pkt.recon.y.astype(int)).mean() > 0.1
+
+
+def test_film_grain_auto_estimation():
+    """enable_film_grain=-1 estimates grain from the source: a noisy
+    source gets synthesis params, a clean one none (ref noise_model.c
+    flat-block fit)."""
+    from svt_av1_tpu.ops.film_grain import estimate_params
+    rng = np.random.default_rng(3)
+    clean = np.full((192, 192), 90, np.uint8)
+    noisy = np.clip(clean + rng.normal(0, 5, clean.shape), 0,
+                    255).astype(np.uint8)
+    assert not estimate_params(clean).apply_grain
+    p = estimate_params(noisy)
+    assert p.apply_grain and p.num_y_points >= 1
+
+    cfg = EncoderConfig(width=192, height=128, qp=45, intra_period=63,
+                        pred_structure=0, enable_film_grain=-1,
+                        scene_change_detection=False)
+    enc, dec = Encoder(cfg), Decoder()
+    f = synthetic_frame(192, 128, seed=1, kind="noise")
+    enc.send_picture(f)
+    pkt = enc.get_packet()
+    assert enc._grain is not None
+    d = dec.decode_temporal_unit(pkt.payload)
+    assert d is not None

@@ -151,3 +151,100 @@ def test_scene_cut_inserts_keyframe():
     for i, p in enumerate(pkts):
         df = dec.decode_temporal_unit(p.payload)
         assert np.array_equal(df.y, p.recon.y), i
+
+
+def test_interp_filter_kernels_match_spec():
+    # spec Subpel_Filters half-pel rows (AV1 6.8.9 table values)
+    assert MC.kernel(8, 0) == (0, 2, -14, 76, 76, -14, 2, 0)
+    assert MC.kernel(8, 1) == (0, -2, 14, 52, 52, 14, -2, 0)
+    assert MC.kernel(8, 2) == (-4, 12, -24, 80, 80, -24, 12, -4)
+    for filt in (0, 1, 2):
+        # phase 0 is the identity for every filter
+        assert MC.kernel(0, filt) == (0, 0, 0, 128, 0, 0, 0, 0)
+        for ph in range(16):
+            assert sum(MC.kernel(ph, filt)) == 128
+
+
+@pytest.mark.parametrize("filt", [1, 2])
+def test_interp_filter_e2e_mirror_decode(filt):
+    """Forced SMOOTH/SHARP streams signal the filter in the header and
+    mirror-decode bit-exactly (encoder step + decoder banks both use the
+    signaled kernels)."""
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.decoder.decode import Decoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+
+    W, H = 128, 96
+    frames = _pan_sequence(W, H, 3)
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=40, intra_period=63,
+                                pred_structure=0, interp_filter=filt))
+    for f in frames:
+        enc.send_picture(f)
+    pkts = [enc.get_packet() for _ in frames]
+    dec = Decoder()
+    for i, p in enumerate(pkts):
+        df = dec.decode_temporal_unit(p.payload)
+        for a, b in ((df.y, p.recon.y), (df.u, p.recon.u), (df.v, p.recon.v)):
+            assert np.array_equal(a, b), f"filt={filt} mismatch frame {i}"
+    # the two non-regular streams must differ from a regular encode of
+    # the same frames (the filter is actually applied, not just signaled)
+    enc0 = Encoder(EncoderConfig(width=W, height=H, qp=40, intra_period=63,
+                                 pred_structure=0, interp_filter=0))
+    for f in frames:
+        enc0.send_picture(f)
+    pk0 = [enc0.get_packet() for _ in frames]
+    assert pkts[1].payload != pk0[1].payload
+
+
+def test_interp_filter_auto_decision():
+    from svt_av1_tpu.pipeline.analysis import analyze, pick_interp_filter
+
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 255, (96, 128)).astype(np.uint8)
+    stats = analyze(noisy)
+    assert pick_interp_filter(stats, 160) in (0, 1)
+    flat = np.full((96, 128), 128, np.uint8)
+    assert pick_interp_filter(analyze(flat), 80) == 0
+
+
+def test_global_motion_e2e():
+    """Panning IPPP stream: GM is estimated open-loop, signaled in the
+    header (spec 5.9.24), injected as a GLOBALMV candidate, and the
+    stream mirror-decodes bit-exactly while costing fewer P bits than
+    the same encode with GM off."""
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.conformance import check_stream
+    from svt_av1_tpu.decoder.decode import Decoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    from svt_av1_tpu.entropy import obu as O
+
+    W, H = 256, 128
+    base = _pan_sequence(W, H, 1)[0]
+    frames = []
+    for i in range(4):
+        f = _pan_sequence(W, H, 1)[0]
+        f.y[:] = np.roll(base.y, (2 * i, 3 * i), (0, 1))
+        f.u[:] = np.roll(base.u, (i, i), (0, 1))
+        f.v[:] = np.roll(base.v, (i, i), (0, 1))
+        frames.append(f)
+
+    def run(gm_on):
+        enc = Encoder(EncoderConfig(width=W, height=H, qp=40,
+                                    intra_period=63, pred_structure=0,
+                                    enable_global_motion=gm_on))
+        for f in frames:
+            enc.send_picture(f)
+        return [enc.get_packet() for _ in frames]
+
+    pk_on = run(True)
+    pk_off = run(False)
+    dec = Decoder()
+    for i, p in enumerate(pk_on):
+        df = dec.decode_temporal_unit(p.payload)
+        for a, b in ((df.y, p.recon.y), (df.u, p.recon.u),
+                     (df.v, p.recon.v)):
+            assert np.array_equal(a, b), f"gm mismatch frame {i}"
+    check_stream([p.payload for p in pk_on])
+    bits_on = sum(len(p.payload) for p in pk_on[1:])
+    bits_off = sum(len(p.payload) for p in pk_off[1:])
+    assert bits_on < bits_off, (bits_on, bits_off)

@@ -47,3 +47,27 @@ def test_vbr_intra_only_batch():
         p = enc.get_packet()
         df = dec.decode_temporal_unit(p.payload)
         assert np.array_equal(df.y, p.recon.y), i
+
+
+def test_model_rc_converges():
+    """rate_control_mode=1 (model estimator): the bits ~ C/qstep model
+    converges toward the per-frame budget on steady content (ref
+    RateControlModel, rate_control_get_quantizer)."""
+    W, H, n = 128, 64, 12
+    target = 240_000
+    enc = Encoder(EncoderConfig(width=W, height=H, rate_control_mode=1,
+                                target_bit_rate=target, frame_rate_num=30,
+                                intra_period=63, pred_structure=0,
+                                scene_change_detection=False))
+    dec = Decoder()
+    sizes = []
+    for i, f in enumerate(_frames(W, H, n)):
+        enc.send_picture(f)
+        p = enc.get_packet()
+        df = dec.decode_temporal_unit(p.payload)
+        assert np.array_equal(df.y, p.recon.y), i
+        sizes.append(len(p.payload) * 8)
+    # steady state (last half, inter frames): within 2x of budget
+    bpf = target / 30
+    steady = np.mean(sizes[n // 2 :])
+    assert 0.4 * bpf < steady < 2.2 * bpf, (steady, bpf)

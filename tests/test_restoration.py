@@ -90,3 +90,62 @@ def test_restoration_e2e_bit_exact():
             if dec.lr is not None:
                 n_on += int(dec.lr["use"].sum())
         assert n_on > 0, "Wiener never engaged on noisy content"
+
+
+def test_sgr_search_and_apply_roundtrip():
+    """SGR ops: search denoises; apply is shared encoder/decoder."""
+    from svt_av1_tpu.ops import restoration as R
+    rng = np.random.default_rng(2)
+    h, w = 96, 128
+    clean = (np.mgrid[0:h, 0:w][0] * 2 + 40).astype(np.int32)
+    noisy = np.clip(clean + rng.normal(0, 4, (h, w)), 0,
+                    255).astype(np.int32)
+    use, ep, xqd, _ = R.search_sgr_plane(clean, noisy, noisy.copy(), 64, 0)
+    assert use.any()
+    out = R.apply_sgr_plane(noisy, noisy.copy(), 64, 0, use, ep, xqd)
+    assert ((out - clean) ** 2).sum() < ((noisy - clean) ** 2).sum()
+
+
+def test_sgr_e2e_mirror_decode():
+    """A noisy keyframe picks SGRPROJ (or Wiener) and mirror-decodes
+    bit-exactly, including the per-RU sgr syntax."""
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.decoder import Decoder
+    from svt_av1_tpu.pipeline.encoder import Encoder
+    rng = np.random.default_rng(4)
+    W, H = 192, 128
+    f = synthetic_frame(W, H, seed=2)
+    f.y[:] = np.clip(f.y.astype(np.int32)
+                     + rng.normal(0, 5, f.y.shape), 0, 255).astype(np.uint8)
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=30,
+                                enable_restoration=True,
+                                scene_change_detection=False))
+    enc.send_picture(f)
+    pkt = enc.get_packet()
+    d = Decoder().decode_temporal_unit(pkt.payload)
+    np.testing.assert_array_equal(d.y, pkt.recon.y)
+    np.testing.assert_array_equal(d.u, pkt.recon.u)
+
+
+def test_sgr_syntax_roundtrip():
+    """code_sgr_filter write/read parity across ep classes (both radii,
+    r0-only, r1-only)."""
+    from svt_av1_tpu.entropy import syntax as S
+    from svt_av1_tpu.entropy.range_coder import RangeDecoder, RangeEncoder
+    cases = [(4, (-20, 60)), (11, (0, 40)), (15, (-90, 31)), (0, (31, 95))]
+    enc = RangeEncoder()
+    ref = list(S.SGR_XQD_MID)
+    for ep, xqd in cases:
+        _, out = S.code_sgr_filter(enc, None, ref, ep, xqd)
+        ref = list(out)
+    data = enc.done()
+    dec = RangeDecoder(data)
+    ref = list(S.SGR_XQD_MID)
+    for ep, xqd in cases:
+        ep2, got = S.code_sgr_filter(None, dec, ref)
+        ref = list(got)
+        assert ep2 == ep
+        from svt_av1_tpu.ops.restoration import SGR_PARAMS
+        r0, r1 = SGR_PARAMS[ep][0], SGR_PARAMS[ep][1]
+        if r0 and r1:
+            assert got == xqd

@@ -240,7 +240,11 @@ def main() -> int:
         print(f"  {name}: {arr.shape}")
     # normative interpolation-filter kernels (spec Subpel_Filters; 16 phases x 8 taps)
     for cname, oname in (("sub_pel_filters_8", "subpel_filters_regular"),
-                         ("sub_pel_filters_4", "subpel_filters_regular_4")):
+                         ("sub_pel_filters_4", "subpel_filters_regular_4"),
+                         ("sub_pel_filters_8smooth", "subpel_filters_smooth"),
+                         ("sub_pel_filters_8sharp", "subpel_filters_sharp"),
+                         ("sub_pel_filters_4smooth",
+                          "subpel_filters_smooth_4")):
         out[oname] = parse_int_table(interp, cname, 16 * 8).reshape(16, 8)
         print(f"  {oname}: {out[oname].shape}")
     # film grain gaussian sequence (spec Gaussian_Sequence, 2048 entries)
