@@ -1363,6 +1363,9 @@ struct TileWriter {
       int pr_r = res.stack[0].mv[0], pr_c = res.stack[0].mv[1];
       if (pr_r & 1) pr_r += pr_r > 0 ? -1 : 1;
       if (pr_c & 1) pr_c += pr_c > 0 ? -1 : 1;
+      int p1r = res.stack[1].mv[0], p1c = res.stack[1].mv[1];
+      if (p1r & 1) p1r += p1r > 0 ? -1 : 1;
+      if (p1c & 1) p1c += p1c > 0 ? -1 : 1;
       if (mv8_r == pr_r && mv8_c == pr_c) {
         mode = NEARESTMV;
         code_bin(t.newmv + res.newmv_ctx() * 3, 1);
@@ -1372,6 +1375,13 @@ struct TileWriter {
         mode = GLOBALMV;
         code_bin(t.newmv + res.newmv_ctx() * 3, 1);
         code_bin(t.zeromv + res.zeromv_ctx() * 3, 0);
+      } else if (res.num_found >= 2 && mv8_r == p1r && mv8_c == p1c) {
+        mode = NEARMV;
+        code_bin(t.newmv + res.newmv_ctx() * 3, 1);
+        code_bin(t.zeromv + res.zeromv_ctx() * 3, 1);
+        code_bin(t.refmv + res.refmv_ctx() * 3, 1);
+        // drl for NEARMV idx 0 (pipeline code_drl_idx NEARMV gate)
+        if (res.num_found > 2) code_bin(t.drl + res.drl_ctx(1) * 3, 0);
       } else {
         mode = NEWMV;
         code_bin(t.newmv + res.newmv_ctx() * 3, 0);

@@ -177,6 +177,61 @@ def warp_by_centers(ref_pad, centers, tile: int, pad: int):
             .transpose(0, 2, 1, 3).reshape(th * tile, tw * tile))
 
 
+def sad_lattice_multisize(src, warped, r2: int):
+    """One +-r2 full-pel sweep on the center-warped reference, returning
+    the FULL per-offset SAD lattice {bs: [H//bs, W//bs, (2r2+1)^2]}.
+
+    The two selections the encoder needs (unbiased winners for the MVP
+    prior, then rate-biased winners against that prior) are cheap
+    reductions over this lattice — computing the image diffs once
+    replaces the former double sweep (ref runs its ME once and re-costs
+    candidates the same way, EbMotionEstimation.c full-pel loop)."""
+    H, W = src.shape
+    n = 2 * r2 + 1
+    wpad = jnp.pad(warped, r2, mode="edge")
+
+    def body(dy, state):
+        rows = jax.lax.dynamic_slice(wpad, (dy, 0), (H, W + 2 * r2))
+        out = dict(state)
+        for dx in range(n):
+            diff = jnp.abs(src - rows[:, dx : dx + W])
+            d8 = diff.reshape(H // 8, 8, W // 8, 8).sum((1, 3))
+            d16 = d8.reshape(H // 16, 2, W // 16, 2).sum((1, 3))
+            d32 = d16.reshape(H // 32, 2, W // 32, 2).sum((1, 3))
+            for bs, d in ((8, d8), (16, d16), (32, d32)):
+                out[bs] = jax.lax.dynamic_update_index_in_dim(
+                    out[bs], d, dy * n + dx, 2)
+        return out
+
+    state = {bs: jnp.zeros((H // bs, W // bs, n * n), jnp.int32)
+             for bs in (8, 16, 32)}
+    return jax.lax.fori_loop(0, n, body, state)
+
+
+def select_from_lattice(lat, centers, tile: int, r2: int,
+                        lam=None, priors=None):
+    """Pick per-block winners from a sad_lattice_multisize result;
+    returns {bs: (mv_fp, cost)} like refined_search_multisize."""
+    n = 2 * r2 + 1
+    dyx = jnp.stack([jnp.arange(n * n) // n - r2,
+                     jnp.arange(n * n) % n - r2], -1)        # [n*n, 2]
+    out = {}
+    for bs in (8, 16, 32):
+        k = tile // bs
+        cen = jnp.repeat(jnp.repeat(centers, k, 0), k, 1)
+        cost = lat[bs]
+        if lam is not None:
+            mv8 = (cen[:, :, None, :] + dyx[None, None]
+                   - (priors[bs][:, :, None, :]
+                      if priors is not None else 0)) * 8
+            cost = cost + ((lam * mv_rate_bits(mv8)) >> 4)
+        kbest = jnp.argmin(cost, -1)
+        out[bs] = (cen + dyx[kbest],
+                   jnp.take_along_axis(cost, kbest[..., None],
+                                       -1)[..., 0])
+    return out
+
+
 def refined_search_multisize(src, warped, centers, tile: int, r2: int,
                              lam=None, priors=None):
     """+-r2 full-pel sweep on the center-warped reference; returns

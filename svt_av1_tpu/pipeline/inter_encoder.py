@@ -357,10 +357,13 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             ref_pad = jnp.pad(ry_i, search, mode="edge")
             centers = ME.hme_centers(sy, ry_i, search_reach=search - r2)
             warped = ME.warp_by_centers(ref_pad, centers, 32, search)
-            p1 = ME.refined_search_multisize(sy, warped, centers, 32, r2)
+            # ONE image-diff sweep; both selections (unbiased winners ->
+            # MVP priors, then rate-biased winners) are reductions over
+            # the stored lattice (was two full sweeps)
+            lat = ME.sad_lattice_multisize(sy, warped, r2)
+            p1 = ME.select_from_lattice(lat, centers, 32, r2)
             priors = {bs: ME.median3_mv_field(p1[bs][0]) for bs in SIZES}
-            p2 = ME.refined_search_multisize(sy, warped, centers, 32, r2,
-                                             lam, priors)
+            p2 = ME.select_from_lattice(lat, centers, 32, r2, lam, priors)
             mv_i, cost_i = {}, {}
             for bs in SIZES:
                 # dense quarter-pel refine against the TRUE reference;

@@ -310,6 +310,11 @@ class TileWriter:
             elif ref in self.gm and mv8 == gmv:
                 mode = S.GLOBALMV
                 S.code_inter_mode(enc, None, fc, res, mode)
+            elif (res.num_mv_found >= 2
+                  and mv8 == MVP.lower_mv_precision(res.stack[1][0])):
+                mode = S.NEARMV
+                S.code_inter_mode(enc, None, fc, res, mode)
+                S.code_drl_idx(enc, None, fc, res, mode, 0)
             else:
                 mode = S.NEWMV
                 S.code_inter_mode(enc, None, fc, res, mode)
