@@ -164,6 +164,8 @@ struct Tables {
   int32_t* nmv_hp;        // [2][3]
   int32_t* nmv_class0;    // [2][3]
   int32_t* nmv_bits;      // [2][10][3]
+  int32_t* cfl_sign;      // [9]
+  int32_t* cfl_alpha;     // [6][17]
 };
 
 constexpr long TABLE_SIZES[] = {
@@ -175,6 +177,7 @@ constexpr long TABLE_SIZES[] = {
     6 * 3, 2 * 3, 6 * 3, 3 * 3, 4 * 3, 3 * 6 * 3, 4 * 4 * 17,
     5 * 3, 5 * 3, 3 * 3 * 3, 3 * 2 * 3, 8 * 9,
     5, 2 * 12, 2 * 2 * 5, 2 * 5, 2 * 3, 2 * 3, 2 * 3, 2 * 3, 2 * 10 * 3,
+    9, 6 * 17,
 };
 constexpr int N_TABLES = sizeof(TABLE_SIZES) / sizeof(long);
 
@@ -198,7 +201,7 @@ void bind_tables(Tables* t, int32_t* blob) {
       &t->inter_comp_mode,
       &t->nmv_joints, &t->nmv_classes, &t->nmv_class0_fp, &t->nmv_fp,
       &t->nmv_sign, &t->nmv_class0_hp, &t->nmv_hp, &t->nmv_class0,
-      &t->nmv_bits};
+      &t->nmv_bits, &t->cfl_sign, &t->cfl_alpha};
   for (int i = 0; i < N_TABLES; ++i) {
     *slots[i] = p;
     p += TABLE_SIZES[i];
@@ -642,6 +645,26 @@ struct TileWriter {
     cdf = t.uv_mode + (1 * 13 + y_mode) * 15;
     enc.encode_symbol(uv, cdf, 14);
     update_icdf(cdf, uv, 14);
+    if (uv == 13 && cfl_map) {  // UV_CFL_PRED: joint sign + magnitudes
+      int au = static_cast<const int8_t*>(
+          static_cast<const void*>(cfl_map))
+          [(static_cast<size_t>(r4 >> 1) * nbw + (c4 >> 1)) * 2];
+      int av = static_cast<const int8_t*>(
+          static_cast<const void*>(cfl_map))
+          [(static_cast<size_t>(r4 >> 1) * nbw + (c4 >> 1)) * 2 + 1];
+      int su_ = au == 0 ? 0 : (au > 0 ? 2 : 1);
+      int sv_ = av == 0 ? 0 : (av > 0 ? 2 : 1);
+      int joint = su_ * 3 + sv_ - 1;
+      code_sym(t.cfl_sign, joint, 8);
+      if (su_) {
+        int mag = (au > 0 ? au : -au) - 1;
+        code_sym(t.cfl_alpha + (joint - 2) * 17, mag, 16);
+      }
+      if (sv_) {
+        int mag = (av > 0 ? av : -av) - 1;
+        code_sym(t.cfl_alpha + (sv_ * 3 + su_ - 3) * 17, mag, 16);
+      }
+    }
     if (uv >= V_PRED && uv <= D67_PRED) {  // angle_delta_uv (always 0)
       cdf = t.angle_delta + (uv - V_PRED) * 8;
       enc.encode_symbol(MAX_ANGLE_DELTA, cdf, 7);
@@ -693,7 +716,8 @@ struct TileWriter {
   const int32_t* mvs2 = nullptr;
   const uint8_t* txty_map = nullptr;
   const uint8_t* angles_map = nullptr;  // per-block angle delta (int8)
-  const uint8_t* uv_map = nullptr;      // per-block chroma mode     // second (bwd) MV of compound cells
+  const uint8_t* uv_map = nullptr;      // per-block chroma mode
+  const uint8_t* cfl_map = nullptr;     // [nbh][nbw][2] int8 alphaQ3
   int ref_select = 0;                // frame codes comp_inter bits
   int comp_fwd = 1, comp_bwd = 7;    // frame-level BIDIR pair
   const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8/16/32
@@ -1506,13 +1530,15 @@ long svt_encode_tile(int mi_rows, int mi_cols, int qindex, int reduced_tx_set,
                      const int32_t* ly, const int32_t* lu, const int32_t* lv,
                      int nbh, int nbw, uint8_t* out, long out_cap,
                      const uint8_t* cdef_idx, int cdef_bits,
-                     const uint8_t* angles, const uint8_t* uv_modes) {
+                     const uint8_t* angles, const uint8_t* uv_modes,
+                     const uint8_t* cfl) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.cdef_idx = cdef_idx;
   tw.cdef_bits = cdef_bits;
   tw.angles_map = angles;
   tw.uv_map = uv_modes;
+  tw.cfl_map = cfl;
   tw.nsb_w = (mi_cols + 15) / 16;
   return tw.encode(modes, ly, lu, lv, nbh, nbw, out, out_cap);
 }

@@ -24,7 +24,7 @@ from svt_av1_tpu.ops import quant as Q
 from svt_av1_tpu.ops import transforms as T
 
 # intra chroma tx derivation (spec Mode_To_Txfm_Type via compute_tx_type)
-_UV_TX = {0: 0, 1: 1, 2: 2, 9: 3}  # DC->DCT, V->ADST_DCT, H->DCT_ADST,
+_UV_TX = {0: 0, 1: 1, 2: 2, 9: 3, 13: 0}  # DC->DCT, V->ADST_DCT, H->DCT_ADST,
                                    # SMOOTH->ADST_ADST
 from svt_av1_tpu.pipeline.inter_encoder import PAD, SEARCH_RANGE
 from svt_av1_tpu.pipeline.tile import (LEAF_MI, SB_MI, read_partition_symbol)
@@ -479,6 +479,9 @@ class Decoder:
         uv_mode = dec.decode_symbol(cdf, 14)
         update_icdf(cdf, uv_mode, 14)
         uv_delta = 0
+        cfl_au = cfl_av = 0
+        if uv_mode == S.UV_CFL_PRED:
+            cfl_au, cfl_av = S.code_cfl_alphas(None, dec, fc)
         if S.V_PRED <= uv_mode <= S.D67_PRED:
             cdf = fc.angle_delta[uv_mode - S.V_PRED]
             d = dec.decode_symbol(cdf, 7)
@@ -523,8 +526,25 @@ class Decoder:
                 if ar_avail[r4 // 2, c4 // 2]:
                     above_ext = rec[py - 1, px + bs : px + 2 * bs]
             bd = self.seq.bit_depth
-            pred = intra.predict_block_np(mode, above, left, tl, ha, hl,
-                                          bs, bs, bd, above_ext=above_ext)
+            if plane > 0 and uv_mode == S.UV_CFL_PRED:
+                # CFL (spec 7.11.5): DC base + alpha-scaled AC of the
+                # block's reconstructed luma (decoded just above)
+                pred = intra.predict_block_np(
+                    (S.DC_PRED, 0), above, left, tl, ha, hl, bs, bs, bd)
+                ly0 = (r4 + self.toff[0]) * 4
+                lx0 = (c4 + self.toff[1]) * 4
+                lrec = self.rec[0][ly0 : ly0 + 8, lx0 : lx0 + 8]
+                lq3 = ((lrec[0::2, 0::2] + lrec[0::2, 1::2]
+                        + lrec[1::2, 0::2] + lrec[1::2, 1::2]) << 1)
+                ac = lq3 - ((lq3.sum() + 8) >> 4)
+                alpha = cfl_au if plane == 1 else cfl_av
+                sc = alpha * ac
+                sc = np.where(sc >= 0, (sc + 32) >> 6, -((-sc + 32) >> 6))
+                pred = np.clip(pred + sc, 0, (1 << bd) - 1)
+            else:
+                pred = intra.predict_block_np(mode, above, left, tl, ha,
+                                              hl, bs, bs, bd,
+                                              above_ext=above_ext)
             dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size, bd)
             # intra chroma tx type is derived from the uv mode (spec
             # compute_tx_type; ref intra_mode_to_tx_type,

@@ -33,6 +33,7 @@ _TABLE_ORDER = [
     "inter_compound_mode",
     "nmv_joints", "nmv_classes", "nmv_class0_fp", "nmv_fp", "nmv_sign",
     "nmv_class0_hp", "nmv_hp", "nmv_class0", "nmv_bits",
+    "cfl_sign", "cfl_alpha",
 ]
 
 
@@ -63,6 +64,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.svt_encode_tile_inter.restype = ctypes.c_long
     lib.svt_encode_tile_inter.argtypes = [
@@ -93,7 +95,8 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
                     modes: np.ndarray, levels_y: np.ndarray,
                     levels_u: np.ndarray, levels_v: np.ndarray,
                     reduced_tx_set: bool = True, cdef_idx=None,
-                    cdef_bits: int = 2, angles=None, uv_modes=None) -> bytes:
+                    cdef_bits: int = 2, angles=None, uv_modes=None,
+                    cfl=None) -> bytes:
     lib = _lib()
     blob = build_blob(fc)
     assert blob.size == lib.svt_tile_blob_size(), \
@@ -115,6 +118,8 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
         angles.astype(np.int8).view(np.uint8))
     uv = None if uv_modes is None else np.ascontiguousarray(uv_modes,
                                                             np.uint8)
+    cf = None if cfl is None else np.ascontiguousarray(
+        cfl.astype(np.int8).view(np.uint8))
     n = lib.svt_encode_tile(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(m, ctypes.c_uint8),
@@ -122,7 +127,8 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
         nbh, nbw, p(out, ctypes.c_uint8), cap,
         None if ci is None else p(ci, ctypes.c_uint8), cdef_bits,
         None if an is None else p(an, ctypes.c_uint8),
-        None if uv is None else p(uv, ctypes.c_uint8))
+        None if uv is None else p(uv, ctypes.c_uint8),
+        None if cf is None else p(cf, ctypes.c_uint8))
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

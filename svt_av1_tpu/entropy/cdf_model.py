@@ -79,6 +79,8 @@ class FrameContext:
         self.kf_y_mode = conv(t["default_kf_y_mode_cdf"])          # [5][5][14]
         self.uv_mode = conv(t["default_uv_mode_cdf"])              # [2][13][15]
         self.angle_delta = conv(t["default_angle_delta_cdf"])      # [8][8]
+        self.cfl_sign = conv(t["default_cfl_sign_cdf"])[0]         # [9]
+        self.cfl_alpha = conv(t["default_cfl_alpha_cdf"])          # [6][17]
         self.partition = conv(t["default_partition_cdf"])          # [20][11]
         self.skip = conv(t["default_skip_cdfs"])                   # [3][3]
         self.intra_ext_tx = conv(t["default_intra_ext_tx_cdf"])    # [3][4][13][17]

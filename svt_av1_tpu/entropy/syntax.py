@@ -676,6 +676,31 @@ def _code_bin(enc, dec, cdf, val=None) -> int:
     return v
 
 
+def code_cfl_alphas(enc, dec, fc, au=None, av=None):
+    """CFL alpha joint-sign + magnitudes (spec read_cfl_alphas; ref
+    write_cfl_alphas EbEntropyCoding.c:1140, macros EbDefinitions.h:
+    797-832).  alphaQ3 in [-16..16]; (0, 0) is not codable.  Returns
+    the (alpha_u, alpha_v) pair on decode."""
+    if enc is not None:
+        su_ = 0 if au == 0 else (2 if au > 0 else 1)
+        sv_ = 0 if av == 0 else (2 if av > 0 else 1)
+        joint = su_ * 3 + sv_ - 1
+    else:
+        joint = None
+    joint = _code_sym(enc, dec, fc.cfl_sign, 8, joint)
+    su_, sv_ = (joint + 1) // 3, (joint + 1) % 3
+    out_u = out_v = 0
+    if su_:
+        mag = _code_sym(enc, dec, fc.cfl_alpha[joint - 2], 16,
+                        None if enc is None else abs(au) - 1)
+        out_u = (mag + 1) * (1 if su_ == 2 else -1)
+    if sv_:
+        mag = _code_sym(enc, dec, fc.cfl_alpha[sv_ * 3 + su_ - 3], 16,
+                        None if enc is None else abs(av) - 1)
+        out_v = (mag + 1) * (1 if sv_ == 2 else -1)
+    return out_u, out_v
+
+
 def _code_sym(enc, dec, cdf, nsym, val=None) -> int:
     if enc is not None:
         enc.encode_symbol(int(val), cdf, nsym)

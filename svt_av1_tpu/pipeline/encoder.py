@@ -928,7 +928,7 @@ class Encoder:
                     dev["modes"].astype(np.uint8), dev["levels_y"],
                     dev["levels_u"], dev["levels_v"], cdef_idx=cdef_idx,
                     angles=dev.get("angles"),
-                    uv_modes=dev.get("uv_modes"))
+                    uv_modes=dev.get("uv_modes"), cfl=dev.get("cfl"))
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
@@ -937,7 +937,8 @@ class Encoder:
             tile = tw.encode(dev["modes"], dev["levels_y"], dev["levels_u"],
                              dev["levels_v"], cdef_idx=cdef_idx,
                              angles=dev.get("angles"),
-                             uv_modes=dev.get("uv_modes"))
+                             uv_modes=dev.get("uv_modes"),
+                             cfl=dev.get("cfl"))
         # intra frames stay single-tile: the wavefront predicts across
         # tile boundaries (tile info is per-frame, so inter frames of the
         # same stream may still tile)

@@ -60,6 +60,7 @@ def _cand_tables(cands):
 
 LUMA_BS = 8
 CHROMA_BS = 4
+UV_CFL_ID = 13     # UV_CFL_PRED symbol (spec intra_frame_uv_mode)
 
 
 def _encode_plane_batch(src, pred, qindex: int, tx_size: int, bd: int = 8,
@@ -116,12 +117,13 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
         modes = jnp.zeros((nbh + 1, nbw + 1), jnp.int32)
         angles = jnp.zeros((nbh + 1, nbw + 1), jnp.int32)
         uvm = jnp.zeros((nbh + 1, nbw + 1), jnp.int32)
+        cfl = jnp.zeros((nbh + 1, nbw + 1, 2), jnp.int32)
         ly = jnp.zeros((nbh + 1, nbw + 1, LUMA_BS, LUMA_BS), jnp.int32)
         lu = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
         lv = jnp.zeros((nbh + 1, nbw + 1, CHROMA_BS, CHROMA_BS), jnp.int32)
 
         def body(d, state):
-            ry, ru, rv, modes, angles, uvm, ly, lu, lv = state
+            ry, ru, rv, modes, angles, uvm, ly, lu, lv, cfl = state
             r = jnp.maximum(0, (d - nbw + 2) // 2) + jnp.arange(B)
             c = d - 2 * r
             valid = (r < nbh) & (c >= 0) & (c < nbw)
@@ -188,12 +190,56 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
                 rec_v.append(ri_v)
                 sse_c.append(((su[rc, cc] - ri_u) ** 2).sum((-1, -2))
                              + ((sv[rc, cc] - ri_v) ** 2).sum((-1, -2)))
-            if len(uv_cands) > 1:
+            au = av = None
+            if rich:
+                # ---- CFL candidate (spec 7.11.5; ref
+                # cfl_luma_subsampling_420 / subtract_average /
+                # cfl_predict, EbIntraPrediction.c:1303-1379): AC of the
+                # block's RECONSTRUCTED luma in Q3, alpha in Q3 searched
+                # per plane against source, base = the chroma DC pred ----
+                hi = (1 << bd) - 1
+                lq3 = ((recon[:, 0::2, 0::2] + recon[:, 0::2, 1::2]
+                        + recon[:, 1::2, 0::2]
+                        + recon[:, 1::2, 1::2]) << 1)
+                lavg = (lq3.sum((-1, -2)) + 8) >> 4   # round2, 16 px
+                ac = lq3 - lavg[:, None, None]
+                alphas = jnp.arange(-16, 17, dtype=jnp.int32)
+                scaled = alphas[None, :, None, None] * ac[:, None]
+                scq = jnp.where(scaled >= 0, (scaled + 32) >> 6,
+                                -((-scaled + 32) >> 6))
+                cfl_l, cfl_r, cfl_a, sse_cfl = [], [], [], 0
+                for sp_, dc_ in ((su[rc, cc], cpreds[0][:, 0]),
+                                 (sv[rc, cc], cpreds[1][:, 0])):
+                    pcand = jnp.clip(dc_[:, None] + scq, 0, hi)
+                    ssea = ((sp_[:, None] - pcand) ** 2).sum((-1, -2))
+                    ai = jnp.argmin(ssea, 1)
+                    cfl_a.append(alphas[ai])
+                    pb = jnp.take_along_axis(
+                        pcand, ai[:, None, None, None], 1)[:, 0]
+                    li, ri = _encode_plane_batch(sp_, pb, qindex,
+                                                 T.TX_4X4, bd, T.DCT_DCT)
+                    cfl_l.append(li)
+                    cfl_r.append(ri)
+                    sse_cfl = sse_cfl + ((sp_ - ri) ** 2).sum((-1, -2))
+                # alpha (0,0) has no joint-sign code: never pick CFL then
+                both0 = (cfl_a[0] == 0) & (cfl_a[1] == 0)
+                sse_c.append(sse_cfl + both0 * (1 << 30))
+                lvl_u.append(cfl_l[0])
+                rec_u.append(cfl_r[0])
+                lvl_v.append(cfl_l[1])
+                rec_v.append(cfl_r[1])
+            if len(lvl_u) > 1:
                 bc = jnp.argmin(jnp.stack(sse_c, axis=1), axis=1)
             else:
                 bc = jnp.zeros(rs.shape, jnp.int32)
+            uv_ids = (tuple(uv_cands) + (UV_CFL_ID,)) if rich \
+                else tuple(uv_cands)
             uvm = uvm.at[rs, cs].set(
-                jnp.asarray(np.array(uv_cands, np.int32))[bc])
+                jnp.asarray(np.array(uv_ids, np.int32))[bc])
+            if rich:
+                is_cfl = bc == len(uv_cands)
+                cfl = cfl.at[rs, cs, 0].set(jnp.where(is_cfl, cfl_a[0], 0))
+                cfl = cfl.at[rs, cs, 1].set(jnp.where(is_cfl, cfl_a[1], 0))
             pick = lambda lst: jnp.take_along_axis(
                 jnp.stack(lst, axis=1), bc[:, None, None, None],
                 axis=1)[:, 0]
@@ -202,10 +248,12 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
             rv = rv.at[rs, cs].set(pick(rec_v))
             lv = lv.at[rs, cs].set(pick(lvl_v))
 
-            return ry, ru, rv, modes, angles, uvm, ly, lu, lv
+            return ry, ru, rv, modes, angles, uvm, ly, lu, lv, cfl
 
-        ry, ru, rv, modes, angles, uvm, ly, lu, lv = jax.lax.fori_loop(
-            0, ndiag, body, (ry, ru, rv, modes, angles, uvm, ly, lu, lv))
+        (ry, ru, rv, modes, angles, uvm, ly, lu,
+         lv, cfl) = jax.lax.fori_loop(
+            0, ndiag, body,
+            (ry, ru, rv, modes, angles, uvm, ly, lu, lv, cfl))
         trim = lambda a: a[:nbh, :nbw]
         # narrow dtypes before leaving the device: levels fit int8/int16
         # by the quantizer bound, recon/modes fit uint8 — the tunneled
@@ -223,7 +271,8 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
                trim(rv).astype(px))
         if rich:
             out = out + (trim(angles).astype(jnp.int8),
-                         trim(uvm).astype(jnp.uint8))
+                         trim(uvm).astype(jnp.uint8),
+                         trim(cfl).astype(jnp.int8))
         return out
 
     return step
@@ -304,6 +353,7 @@ def materialize_batch(out, nbh: int, nbw: int, with_recon: bool = True):
             "recon_v": unblock_planes(arrs[6][i]) if with_recon else None,
             "angles": arrs[nrec][i] if rich else None,
             "uv_modes": arrs[nrec + 1][i] if rich else None,
+            "cfl": arrs[nrec + 2][i] if rich else None,
             "nbh": nbh, "nbw": nbw,
         }
         for i in range(g)
@@ -358,6 +408,7 @@ def materialize_frame(out, nbh: int, nbw: int):
         "recon_v": unblock_planes(rv),
         "angles": arrs[7] if len(arrs) > 7 else None,
         "uv_modes": arrs[8] if len(arrs) > 8 else None,
+        "cfl": arrs[9] if len(arrs) > 9 else None,
         "nbh": nbh, "nbw": nbw,
     }
 

@@ -154,11 +154,13 @@ class TileWriter:
 
     def encode(self, modes: np.ndarray, levels_y: np.ndarray,
                levels_u: np.ndarray, levels_v: np.ndarray,
-               cdef_idx=None, angles=None, uv_modes=None) -> bytes:
+               cdef_idx=None, angles=None, uv_modes=None,
+               cfl=None) -> bytes:
         tc = self.tc
         self.data = (modes, levels_y, levels_u, levels_v)
         self.angles = angles        # per-block angle delta (None = 0)
         self.uv_modes = uv_modes    # per-block chroma mode (None = DC)
+        self.cfl = cfl              # [nbh,nbw,2] alphaQ3 (u, v); CFL blocks
         self.inter = False
         self.cdef_idx = cdef_idx
         for r4 in range(0, tc.mi_rows, SB_MI):
@@ -381,6 +383,10 @@ class TileWriter:
         cdf = fc.uv_mode[1][y_mode]
         enc.encode_symbol(uv, cdf, 14)
         update_icdf(cdf, uv, 14)
+        if uv == S.UV_CFL_PRED:
+            au = int(self.cfl[br, bc, 0])
+            av = int(self.cfl[br, bc, 1])
+            S.code_cfl_alphas(enc, None, fc, au, av)
         if S.V_PRED <= uv <= S.D67_PRED:   # angle_delta_uv (always 0)
             cdf = fc.angle_delta[uv - S.V_PRED]
             enc.encode_symbol(S.MAX_ANGLE_DELTA, cdf, 7)

@@ -64,3 +64,32 @@ def test_rich_intra_beats_base_modes():
         pkt = enc.get_packet()
         outs[mode] = pkt.psnr[0]
     assert outs["rich"] >= outs["base"] - 1e-6, outs
+
+
+def test_cfl_chroma_from_luma_e2e():
+    """CFL (spec 7.11.5): on luma-correlated chroma the wavefront picks
+    UV_CFL_PRED with nonzero alphas, the alphas survive the joint-sign
+    syntax in both backends, and the stream mirror-decodes bit-exactly."""
+    import numpy as np
+    from svt_av1_tpu.decoder.decode import Decoder
+    from svt_av1_tpu.io import synthetic_frame
+
+    f = synthetic_frame(W, H, seed=3)
+    f.u[:] = (f.y[::2, ::2] // 2 + 60).astype(f.u.dtype)
+    f.v[:] = ((255 - f.y[::2, ::2]) // 2).astype(f.v.dtype)
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=40, enc_mode=4,
+                                scene_change_detection=False))
+    enc.send_picture(f)
+    pkt = enc.get_packet()
+    df = Decoder().decode_temporal_unit(pkt.payload)
+    for a, b in ((df.y, pkt.recon.y), (df.u, pkt.recon.u),
+                 (df.v, pkt.recon.v)):
+        assert np.array_equal(a, b)
+    # CFL must actually fire on this content
+    import svt_av1_tpu.pipeline.intra_encoder as IE
+    out, nbh, nbw = IE.dispatch_frame_device(
+        f.y, f.u, f.v, 160, H // 4, W // 4, rich=True)
+    dev = IE.materialize_frame(out, nbh, nbw)
+    assert (dev["uv_modes"] == IE.UV_CFL_ID).any(), "CFL never chosen"
+    picked = dev["cfl"][dev["uv_modes"] == IE.UV_CFL_ID]
+    assert (picked != 0).any(), "CFL chosen only with zero alphas"
