@@ -359,6 +359,9 @@ struct TileWriter {
   const uint8_t* modes;
   const int32_t *ly, *lu, *lvv;
   int nbw;
+  // multi-size intra (16x16 leaves): per-cell size map + 16-leaf grids
+  const uint8_t* isize_map = nullptr;  // [nbh][nbw] 8/16
+  const int32_t *l16y = nullptr, *l16u = nullptr, *l16v = nullptr;
 
   void init(int mr, int mc, int q, int reduced, const int32_t* cdf_blob) {
     mi_rows = mr;
@@ -499,18 +502,20 @@ struct TileWriter {
         enc.encode_symbol(s, c2, 2);
         update_icdf(c2, s, 2);
       } else {
-        // intra ext-tx (8x8/4x4: sqr_up <= 16): set DTT4_IDTX (reduced) or
-        // DTT4_IDTX_1DDCT; symbol for DCT_DCT is 1 in both.
-        int nsym = reduced_tx_set ? 5 : 7;
-        int eset = reduced_tx_set ? 2 : 1;
-        int sq = w >= 8 ? 1 : 0;  // txsize_sqr idx for 8x8/4x4
+        // intra ext-tx (sqr_up <= TX_16X16): set DTT4_IDTX (reduced, or
+        // any 16x16) or DTT4_IDTX_1DDCT; DCT_DCT is symbol 1 in both
+        // (syntax.py intra_tx_set_type)
+        int sq = w == 4 ? 0 : (w == 8 ? 1 : 2);  // txsize_sqr idx
+        bool dtt4 = reduced_tx_set || sq == 2;
+        int nsym = dtt4 ? 5 : 7;
+        int eset = dtt4 ? 2 : 1;
         int32_t* c2 = t.intra_ext_tx + ((eset * 4 + sq) * 13 + y_mode) * 17;
         static const int IND_DTT4_IDTX[16] = {1, 3, 4, 2, 0, 0, 0, 0,
                                               0, 0, 0, 0, 0, 0, 0, 0};
         static const int IND_DTT4_IDTX_1D[16] = {1, 5, 6, 4, 0, 0, 0, 0,
                                                  0, 0, 2, 3, 0, 0, 0, 0};
-        int s = reduced_tx_set ? IND_DTT4_IDTX[tx_type]
-                               : IND_DTT4_IDTX_1D[tx_type];
+        int s = dtt4 ? IND_DTT4_IDTX[tx_type]
+                     : IND_DTT4_IDTX_1D[tx_type];
         enc.encode_symbol(s, c2, nsym);
         update_icdf(c2, s, nsym);
       }
@@ -603,16 +608,30 @@ struct TileWriter {
     cdef_done = true;
   }
 
-  // --- block (8x8 leaf) ---
-  void write_block(int r4, int c4) {
+  // --- intra leaf (8x8, or 16x16 from the multi-size wavefront) ---
+  void write_block(int r4, int c4, int n4 = 2) {
     int br = r4 >> 1, bc = c4 >> 1;
     int y_mode = modes[br * nbw + bc];
-    const int32_t* l0 = ly + (static_cast<long>(br) * nbw + bc) * 64;
-    const int32_t* l1 = lu + (static_cast<long>(br) * nbw + bc) * 16;
-    const int32_t* l2 = lvv + (static_cast<long>(br) * nbw + bc) * 16;
+    const int32_t *l0, *l1, *l2;
+    int ny, nc;
+    if (n4 == 2) {
+      l0 = ly + (static_cast<long>(br) * nbw + bc) * 64;
+      l1 = lu + (static_cast<long>(br) * nbw + bc) * 16;
+      l2 = lvv + (static_cast<long>(br) * nbw + bc) * 16;
+      ny = 64;
+      nc = 16;
+    } else {
+      const int nuw = (nbw + 1) >> 1;
+      const long u = static_cast<long>(r4 >> 2) * nuw + (c4 >> 2);
+      l0 = l16y + u * 256;
+      l1 = l16u + u * 64;
+      l2 = l16v + u * 64;
+      ny = 256;
+      nc = 64;
+    }
     bool skip = true;
-    for (int i = 0; i < 64 && skip; ++i) skip = l0[i] == 0;
-    for (int i = 0; i < 16 && skip; ++i) skip = l1[i] == 0 && l2[i] == 0;
+    for (int i = 0; i < ny && skip; ++i) skip = l0[i] == 0;
+    for (int i = 0; i < nc && skip; ++i) skip = l1[i] == 0 && l2[i] == 0;
 
     // skip flag
     int above = r4 > 0 ? skips[(r4 - 1) * mi_cols + c4] : 0;
@@ -672,29 +691,29 @@ struct TileWriter {
     }
 
     // grids + partition neighbor bytes
-    for (int i = 0; i < 2; ++i) {
-      for (int j = 0; j < 2; ++j) {
+    for (int i = 0; i < n4; ++i) {
+      for (int j = 0; j < n4; ++j) {
         y_modes[(r4 + i) * mi_cols + c4 + j] = static_cast<int8_t>(y_mode);
         skips[(r4 + i) * mi_cols + c4 + j] = skip ? 1 : 0;
       }
     }
-    part_above[c4] = part_above[c4 + 1] = 32 - 2;
-    part_left[r4] = part_left[r4 + 1] = 32 - 2;
+    for (int j = 0; j < n4; ++j) part_above[c4 + j] = 32 - n4;
+    for (int i = 0; i < n4; ++i) part_left[r4 + i] = 32 - n4;
 
     // residuals
     const int32_t* lvs[3] = {l0, l1, l2};
     for (int plane = 0; plane < 3; ++plane) {
       int pr = plane ? r4 >> 1 : r4;
       int pc = plane ? c4 >> 1 : c4;
-      int w4 = plane ? 1 : 2;
+      int w4 = plane ? n4 >> 1 : n4;
       if (skip) {
         set_txb(plane, pr, pc, w4, w4, 0);
         continue;
       }
       int sctx, dctx;
       txb_ctx(plane, pr, pc, w4, w4, &sctx, &dctx);
-      int bs = plane ? 4 : 8;
-      int txs_ctx = plane ? 0 : 1;
+      int bs = plane ? n4 * 2 : n4 * 4;
+      int txs_ctx = bs == 4 ? 0 : (bs == 8 ? 1 : 2);
       int cul = write_coeffs(lvs[plane], bs, bs, txs_ctx, plane ? 1 : 0, 0,
                              sctx, dctx, plane == 0, y_mode);
       set_txb(plane, pr, pc, w4, w4, cul);
@@ -720,8 +739,8 @@ struct TileWriter {
   const uint8_t* cfl_map = nullptr;     // [nbh][nbw][2] int8 alphaQ3
   int ref_select = 0;                // frame codes comp_inter bits
   int comp_fwd = 1, comp_bwd = 7;    // frame-level BIDIR pair
-  const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8/16/32
-  const int32_t* lv_inter[3][3];     // [size8/16/32][plane] level grids
+  const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8..64
+  const int32_t* lv_inter[4][3];     // [size8/16/32/64][plane] level grids
   int nb8w = 0;
   // per-mi inter grids (twin of MiInter)
   std::vector<uint8_t> mi_inter, mi_mode, mi_w4, mi_h4;
@@ -1233,7 +1252,7 @@ struct TileWriter {
 
   void write_inter_block(int r4, int c4, int n4) {
     const int bs = n4 * 4;                  // luma pixels
-    const int size_idx = n4 == 2 ? 0 : (n4 == 4 ? 1 : 2);
+    const int size_idx = n4 == 2 ? 0 : (n4 == 4 ? 1 : (n4 == 8 ? 2 : 3));
     const int ny = bs * bs, nc = (bs / 2) * (bs / 2);
     const int gb_w = (nb8w * 8) / bs;       // per-size grid width
     int br = (r4 * 4) / bs, bc = (c4 * 4) / bs;
@@ -1458,14 +1477,29 @@ struct TileWriter {
       int pbs = plane ? bs / 2 : bs;
       // txs_ctx for square tx: log2(dim/4) (tx_size_ctx, syntax.py)
       int txs_ctx = pbs == 4 ? 0 : (pbs == 8 ? 1 : (pbs == 16 ? 2 : 3));
+      const int32_t* lvp = lvs[plane];
+      int cw = pbs;
+      bool ttype_flag = plane == 0;
+      int32_t tmp64[1024];
+      if (pbs == 64) {
+        // TX_64X64 codes only the top-left 32x32 adjusted region (spec
+        // Adjusted_Tx_Size); tx type is DCT-only at dim 64 (no symbol)
+        for (int rr = 0; rr < 32; ++rr)
+          for (int cc2 = 0; cc2 < 32; ++cc2)
+            tmp64[rr * 32 + cc2] = lvp[rr * 64 + cc2];
+        lvp = tmp64;
+        cw = 32;
+        txs_ctx = 4;
+        ttype_flag = false;
+      }
       // luma tx type from the per-cell search map (0 = DCT, 9 = IDTX);
       // chroma inherits it for the inverse but its syntax stays class-2D
       int ttx = (plane == 0 && txty_map)
                     ? txty_map[static_cast<size_t>(r4 >> 1) * nb8w +
                                (c4 >> 1)]
                     : 0;
-      int cul = write_coeffs_inter(lvs[plane], pbs, pbs, txs_ctx,
-                                   plane ? 1 : 0, sctx, dctx, plane == 0,
+      int cul = write_coeffs_inter(lvp, cw, cw, txs_ctx,
+                                   plane ? 1 : 0, sctx, dctx, ttype_flag,
                                    ttx);
       set_txb(plane, pr, pc, w4, w4, cul);
     }
@@ -1483,13 +1517,16 @@ struct TileWriter {
   void partition(int r4, int c4, int n4) {
     if (r4 >= mi_rows || c4 >= mi_cols) return;
     bool leaf = n4 == 2;
-    if (!leaf && inter_frame && n4 <= 8 &&
+    if (!leaf && inter_frame && n4 <= 16 &&
         size_map[static_cast<size_t>(r4 >> 1) * nb8w + (c4 >> 1)] == n4 * 4)
+      leaf = true;
+    if (!leaf && !inter_frame && n4 == 4 && isize_map &&
+        isize_map[static_cast<size_t>(r4 >> 1) * nbw + (c4 >> 1)] == 16)
       leaf = true;
     if (leaf) {
       write_partition(r4, c4, n4, PARTITION_NONE);
       if (inter_frame) write_inter_block(r4, c4, n4);
-      else write_block(r4, c4);
+      else write_block(r4, c4, n4);
       return;
     }
     write_partition(r4, c4, n4, PARTITION_SPLIT);
@@ -1531,7 +1568,9 @@ long svt_encode_tile(int mi_rows, int mi_cols, int qindex, int reduced_tx_set,
                      int nbh, int nbw, uint8_t* out, long out_cap,
                      const uint8_t* cdef_idx, int cdef_bits,
                      const uint8_t* angles, const uint8_t* uv_modes,
-                     const uint8_t* cfl) {
+                     const uint8_t* cfl, const uint8_t* sizes,
+                     const int32_t* l16y, const int32_t* l16u,
+                     const int32_t* l16v) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.cdef_idx = cdef_idx;
@@ -1539,6 +1578,10 @@ long svt_encode_tile(int mi_rows, int mi_cols, int qindex, int reduced_tx_set,
   tw.angles_map = angles;
   tw.uv_map = uv_modes;
   tw.cfl_map = cfl;
+  tw.isize_map = sizes;
+  tw.l16y = l16y;
+  tw.l16u = l16u;
+  tw.l16v = l16v;
   tw.nsb_w = (mi_cols + 15) / 16;
   return tw.encode(modes, ly, lu, lv, nbh, nbw, out, out_cap);
 }
@@ -1568,7 +1611,7 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
   tw.comp_bwd = comp_bwd;
   if (sign_bias)
     for (int i = 0; i < 8; ++i) tw.sign_bias[i] = sign_bias[i];
-  for (int s = 0; s < 3; ++s)
+  for (int s = 0; s < 4; ++s)
     for (int p = 0; p < 3; ++p) tw.lv_inter[s][p] = levels9[s * 3 + p];
   tw.nb8w = nb8w;
   tw.cdef_idx = cdef_idx;

@@ -183,13 +183,11 @@ class Decoder:
         if any(fp.filter_levels):
             from svt_av1_tpu.ops import deblock as DB
             l0, l1, lu2, lv2 = fp.filter_levels
-            if self.is_inter_frame:
-                w4 = np.maximum(self.w4_map.astype(np.int32), 2)
-                sizes_y = np.repeat(np.repeat(w4, 4, 0), 4, 1) * 4
-                sizes_c = np.repeat(np.repeat(w4, 2, 0), 2, 1) * 2
-            else:
-                sizes_y = np.full((ph, pw), 8, np.int32)
-                sizes_c = np.full((ph // 2, pw // 2), 4, np.int32)
+            # per-pixel tx-size maps from the coded block sizes (intra
+            # frames fill w4_map in _block; uniform-8 streams are all 2s)
+            w4 = np.maximum(self.w4_map.astype(np.int32), 2)
+            sizes_y = np.repeat(np.repeat(w4, 4, 0), 4, 1) * 4
+            sizes_c = np.repeat(np.repeat(w4, 2, 0), 2, 1) * 2
             self.rec[0] = DB.deblock_plane(np, self.rec[0], sizes_y, l0, l1,
                                            True, bd=sp.bit_depth)
             self.rec[1] = DB.deblock_plane(np, self.rec[1], sizes_c, lu2,
@@ -312,9 +310,13 @@ class Decoder:
             return
         p = read_partition_symbol(self.dec, self.fc, tc, r4, c4, n4)
         if p == S.PARTITION_NONE:
-            assert self.is_inter_frame and n4 in (4, 8), \
-                f"unsupported PARTITION_NONE at n4={n4}"
-            self._inter_block(r4, c4, n4 * 4)
+            if self.is_inter_frame:
+                assert n4 in (4, 8, 16), \
+                    f"unsupported PARTITION_NONE at n4={n4}"
+                self._inter_block(r4, c4, n4 * 4)
+            else:
+                assert n4 == 4, f"unsupported intra PARTITION_NONE {n4}"
+                self._block(r4, c4, 16)
             return
         assert p == S.PARTITION_SPLIT, \
             f"unsupported partition {p} at n4={n4}"
@@ -324,8 +326,9 @@ class Decoder:
         self._partition(r4 + half, c4, half)
         self._partition(r4 + half, c4 + half, half)
 
-    _TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32}
-    _TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16}
+    _TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32,
+              64: T.TX_64X64}
+    _TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16, 64: T.TX_32X32}
 
     def _inter_block(self, r4: int, c4: int, bs: int) -> None:
         dec, fc, tc, mi = self.dec, self.fc, self.tc, self.mi
@@ -420,6 +423,11 @@ class Decoder:
                 tc.set_txb(plane, pr, pc, w4, w4, cul)
                 if plane == 0:
                     ltx = ptx
+                if levels.shape != (pbs, pbs):
+                    # dim-64 tx: the parsed 32x32 adjusted region sits in
+                    # the top-left of a zero 64x64 coefficient array
+                    levels = np.pad(levels, ((0, pbs - levels.shape[0]),
+                                             (0, pbs - levels.shape[1])))
 
             py = (pr + (self.toff[0] >> (plane > 0))) * 4
             px = (pc + (self.toff[1] >> (plane > 0))) * 4
@@ -455,8 +463,9 @@ class Decoder:
             self.rec[plane][py : py + pbs, px : px + pbs] = np.clip(
                 pred + resid, 0, (1 << bd2) - 1)
 
-    def _block(self, r4: int, c4: int) -> None:
+    def _block(self, r4: int, c4: int, lbs: int = 8) -> None:
         dec, fc, tc = self.dec, self.fc, self.tc
+        n4 = lbs // 4
 
         ctx = tc.skip_ctx(r4, c4)
         cdf = fc.skip[ctx]
@@ -489,13 +498,18 @@ class Decoder:
             uv_delta = d - S.MAX_ANGLE_DELTA
         assert uv_mode in _UV_TX, f"unsupported uv mode {uv_mode}"
 
-        tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, y_mode, skip)
+        tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), y_mode,
+                     skip)
+        self.w4_map[r4 + self.toff[0] : r4 + self.toff[0] + n4,
+                    c4 + self.toff[1] : c4 + self.toff[1] + n4] = n4
 
-        for plane, tx_size in enumerate((T.TX_8X8, T.TX_4X4, T.TX_4X4)):
+        for plane, tx_size in enumerate(
+                (self._TX_OF[lbs], self._TX_OF_C[lbs],
+                 self._TX_OF_C[lbs])):
             pr = r4 >> (plane > 0)
             pc = c4 >> (plane > 0)
-            w4 = LEAF_MI >> (plane > 0)
-            bs = 8 if plane == 0 else 4
+            w4 = n4 >> (plane > 0)
+            bs = lbs if plane == 0 else lbs // 2
             mode = ((y_mode, y_delta) if plane == 0
                     else (uv_mode, uv_delta))
             if skip:
@@ -521,9 +535,20 @@ class Decoder:
             tl = int(rec[py - 1, px - 1]) if (ha and hl) else 0
             above_ext = None
             if plane == 0:
-                ar_avail, _bl = intra.edge_availability(
-                    self.tc.mi_rows // 2, self.tc.mi_cols // 2)
-                if ar_avail[r4 // 2, c4 // 2]:
+                if lbs == 8:
+                    ar_avail, _bl = intra.edge_availability(
+                        self.tc.mi_rows // 2, self.tc.mi_cols // 2)
+                    ar = ar_avail[r4 // 2, c4 // 2]
+                else:
+                    # unit-granularity availability + full-strip rule
+                    # (mirror of pipeline.intra_encoder.frame_step16)
+                    nbw = self.tc.mi_cols // 2
+                    ar_u, _bl = intra.edge_availability(
+                        -(-self.tc.mi_rows // 4),
+                        -(-self.tc.mi_cols // 4), per_sb=4)
+                    ar = (ar_u[r4 // 4, c4 // 4]
+                          and (2 * (c4 // 4) + 3) < nbw)
+                if ar:
                     above_ext = rec[py - 1, px + bs : px + 2 * bs]
             bd = self.seq.bit_depth
             if plane > 0 and uv_mode == S.UV_CFL_PRED:
@@ -533,10 +558,11 @@ class Decoder:
                     (S.DC_PRED, 0), above, left, tl, ha, hl, bs, bs, bd)
                 ly0 = (r4 + self.toff[0]) * 4
                 lx0 = (c4 + self.toff[1]) * 4
-                lrec = self.rec[0][ly0 : ly0 + 8, lx0 : lx0 + 8]
+                lrec = self.rec[0][ly0 : ly0 + lbs, lx0 : lx0 + lbs]
                 lq3 = ((lrec[0::2, 0::2] + lrec[0::2, 1::2]
                         + lrec[1::2, 0::2] + lrec[1::2, 1::2]) << 1)
-                ac = lq3 - ((lq3.sum() + 8) >> 4)
+                shift = 2 * int(np.log2(bs))
+                ac = lq3 - ((lq3.sum() + (1 << (shift - 1))) >> shift)
                 alpha = cfl_au if plane == 1 else cfl_av
                 sc = alpha * ac
                 sc = np.where(sc >= 0, (sc + 32) >> 6, -((-sc + 32) >> 6))

@@ -64,7 +64,9 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
     ]
     lib.svt_encode_tile_inter.restype = ctypes.c_long
     lib.svt_encode_tile_inter.argtypes = [
@@ -96,7 +98,7 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
                     levels_u: np.ndarray, levels_v: np.ndarray,
                     reduced_tx_set: bool = True, cdef_idx=None,
                     cdef_bits: int = 2, angles=None, uv_modes=None,
-                    cfl=None) -> bytes:
+                    cfl=None, sizes=None, levels16=None) -> bytes:
     lib = _lib()
     blob = build_blob(fc)
     assert blob.size == lib.svt_tile_blob_size(), \
@@ -120,6 +122,9 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
                                                             np.uint8)
     cf = None if cfl is None else np.ascontiguousarray(
         cfl.astype(np.int8).view(np.uint8))
+    sz = None if sizes is None else np.ascontiguousarray(sizes, np.uint8)
+    l16 = (None if levels16 is None else
+           [np.ascontiguousarray(a, np.int32) for a in levels16])
     n = lib.svt_encode_tile(
         mi_rows, mi_cols, qindex, int(reduced_tx_set),
         p(blob, ctypes.c_int32), p(m, ctypes.c_uint8),
@@ -128,7 +133,10 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
         None if ci is None else p(ci, ctypes.c_uint8), cdef_bits,
         None if an is None else p(an, ctypes.c_uint8),
         None if uv is None else p(uv, ctypes.c_uint8),
-        None if cf is None else p(cf, ctypes.c_uint8))
+        None if cf is None else p(cf, ctypes.c_uint8),
+        None if sz is None else p(sz, ctypes.c_uint8),
+        *((None,) * 3 if l16 is None else
+          tuple(p(a, ctypes.c_int32) for a in l16)))
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])
@@ -140,7 +148,7 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                           cdef_idx=None, cdef_bits: int = 2,
                           refs=None, sign_bias=None, mvs2=None,
                           comp_pair=(1, 7), txty=None, gm=None) -> bytes:
-    """levels: {8: (ly,lu,lv), 16: (...), 32: (...)} per-size level grids."""
+    """levels: {8: (ly,lu,lv), ..., 64: (...)} per-size level grids."""
     lib = _lib()
     blob = build_blob(fc)
     assert blob.size == lib.svt_tile_blob_size(), \
@@ -148,9 +156,16 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
     nb8h, nb8w = sizes.shape
     sz = np.ascontiguousarray(sizes, np.uint8)
     mv = np.ascontiguousarray(mvs, np.int32)
+    if 64 not in levels:
+        # callers without 64x64 leaves (sizes never reaches 64): zeros
+        g64h, g64w = -(-nb8h // 8), -(-nb8w // 8)
+        levels = dict(levels)
+        levels[64] = (np.zeros((g64h, g64w, 64, 64), np.int32),
+                      np.zeros((g64h, g64w, 32, 32), np.int32),
+                      np.zeros((g64h, g64w, 32, 32), np.int32))
     lvl_arrs = [np.ascontiguousarray(levels[bs][pl], np.int32)
-                for bs in (8, 16, 32) for pl in range(3)]
-    ptrs = (ctypes.POINTER(ctypes.c_int32) * 9)(
+                for bs in (8, 16, 32, 64) for pl in range(3)]
+    ptrs = (ctypes.POINTER(ctypes.c_int32) * 12)(
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
           for a in lvl_arrs])
     cap = mi_rows * mi_cols * 256 + (1 << 16)

@@ -123,22 +123,28 @@ def z_order(rr: np.ndarray, cc: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def edge_availability(nbh: int, nbw: int):
-    """(above_right, below_left) static availability maps for the uniform
-    8x8 grid (spec BlockDecoded rule: decoded-earlier in Z order, with
-    superblock-boundary guards)."""
+def edge_availability(nbh: int, nbw: int, per_sb: int = 8):
+    """(above_right, below_left) static availability maps for a uniform
+    square-block grid (spec BlockDecoded rule: decoded-earlier in Z
+    order, with superblock-boundary guards).
+
+    per_sb: blocks per 64px superblock side — 8 for the 8x8 grid, 4 for
+    the 16x16 unit grid.  The z-order comparison is exact for MIXED
+    partitions too: a merged parent covers a contiguous z-span, so
+    per-position precedence equals whole-block precedence."""
     r = np.arange(nbh)[:, None] * np.ones((1, nbw), np.int64)
     c = np.ones((nbh, 1), np.int64) * np.arange(nbw)[None, :]
-    rr, cc = (r % 8).astype(np.int64), (c % 8).astype(np.int64)
+    rr = (r % per_sb).astype(np.int64)
+    cc = (c % per_sb).astype(np.int64)
     z = z_order(rr, cc)
 
     in_ar = (r - 1 >= 0) & (c + 1 < nbw)
     same_sb_ar = z_order(rr - 1, cc + 1) < z
-    ar = in_ar & (cc < 7) & np.where(rr == 0, True, same_sb_ar)
+    ar = in_ar & (cc < per_sb - 1) & np.where(rr == 0, True, same_sb_ar)
 
     in_bl = (r + 1 < nbh) & (c - 1 >= 0)
     same_sb_bl = z_order(rr + 1, cc - 1) < z
-    bl = in_bl & (rr < 7) & np.where(cc == 0, True, same_sb_bl)
+    bl = in_bl & (rr < per_sb - 1) & np.where(cc == 0, True, same_sb_bl)
 
     ar.setflags(write=False)
     bl.setflags(write=False)

@@ -357,7 +357,7 @@ class Encoder:
             return
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
-        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
         sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px), ph32, pw32))
         su = jnp.asarray(IE.pad_plane(frame.u.astype(self._px),
                                       ph32 // 2, pw32 // 2))
@@ -404,7 +404,7 @@ class Encoder:
         import jax.numpy as jnp
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
-        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
         sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px), ph32, pw32))
         su = jnp.asarray(IE.pad_plane(frame.u.astype(self._px),
                                       ph32 // 2, pw32 // 2))
@@ -488,9 +488,11 @@ class Encoder:
             sy = jax.vmap(_unblock_dev)(sy_b)
             su = jax.vmap(_unblock_dev)(su_b)
             sv = jax.vmap(_unblock_dev)(sv_b)
+            sk = ((out[1] == 0).all((-1, -2)) & (out[2] == 0).all((-1, -2))
+                  & (out[3] == 0).all((-1, -2)))
             deb = _intra_postproc_fn(ph, pw, True, self.cfg.enable_cdef,
                                      self.cfg.bit_depth)(
-                y, u, v, sy, su, sv, out[1], out[2], out[3],
+                y, u, v, sy, su, sv, sk,
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]), jnp.int32(lvls[3]),
                 jnp.int32(CDEF.pick_damping(qindex)))
         self._pending.append(("batch", frames, out, nbh, nbw, qindex, deb))
@@ -504,7 +506,7 @@ class Encoder:
         mirror decoder pads its references identically)."""
         import jax.numpy as jnp
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
-        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
         pads = ((0, ph32 - ph), (0, pw32 - pw))
         padc = ((0, (ph32 - ph) // 2), (0, (pw32 - pw) // 2))
         return (jnp.pad(y, pads, mode="edge"),
@@ -547,11 +549,12 @@ class Encoder:
         nbh, nbw)."""
         import jax.numpy as jnp
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        part16 = self._rdo
         if self._rc is None:
             out, nbh, nbw = IE.dispatch_frame_device(
                 frame.y, frame.u, frame.v, qindex,
                 self.seq.mi_rows, self.seq.mi_cols,
-                self.cfg.bit_depth, rich=self._txs)
+                self.cfg.bit_depth, rich=self._txs, part16=part16)
         else:
             nbh, nbw = ph // 8, pw // 8
             sy = jnp.asarray(IE.block_planes(
@@ -564,7 +567,8 @@ class Encoder:
                 4))
             out = IE.build_frame_encoder_dyn(nbh, nbw,
                                              self.cfg.bit_depth,
-                                             rich=self._txs)(
+                                             rich=self._txs,
+                                             part16=part16)(
                 sy, su, sv, jnp.int32(qindex))
         planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
         deb = None
@@ -577,10 +581,21 @@ class Encoder:
                 frame.u.astype(self._px), ph // 2, pw // 2))
             sv = jnp.asarray(IE.pad_plane(
                 frame.v.astype(self._px), ph // 2, pw // 2))
+            # per-cell coded-skip map (CDEF skips skip blocks, spec 7.15)
+            sk = ((out[1] == 0).all((-1, -2)) & (out[2] == 0).all((-1, -2))
+                  & (out[3] == 0).all((-1, -2)))
+            extra = ()
+            if part16:
+                sk16 = ((out[11] == 0).all((-1, -2))
+                        & (out[12] == 0).all((-1, -2))
+                        & (out[13] == 0).all((-1, -2)))
+                rep16 = jnp.repeat(jnp.repeat(sk16, 2, 0), 2, 1)
+                sk = jnp.where(out[10] == 16, rep16[:nbh, :nbw], sk)
+                extra = (out[10],)
             deb = _intra_postproc_fn(ph, pw, False,
                                      self.cfg.enable_cdef,
-                                     self.cfg.bit_depth)(
-                *planes, sy, su, sv, out[1], out[2], out[3],
+                                     self.cfg.bit_depth, part16)(
+                *planes, sy, su, sv, sk, *extra,
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                 jnp.int32(lvls[3]),
                 jnp.int32(CDEF.pick_damping(qindex)))
@@ -600,7 +615,7 @@ class Encoder:
             qindex = max(1, min(255, qindex + q_off))
         self._send_idx += 1
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
-        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
 
         if key or self._ref_dev is None:
             out, deb, ref_planes, nbh, nbw = self._intra_dispatch(frame,
@@ -767,11 +782,9 @@ class Encoder:
             vals = jax.device_get([out[i] for i in idxs])
         arrs = {i: np.asarray(v) for i, v in zip(idxs, vals)}
         sizes, mv = arrs[0], arrs[1].astype(np.int32)
-        levels = {8: tuple(_unpack_levels(arrs[2 + p], 8) for p in range(3)),
-                  16: tuple(_unpack_levels(arrs[2 + p], 16)
-                            for p in range(3)),
-                  32: tuple(_unpack_levels(arrs[2 + p], 32)
-                            for p in range(3))}
+        levels = {bs: tuple(_unpack_levels(arrs[2 + p], bs)
+                            for p in range(3))
+                  for bs in (8, 16, 32, 64)}
         ry, ru, rv = arrs.get(5), arrs.get(6), arrs.get(7)
         cdef_idx = arrs[8] if cfg.enable_cdef and len(out) > 8 else None
         # tx-type search output rides at the END of the tuple
@@ -826,15 +839,23 @@ class Encoder:
         def code_tile(r01, c01) -> bytes:
             (r0, r1), (c0, c1) = r01, c01
             hm, wm = r1 - r0, c1 - c0
-            t_sizes = sl(sizes, r0, c0, hm, wm, 2, align=4)
-            t_mv = sl(mv, r0, c0, hm, wm, 2, align=4)
-            t_refs = sl(refs8, r0, c0, hm, wm, 2, align=4)
-            t_mv2 = sl(mvs2, r0, c0, hm, wm, 2, align=4)
-            t_tt = sl(txty, r0, c0, hm, wm, 2, align=4)
+            # 8-cell alignment keeps nb8 a multiple of 8 so the per-size
+            # grid widths nb8*8/bs stay exact down to the 64 level
+            t_sizes = sl(sizes, r0, c0, hm, wm, 2, align=8)
+            t_mv = sl(mv, r0, c0, hm, wm, 2, align=8)
+            t_refs = sl(refs8, r0, c0, hm, wm, 2, align=8)
+            t_mv2 = sl(mvs2, r0, c0, hm, wm, 2, align=8)
+            t_tt = sl(txty, r0, c0, hm, wm, 2, align=8)
             t_ci = sl(cdef_idx, r0, c0, hm, wm, 16)
-            t_lv = {bs: tuple(sl(levels[bs][p], r0, c0, hm, wm, bs // 4,
-                                 align=32 // bs)
-                              for p in range(3)) for bs in (8, 16, 32)}
+            n8h, n8w = t_sizes.shape
+
+            def slv(a, bs):
+                rr, cc = r0 // (bs // 4), c0 // (bs // 4)
+                nr, nc = n8h * 8 // bs, n8w * 8 // bs
+                return np.ascontiguousarray(a[rr : rr + nr, cc : cc + nc])
+
+            t_lv = {bs: tuple(slv(levels[bs][p], bs) for p in range(3))
+                    for bs in (8, 16, 32, 64)}
             fc = FrameContext(qindex)
             if lr is None and cfg.entropy_backend in ("auto", "cpp"):
                 from svt_av1_tpu.entropy import backend as native
@@ -919,6 +940,9 @@ class Encoder:
                 lr = self._lr_process(frame, y)
                 dev = dict(dev)
                 dev["recon_y"] = y
+        sizes = dev.get("sizes")
+        lv16 = (None if dev.get("levels16_y") is None else
+                (dev["levels16_y"], dev["levels16_u"], dev["levels16_v"]))
         tile = None
         if lr is None and cfg.entropy_backend in ("auto", "cpp"):
             from svt_av1_tpu.entropy import backend as native
@@ -928,7 +952,8 @@ class Encoder:
                     dev["modes"].astype(np.uint8), dev["levels_y"],
                     dev["levels_u"], dev["levels_v"], cdef_idx=cdef_idx,
                     angles=dev.get("angles"),
-                    uv_modes=dev.get("uv_modes"), cfl=dev.get("cfl"))
+                    uv_modes=dev.get("uv_modes"), cfl=dev.get("cfl"),
+                    sizes=sizes, levels16=lv16)
             elif cfg.entropy_backend == "cpp":
                 raise RuntimeError("C++ entropy backend unavailable")
         if tile is None:
@@ -938,7 +963,8 @@ class Encoder:
                              dev["levels_v"], cdef_idx=cdef_idx,
                              angles=dev.get("angles"),
                              uv_modes=dev.get("uv_modes"),
-                             cfl=dev.get("cfl"))
+                             cfl=dev.get("cfl"), sizes=sizes,
+                             levels16=lv16)
         # intra frames stay single-tile: the wavefront predicts across
         # tile boundaries (tile info is per-frame, so inter frames of the
         # same stream may still tile)
@@ -1058,12 +1084,13 @@ import functools
 
 @functools.lru_cache(maxsize=8)
 def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool,
-                       bd: int = 8):
-    """Jitted keyframe in-loop postproc: deblock (uniform 8x8/4x4 tx
-    grid) then optional CDEF search+apply; levels are runtime scalars so
-    rate control never recompiles.
+                       bd: int = 8, part16: bool = False):
+    """Jitted keyframe in-loop postproc: deblock (8x8/4x4 tx grid, or a
+    per-cell 8/16 size map at the RD presets) then optional CDEF
+    search+apply; levels are runtime scalars so rate control never
+    recompiles.
 
-    f(y, u, v, src_y, src_u, src_v, lvls_y_blocks, lvls_u, lvls_v,
+    f(y, u, v, src_y, src_u, src_v, skip_cells [, sizes8],
       lf_y, lf_u, lf_v, damping) -> (y, u, v, cdef_idx_sb)
     """
     import jax
@@ -1076,17 +1103,23 @@ def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool,
 
     px = jnp.uint8 if bd == 8 else jnp.uint16
 
-    def f(y, u, v, sy, su, sv, lby, lbu, lbv, ly, lu, lv, damping):
-        y = DB.deblock_plane(jnp, y.astype(jnp.int32), jnp.asarray(sizes_y),
+    def f(y, u, v, sy, su, sv, sk, sizes8, ly, lu, lv, damping):
+        if part16:
+            # per-pixel tx size maps from the per-8px-cell size map
+            rep = lambda a, k: jnp.repeat(jnp.repeat(a, k, 0), k, 1)
+            sz_y = rep(sizes8.astype(jnp.int32), 8)[:ph, :pw]
+            sz_c = rep((sizes8 // 2).astype(jnp.int32),
+                       4)[: ph // 2, : pw // 2]
+        else:
+            sz_y, sz_c = jnp.asarray(sizes_y), jnp.asarray(sizes_c)
+        y = DB.deblock_plane(jnp, y.astype(jnp.int32), sz_y,
                              ly, ly, True, bd=bd)
-        u = DB.deblock_plane(jnp, u.astype(jnp.int32), jnp.asarray(sizes_c),
+        u = DB.deblock_plane(jnp, u.astype(jnp.int32), sz_c,
                              lu, lu, False, bd=bd)
-        v = DB.deblock_plane(jnp, v.astype(jnp.int32), jnp.asarray(sizes_c),
+        v = DB.deblock_plane(jnp, v.astype(jnp.int32), sz_c,
                              lv, lv, False, bd=bd)
         idx_sb = jnp.zeros((-(-ph // 64), -(-pw // 64)), jnp.uint8)
         if cdef:
-            sk = ((lby == 0).all((-1, -2)) & (lbu == 0).all((-1, -2))
-                  & (lbv == 0).all((-1, -2)))
             (y, u, v), idx_sb = CDEF.cdef_search_and_apply(
                 jnp, (y, u, v),
                 (sy.astype(jnp.int32), su.astype(jnp.int32),
@@ -1095,9 +1128,15 @@ def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool,
             idx_sb = idx_sb.astype(jnp.uint8)
         return (y.astype(px), u.astype(px), v.astype(px), idx_sb)
 
+    if not part16:
+        g = lambda y, u, v, sy, su, sv, sk, ly, lu, lv, damping: f(
+            y, u, v, sy, su, sv, sk, None, ly, lu, lv, damping)
+        nin = 7
+    else:
+        g, nin = f, 8
     if batched:
-        f = jax.vmap(f, in_axes=(0,) * 9 + (None,) * 4)
-    return jax.jit(f, static_argnames=())
+        g = jax.vmap(g, in_axes=(0,) * nin + (None,) * 4)
+    return jax.jit(g, static_argnames=())
 
 
 def _qp_to_qindex(qp: int) -> int:

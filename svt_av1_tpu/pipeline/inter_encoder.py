@@ -47,9 +47,10 @@ from svt_av1_tpu.ops import transforms as T
 
 SEARCH_RANGE = 16   # full-pel luma search window (+-R)
 PAD = SEARCH_RANGE + 1  # +1: subpel refinement can cross one more pel
-SIZES = (8, 16, 32)     # luma leaf sizes (64 always splits)
-TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32}
-TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16}
+SIZES = (8, 16, 32)     # ME sweep sizes (the SAD pyramid's native levels)
+SIZES64 = (8, 16, 32, 64)   # leaf sizes incl. 64x64 (PARTITION_NONE at SB)
+TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32, 64: T.TX_64X64}
+TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16, 64: T.TX_32X32}
 # per-leaf overhead bits beyond residual+mv (mode/ref/skip + amortized
 # partition symbol) used in the merge decision
 LEAF_OVERHEAD_BITS = 6
@@ -76,6 +77,13 @@ def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
     # |err| < 0.05 coeff LSB for bd<=10, see ops/transforms.py)
     coeff = T.fwd_txfm2d_batch(resid, tx_size, tx_type, bd)
     levels = Q.quantize_batch(coeff, qindex, tx_size, bd)
+    if T.TX_W[tx_size] > 32 or T.TX_H[tx_size] > 32:
+        # spec Adjusted_Tx_Size: only the top-left 32x32 coefficients of a
+        # dim-64 transform are coded — zero the rest so recon matches the
+        # decoder (which parses a 32x32 region into a zero 64x64 array)
+        keep = np.zeros((T.TX_H[tx_size], T.TX_W[tx_size]), bool)
+        keep[: min(32, T.TX_H[tx_size]), : min(32, T.TX_W[tx_size])] = True
+        levels = jnp.where(jnp.asarray(keep), levels, 0)
     dq = Q.dequantize_batch(levels, qindex, tx_size, bd)
     rec = T.inv_txfm2d_batch(dq, tx_size, tx_type, bd)
     recon = jnp.clip(pred_blocks + rec.reshape(nbh, nbw, bs, bs), 0,
@@ -294,12 +302,13 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                  gm: bool = False):
     """Build the (unjitted) P/B-frame encode step.
 
-    Geometry: ph, pw are the *32-padded* plane dims (multiples of 32).
+    Geometry: ph, pw are the *64-padded* plane dims (multiples of 64,
+    so the 64x64 merge level tiles evenly).
     fn(src_y [ph,pw], src_u, src_v [ph/2,pw/2],
        ref0_y, ref0_u, ref0_v [, ref1_y, ref1_u, ref1_v when nrefs=2]
        [, qindex, lf_y, lf_u, lf_v — when built with qindex=None, rate
        control varies q per frame without recompiling])
-    -> (sizes [nb8h,nb8w] u8 (8/16/32 leaf size covering each 8x8 cell),
+    -> (sizes [nb8h,nb8w] u8 (8..64 leaf size covering each 8x8 cell),
         mv8   [nb8h,nb8w,2] i16 (selected leaf MV, replicated per cell),
         levels y/u/v at each size (9 arrays, i16),
         recon_y [ph,pw] u8, recon_u, recon_v, cdef idx
@@ -372,7 +381,31 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 mv_i[bs], cost_i[bs] = _subpel_refine_dense(
                     _block(sy, bs), py_pad_i, p2[bs][0], bs, pad, lam,
                     priors[bs] * 8, bd, filt)
+            priors[64] = priors[32][::2, ::2]
             return mv_i, cost_i, priors
+
+        def me64(py_pad_i, mv32, prior64_fp):
+            """64x64 leaf candidates: the four 32x32 children's refined
+            subpel MVs, each evaluated on the whole 64 block (ref: the
+            64x64 PU reuses the 32x32 search results in the ME pyramid,
+            EbMotionEstimation.c sb64 combining)."""
+            src64 = _block(sy, 64)
+            best_mv = best_cost = None
+            for dr in (0, 1):
+                for dc in (0, 1):
+                    mvc = mv32[dr::2, dc::2]
+                    pred = _mc_patch(py_pad_i, mvc, 64, pad, False, bd,
+                                     filt=filt)
+                    sad = jnp.abs(src64 - pred).sum((-1, -2))
+                    c = sad + ((lam * ME.mv_rate_bits(mvc - prior64_fp * 8))
+                               >> 4)
+                    if best_mv is None:
+                        best_mv, best_cost = mvc, c
+                    else:
+                        better = c < best_cost
+                        best_mv = jnp.where(better[..., None], mvc, best_mv)
+                        best_cost = jnp.minimum(c, best_cost)
+            return best_mv, best_cost
 
         per_ref = [me_one_ref(refs[3 * i].astype(jnp.int32), padded[i][0])
                    for i in range(nrefs)]
@@ -394,12 +427,18 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 use_g = costg < cost[bs]
                 mv[bs] = jnp.where(use_g[..., None], mvg, mv[bs])
                 cost[bs] = jnp.minimum(costg, cost[bs])
-        refsel = {bs: None for bs in SIZES}
-        mv_c = {bs: None for bs in SIZES}   # compound second (bwd) MV
+        # 64x64 leaf candidates per reference (post-GM so pans inherit
+        # the injected global MV through the 32 winners)
+        mv = dict(mv)
+        cost = dict(cost)
+        mv[64], cost[64] = me64(padded[0][0], mv[32], per_ref[0][2][64])
+        refsel = {bs: None for bs in SIZES64}
+        mv_c = {bs: None for bs in SIZES64}   # compound second (bwd) MV
         if nrefs == 2:
-            mv1, cost1 = per_ref[1][:2]
-            mv, cost = dict(mv), dict(cost)
-            for bs in SIZES:
+            mv1, cost1 = dict(per_ref[1][0]), dict(per_ref[1][1])
+            mv1[64], cost1[64] = me64(padded[1][0], mv1[32],
+                                      per_ref[1][2][64])
+            for bs in SIZES64:
                 sel = (cost1[bs] < cost[bs]).astype(jnp.uint8)
                 mv_sel_single = jnp.where(sel[..., None].astype(bool),
                                           mv1[bs], mv[bs])
@@ -469,7 +508,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 lam_rd = float(max(4, (acq * acq) >> 8))
             jcost = {}
             txty = {}
-            for bs in SIZES:
+            for bs in SIZES64:
                 src_b = _block(sy, bs)
                 pred_y = mc_one(0, False, bs, pad, mv[bs], mv_c[bs],
                                 refsel[bs])
@@ -494,7 +533,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 # jointly; when the winning variant has NO luma coeffs
                 # the tx-type symbol is never coded and the decoder
                 # infers DCT — force the DCT variant there.
-                cand_types = ((T.DCT_DCT,) if not txs
+                # dim-64 transforms are DCT-only (spec ext-tx DCTONLY set)
+                cand_types = ((T.DCT_DCT,) if (not txs or bs == 64)
                               else (T.DCT_DCT, T.IDTX))
                 best = None
                 for ty in cand_types:
@@ -539,6 +579,10 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             j_split32 = _sum4(j_at16) + lam_rd * PART_SPLIT_BITS
             j32 = jcost[32] + lam_rd * PART_NONE_BITS
             use32 = j32 <= j_split32
+            j_at32 = jnp.where(use32, j32, j_split32)
+            j_split64 = _sum4(j_at32) + lam_rd * PART_SPLIT_BITS
+            j64 = jcost[64] + lam_rd * PART_NONE_BITS
+            use64 = j64 <= j_split64
         else:
             # fast path (preset 8): SAD-domain rate-biased merge from the
             # ME costs; residual coding happens once, at the selected
@@ -553,41 +597,56 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             j_split32 = _sum4(j_at16) + split_oh
             j32 = cost[32] + oh
             use32 = j32 <= j_split32
+            j_at32 = jnp.where(use32, j32, j_split32)
+            j_split64 = _sum4(j_at32) + split_oh
+            j64 = cost[64] + oh
+            use64 = j64 <= j_split64
 
         # edge legality: a merged node must lie fully inside the mi grid;
-        # ph/pw are 32-padded so only the true frame geometry (baked in by
+        # ph/pw are 64-padded so only the true frame geometry (baked in by
         # the caller via masks) matters — caller passes it via closure.
         use16 = use16 & jnp.asarray(inside16)
         use32 = use32 & jnp.asarray(inside32)
+        use64 = use64 & jnp.asarray(inside64)
 
         # per-8x8-cell size map
         up2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
-        size8 = jnp.where(up2(up2(use32)), 32,
-                          jnp.where(up2(use16), 16, 8)).astype(jnp.uint8)
+        up8 = lambda a: up2(up2(up2(a)))
+        size8 = jnp.where(up8(use64), 64,
+                          jnp.where(up2(up2(use32)), 32,
+                                    jnp.where(up2(use16), 16, 8))
+                          ).astype(jnp.uint8)
 
         # selected-MV field at 8x8 granularity
-        mv_sel = jnp.where(up2(up2(use32))[..., None], up2(up2(mv[32])),
-                           jnp.where(up2(use16)[..., None], up2(mv[16]),
-                                     mv[8])).astype(jnp.int16)
+        mv_sel = jnp.where(
+            up8(use64)[..., None], up8(mv[64]),
+            jnp.where(up2(up2(use32))[..., None], up2(up2(mv[32])),
+                      jnp.where(up2(use16)[..., None], up2(mv[16]),
+                                mv[8]))).astype(jnp.int16)
 
         # selected-ref/mode field (0 = ref0/fwd, 1 = ref1/bwd,
         # 2 = compound average) + second MV for compound leaves
         ref8 = None
         mv2_sel = None
         if nrefs == 2:
-            ref8 = jnp.where(up2(up2(use32)), up2(up2(refsel[32])),
-                             jnp.where(up2(use16), up2(refsel[16]),
-                                       refsel[8])).astype(jnp.uint8)
+            ref8 = jnp.where(
+                up8(use64), up8(refsel[64]),
+                jnp.where(up2(up2(use32)), up2(up2(refsel[32])),
+                          jnp.where(up2(use16), up2(refsel[16]),
+                                    refsel[8]))).astype(jnp.uint8)
             if compound:
                 mv2_sel = jnp.where(
-                    up2(up2(use32))[..., None], up2(up2(mv_c[32])),
-                    jnp.where(up2(use16)[..., None], up2(mv_c[16]),
-                              mv_c[8])).astype(jnp.int16)
+                    up8(use64)[..., None], up8(mv_c[64]),
+                    jnp.where(up2(up2(use32))[..., None], up2(up2(mv_c[32])),
+                              jnp.where(up2(use16)[..., None], up2(mv_c[16]),
+                                        mv_c[8]))).astype(jnp.int16)
         txty8 = None
         if txs:
-            txty8 = jnp.where(up2(up2(use32)), up2(up2(txty[32])),
-                              jnp.where(up2(use16), up2(txty[16]),
-                                        txty[8])).astype(jnp.uint8)
+            txty8 = jnp.where(
+                up8(use64), up8(txty[64]),
+                jnp.where(up2(up2(use32)), up2(up2(txty[32])),
+                          jnp.where(up2(use16), up2(txty[16]),
+                                    txty[8]))).astype(jnp.uint8)
 
         if not rdo:
             # --- motion compensation ONCE at selected-cell granularity ---
@@ -606,7 +665,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                                         ref8))
 
             # residual coding at every size against the selected pred
-            for bs in SIZES:
+            for bs in SIZES64:
                 ly, rec_y = _encode_plane(_block(sy, bs),
                                           _block(pred_y_pl, bs),
                                           q, TX_OF[bs], bd)
@@ -625,9 +684,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         # --- final recon: per-cell select of the chosen size's recon -----
         def select_plane(idx_plane, shift):
             m8 = jnp.repeat(jnp.repeat(size8, 8 >> shift, 0), 8 >> shift, 1)
-            out = jnp.where(m8 == 32, rec_planes[32][idx_plane],
-                            jnp.where(m8 == 16, rec_planes[16][idx_plane],
-                                      rec_planes[8][idx_plane]))
+            out = jnp.where(
+                m8 == 64, rec_planes[64][idx_plane],
+                jnp.where(m8 == 32, rec_planes[32][idx_plane],
+                          jnp.where(m8 == 16, rec_planes[16][idx_plane],
+                                    rec_planes[8][idx_plane])))
             return out
 
         rec_y = select_plane(0, 0)
@@ -664,12 +725,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 rep = bs2 // 8
                 return jnp.repeat(jnp.repeat(z, rep, 0), rep, 1)
 
-            sk = jnp.where(sz8 == 32, skipmap(32)[: sz8.shape[0],
-                                                  : sz8.shape[1]],
-                           jnp.where(sz8 == 16, skipmap(16)[: sz8.shape[0],
-                                                            : sz8.shape[1]],
-                                     skipmap(8)[: sz8.shape[0],
-                                                : sz8.shape[1]]))
+            clipm = lambda m: m[: sz8.shape[0], : sz8.shape[1]]
+            sk = jnp.where(sz8 == 64, clipm(skipmap(64)),
+                           jnp.where(sz8 == 32, clipm(skipmap(32)),
+                                     jnp.where(sz8 == 16, clipm(skipmap(16)),
+                                               clipm(skipmap(8)))))
             # traced damping mirrors CD.pick_damping(q) so the header's
             # per-frame damping matches under dynamic q (hier-B layers, RC)
             damping = (3 + (q >> 6)) if dynamic_q else CD.pick_damping(qindex)
@@ -688,18 +748,24 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         # array per plane instead of three size grids (the tunnel link is
         # the bottleneck; host re-stitches leaves from tiles)
         m8 = size8[..., None, None]
-        ly_pack = jnp.where(m8 == 32, _tiles8(levels[32][0], 8),
-                            jnp.where(m8 == 16, _tiles8(levels[16][0], 8),
-                                      levels[8][0]))
-        lu_pack = jnp.where(m8 == 32, _tiles8(levels[32][1], 4),
-                            jnp.where(m8 == 16, _tiles8(levels[16][1], 4),
-                                      levels[8][1]))
-        lv_pack = jnp.where(m8 == 32, _tiles8(levels[32][2], 4),
-                            jnp.where(m8 == 16, _tiles8(levels[16][2], 4),
-                                      levels[8][2]))
+        ly_pack = jnp.where(
+            m8 == 64, _tiles8(levels[64][0], 8),
+            jnp.where(m8 == 32, _tiles8(levels[32][0], 8),
+                      jnp.where(m8 == 16, _tiles8(levels[16][0], 8),
+                                levels[8][0])))
+        lu_pack = jnp.where(
+            m8 == 64, _tiles8(levels[64][1], 4),
+            jnp.where(m8 == 32, _tiles8(levels[32][1], 4),
+                      jnp.where(m8 == 16, _tiles8(levels[16][1], 4),
+                                levels[8][1])))
+        lv_pack = jnp.where(
+            m8 == 64, _tiles8(levels[64][2], 4),
+            jnp.where(m8 == 32, _tiles8(levels[32][2], 4),
+                      jnp.where(m8 == 16, _tiles8(levels[16][2], 4),
+                                levels[8][2])))
         if not dynamic_q:
-            dt = (Q.level_dtype(qindex, T.TX_32X32, bd)
-                  if Q.level_dtype(qindex, T.TX_32X32, bd) ==
+            dt = (Q.level_dtype(qindex, T.TX_64X64, bd)
+                  if Q.level_dtype(qindex, T.TX_64X64, bd) ==
                   Q.level_dtype(qindex, T.TX_4X4, bd)
                   else jnp.int16)
             ly_pack = ly_pack.astype(dt)
@@ -719,6 +785,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
     # via build_p_frame_encoder (closure cells patched below).
     inside16 = np.ones((ph // 16, pw // 16), bool)
     inside32 = np.ones((ph // 32, pw // 32), bool)
+    inside64 = np.ones((ph // 64, pw // 64), bool)
     mi_extent = [ph, pw]
     lf_levels_cell = [(0, 0, 0, 0)]
     use_cdef_cell = [False]
@@ -726,16 +793,13 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
     def bind_masks(mi_rows: int, mi_cols: int, deblock: bool,
                    cdef: bool = False):
         cells_h, cells_w = mi_rows // 2, mi_cols // 2  # 8x8 cells in frame
-        i16 = np.zeros((ph // 16, pw // 16), bool)
-        for r in range(ph // 16):
-            for c in range(pw // 16):
-                i16[r, c] = (r * 2 + 2 <= cells_h) and (c * 2 + 2 <= cells_w)
-        i32 = np.zeros((ph // 32, pw // 32), bool)
-        for r in range(ph // 32):
-            for c in range(pw // 32):
-                i32[r, c] = (r * 4 + 4 <= cells_h) and (c * 4 + 4 <= cells_w)
-        inside16[:] = i16
-        inside32[:] = i32
+        for k, mask in ((2, inside16), (4, inside32), (8, inside64)):
+            m = np.zeros_like(mask)
+            for r in range(m.shape[0]):
+                for c in range(m.shape[1]):
+                    m[r, c] = (r * k + k <= cells_h) and \
+                        (c * k + k <= cells_w)
+            mask[:] = m
         mi_extent[0] = mi_rows * 4
         mi_extent[1] = mi_cols * 4
         if deblock and qindex is not None:

@@ -79,7 +79,7 @@ class MultiStreamEncoder:
         cfg = self.cfg
         seq = e0.seq
         ph, pw = seq.mi_rows * 4, seq.mi_cols * 4
-        ph32, pw32 = -(-ph // 32) * 32, -(-pw // 32) * 32
+        ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
         key = self.encs[0]._is_key(self._idx)
         qindex = e0._frame_qindex(key)
         self._idx += 1
@@ -114,9 +114,12 @@ class MultiStreamEncoder:
                 s_y = jax.vmap(_unblock_dev)(sy)
                 s_u = jax.vmap(_unblock_dev)(su)
                 s_v = jax.vmap(_unblock_dev)(sv)
+                sk = ((out[1] == 0).all((-1, -2))
+                      & (out[2] == 0).all((-1, -2))
+                      & (out[3] == 0).all((-1, -2)))
                 deb = _intra_postproc_fn(ph, pw, True, cfg.enable_cdef,
                                          cfg.bit_depth)(
-                    y, u, v, s_y, s_u, s_v, out[1], out[2], out[3],
+                    y, u, v, s_y, s_u, s_v, sk,
                     jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                     jnp.int32(lvls[3]),
                     jnp.int32(CDEF.pick_damping(qindex)))

@@ -155,12 +155,18 @@ class TileWriter:
     def encode(self, modes: np.ndarray, levels_y: np.ndarray,
                levels_u: np.ndarray, levels_v: np.ndarray,
                cdef_idx=None, angles=None, uv_modes=None,
-               cfl=None) -> bytes:
+               cfl=None, sizes=None, levels16=None) -> bytes:
+        """sizes: optional [nbh, nbw] per-8px-cell leaf size (8/16) from
+        the multi-size wavefront; levels16: (ly, lu, lv) 16-leaf grids.
+        Maps (modes/angles/uv/cfl) are per-cell, replicated across a
+        16 leaf's four cells."""
         tc = self.tc
         self.data = (modes, levels_y, levels_u, levels_v)
         self.angles = angles        # per-block angle delta (None = 0)
         self.uv_modes = uv_modes    # per-block chroma mode (None = DC)
         self.cfl = cfl              # [nbh,nbw,2] alphaQ3 (u, v); CFL blocks
+        self.sizes = sizes
+        self.levels16 = levels16
         self.inter = False
         self.cdef_idx = cdef_idx
         for r4 in range(0, tc.mi_rows, SB_MI):
@@ -220,7 +226,9 @@ class TileWriter:
         self._cdef_done = True
 
     def _leaf_here(self, r4: int, c4: int, n4: int) -> bool:
-        return self.inter and int(self.sizes[r4 // 2, c4 // 2]) == n4 * 4
+        if self.sizes is None:
+            return False
+        return int(self.sizes[r4 // 2, c4 // 2]) == n4 * 4
 
     def _partition(self, r4: int, c4: int, n4: int) -> None:
         tc = self.tc
@@ -232,7 +240,7 @@ class TileWriter:
             if self.inter:
                 self._inter_block(r4, c4, n4 * 4)
             else:
-                self._block(r4, c4)
+                self._block(r4, c4, n4 * 4)
             return
         write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4,
                                S.PARTITION_SPLIT)
@@ -242,8 +250,8 @@ class TileWriter:
         self._partition(r4 + half, c4, half)
         self._partition(r4 + half, c4 + half, half)
 
-    _TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32}
-    _TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16}
+    _TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32, 64: T.TX_64X64}
+    _TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16, 64: T.TX_32X32}
 
     def _inter_block(self, r4: int, c4: int, bs: int) -> None:
         enc, fc, tc, mi = self.enc, self.fc, self.tc, self.mi
@@ -344,19 +352,28 @@ class TileWriter:
             txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
                                          full_block_tx=True,
                                          larger_block=False)
+            # dim-64 transforms code only the adjusted 32x32 region
+            # (spec Adjusted_Tx_Size; the device zeroes the rest)
+            aw, ah = S.adjusted_dims(tx_size)
             cul = S.write_coeffs_txb(
-                enc, fc, lvl, tx_size, int(plane > 0),
+                enc, fc, lvl[:ah, :aw], tx_size, int(plane > 0),
                 ttx if plane == 0 else 0, txb_ctx, dc_ctx,
                 write_tx_type=True, reduced_tx_set=self.reduced_tx_set,
                 allow_tx_type=self.qindex > 0, is_inter=True)
             tc.set_txb(plane, pr, pc, w4, w4, cul)
 
-    def _block(self, r4: int, c4: int) -> None:
+    def _block(self, r4: int, c4: int, bs: int = 8) -> None:
         modes, ly, lu, lv = self.data
         enc, fc, tc = self.enc, self.fc, self.tc
         br, bc = r4 // LEAF_MI, c4 // LEAF_MI
+        n4 = bs // 4
         y_mode = int(modes[br, bc])
-        lvls = (ly[br, bc], lu[br, bc], lv[br, bc])
+        if bs == 8:
+            lvls = (ly[br, bc], lu[br, bc], lv[br, bc])
+        else:
+            l16y, l16u, l16v = self.levels16
+            lvls = (l16y[br // 2, bc // 2], l16u[br // 2, bc // 2],
+                    l16v[br // 2, bc // 2])
         skip = int(all((l == 0).all() for l in lvls))
 
         # skip flag
@@ -392,14 +409,16 @@ class TileWriter:
             enc.encode_symbol(S.MAX_ANGLE_DELTA, cdf, 7)
             update_icdf(cdf, S.MAX_ANGLE_DELTA, 7)
 
-        tc.set_block(r4, c4, LEAF_MI, LEAF_MI, S.BLOCK_8X8, y_mode, skip)
+        tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), y_mode,
+                     skip)
 
         # residuals
         for plane, (lvl, tx_size) in enumerate(
-                zip(lvls, (T.TX_8X8, T.TX_4X4, T.TX_4X4))):
+                zip(lvls, (self._TX_OF[bs], self._TX_OF_C[bs],
+                           self._TX_OF_C[bs]))):
             pr = r4 >> (plane > 0)
             pc = c4 >> (plane > 0)
-            w4 = LEAF_MI >> (plane > 0)
+            w4 = n4 >> (plane > 0)
             if skip:
                 self.tc.set_txb(plane, pr, pc, w4, w4, 0)
                 continue
