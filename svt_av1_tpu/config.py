@@ -126,11 +126,6 @@ class EncoderConfig:
                 "rate_control_mode must be CQP(0)/model(1)/VBR(2)/CVBR(3)")
         if self.rate_control_mode != RC_MODE_CQP and self.target_bit_rate <= 0:
             raise ValueError("VBR/CVBR require target_bit_rate > 0")
-        if self.enable_restoration:
-            # round-1 LR: luma Wiener, CDEF off (LR boundary lines come
-            # from the deblocked frame; pre-CDEF plane plumbing next
-            # round), single tile, 8-bit, intra-only or flat P
-            self.enable_cdef = False
         if self.super_block_size not in (64, 128):
             raise ValueError("super_block_size must be 64 or 128")
         if self.fixed_partition_size not in (0, 8, 16, 32, 64):
@@ -145,11 +140,10 @@ class EncoderConfig:
         unimplemented = {
             "film grain at bit_depth=10":
                 bool(self.enable_film_grain) and self.bit_depth == 10,
-            "restoration with tiles/10-bit/B structures":
+            "restoration with tiles/10-bit":
                 self.enable_restoration
                 and (self.bit_depth == 10 or self.tile_columns_log2
-                     or self.tile_rows_log2
-                     or (not self.intra_only and self.pred_structure != 0)),
+                     or self.tile_rows_log2),
 
             "super_block_size=128": self.super_block_size == 128,
             "enable_warped_motion": self.enable_warped_motion,

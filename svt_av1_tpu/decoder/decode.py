@@ -143,18 +143,27 @@ class Decoder:
         self.cdef_idx_map = np.zeros((-(-mi_rows // SB_MI),
                                       -(-mi_cols // SB_MI)), np.int32)
 
-        # ---- loop restoration state (luma Wiener/SGR; spec 5.11.57) ------
+        # ---- loop restoration state (per-plane Wiener/SGR; spec 5.11.57)
         self.lr = None
-        if sp.enable_restoration and fp.lr_types[0] in (2, 3):
+        if sp.enable_restoration and any(t in (2, 3) for t in fp.lr_types):
             from svt_av1_tpu.ops import restoration as LRR
-            unit = 64 << fp.lr_unit_shift
-            nr = len(LRR.ru_grid(sp.height, unit))
-            nc = len(LRR.ru_grid(sp.width, unit))
-            self.lr = {"unit": unit, "type": fp.lr_types[0],
-                       "use": np.zeros((nr, nc), bool),
-                       "taps": np.zeros((nr, nc, 6), np.int32),
-                       "ep": np.zeros((nr, nc), np.int32),
-                       "xqd": np.zeros((nr, nc, 2), np.int32)}
+            planes = []
+            for p in range(3):
+                if fp.lr_types[p] not in (2, 3):
+                    planes.append(None)
+                    continue
+                unit = (64 << fp.lr_unit_shift) >> (fp.lr_uv_shift
+                                                    if p else 0)
+                h = sp.height if p == 0 else (sp.height + 1) // 2
+                w = sp.width if p == 0 else (sp.width + 1) // 2
+                nr = len(LRR.ru_grid(h, unit))
+                nc = len(LRR.ru_grid(w, unit))
+                planes.append({"unit": unit, "type": fp.lr_types[p],
+                               "use": np.zeros((nr, nc), bool),
+                               "taps": np.zeros((nr, nc, 6), np.int32),
+                               "ep": np.zeros((nr, nc), np.int32),
+                               "xqd": np.zeros((nr, nc, 2), np.int32)})
+            self.lr = planes
 
         # ---- tiles (spec tile_group_obu; uniform spacing) ----------------
         trows, tcols = O.tile_starts(sp, fp.tile_cols_log2,
@@ -195,6 +204,12 @@ class Decoder:
             self.rec[2] = DB.deblock_plane(np, self.rec[2], sizes_c, lv2,
                                            lv2, False, bd=sp.bit_depth)
 
+        # LR stripe context rows come from the DEBLOCKED (pre-CDEF)
+        # frame (spec save_deblock_boundary_lines; ref EbCdefProcess.c
+        # :545-558 saves them before CDEF runs)
+        deb = ([pl.copy() for pl in self.rec]
+               if self.lr is not None else None)
+
         if sp.enable_cdef:
             skip8 = self.skip_map[::2, ::2].astype(bool)
             planes = CD.cdef_frame(
@@ -203,20 +218,26 @@ class Decoder:
                 coeff_shift=sp.bit_depth - 8)
             self.rec = [np.asarray(pl) for pl in planes]
 
-        if self.lr is not None and self.lr["use"].any():
+        if self.lr is not None:
             from svt_av1_tpu.ops import restoration as LRR
-            sub = np.ascontiguousarray(self.rec[0][: sp.height, : sp.width])
-            if self.lr["type"] == 3:
-                out = LRR.apply_sgr_plane(sub, sub.copy(),
-                                          self.lr["unit"], 0,
-                                          self.lr["use"], self.lr["ep"],
-                                          self.lr["xqd"], sp.bit_depth)
-            else:
-                out = LRR.apply_wiener_plane(sub, sub.copy(),
-                                             self.lr["unit"], 0,
-                                             self.lr["use"],
-                                             self.lr["taps"])
-            self.rec[0][: sp.height, : sp.width] = out
+            for p in range(3):
+                pl = self.lr[p]
+                if pl is None or not pl["use"].any():
+                    continue
+                ss = 0 if p == 0 else 1
+                h = sp.height if p == 0 else (sp.height + 1) // 2
+                w = sp.width if p == 0 else (sp.width + 1) // 2
+                sub = np.ascontiguousarray(self.rec[p][:h, :w])
+                dsub = np.ascontiguousarray(deb[p][:h, :w])
+                if pl["type"] == 3:
+                    out = LRR.apply_sgr_plane(sub, dsub, pl["unit"], ss,
+                                              pl["use"], pl["ep"],
+                                              pl["xqd"], sp.bit_depth)
+                else:
+                    out = LRR.apply_wiener_plane(sub, dsub, pl["unit"],
+                                                 ss, pl["use"],
+                                                 pl["taps"])
+                self.rec[p][:h, :w] = out
 
         # reference update (spec decode_frame_wrapup refresh)
         planes = tuple(p.copy() for p in self.rec)
@@ -242,8 +263,10 @@ class Decoder:
         if self.is_inter_frame:
             self.mi = MVP.MiInter(hm, wm)
         self.dec = RangeDecoder(td)
-        self._lr_ref = list(S.WIENER_MID) * 2   # per-tile wiener ref
-        self._sgr_ref = list(S.SGR_XQD_MID)     # per-tile sgrproj ref
+        # per-tile per-plane wiener/sgrproj tap references (spec
+        # decode_tile resets RefLrWiener/RefSgrXqd at tile start)
+        self._lr_ref = [list(S.WIENER_MID) * 2 for _ in range(3)]
+        self._sgr_ref = [list(S.SGR_XQD_MID) for _ in range(3)]
         for r4 in range(0, hm, SB_MI):
             for c4 in range(0, wm, SB_MI):
                 self._cdef_done = False
@@ -254,36 +277,45 @@ class Decoder:
             self.w4_map[r0:r1, c0:c1] = self.mi.w4
 
     def _read_lr(self, r4: int, c4: int) -> None:
-        """Mirror of TileWriter._write_lr (spec read_lr; WIENER or
-        SGRPROJ luma frame type)."""
+        """Mirror of TileWriter._write_lr (spec read_lr; per-plane
+        WIENER or SGRPROJ frame types)."""
         if self.lr is None:
             return
-        unit = self.lr["unit"]
-        use, taps = self.lr["use"], self.lr["taps"]
-        sgr = self.lr["type"] == 3
         mi_rows, mi_cols = self.seq.mi_rows, self.seq.mi_cols
-        py0, py1 = r4 * 4, min((r4 + SB_MI) * 4, mi_rows * 4)
-        px0, px1 = c4 * 4, min((c4 + SB_MI) * 4, mi_cols * 4)
-        nr, nc = use.shape
-        for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
-            for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):
-                if sgr:
+        for p in range(3):
+            pl = self.lr[p]
+            if pl is None:
+                continue
+            ss = 0 if p == 0 else 1
+            unit = pl["unit"]
+            use, taps = pl["use"], pl["taps"]
+            sgr = pl["type"] == 3
+            py0 = (r4 * 4) >> ss
+            py1 = min((r4 + SB_MI) * 4, mi_rows * 4) >> ss
+            px0 = (c4 * 4) >> ss
+            px1 = min((c4 + SB_MI) * 4, mi_cols * 4) >> ss
+            nr, nc = use.shape
+            for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
+                for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):
+                    if sgr:
+                        on = S._code_bin(None, self.dec,
+                                         self.fc.sgrproj_restore)
+                        if on:
+                            ep, xqd = S.code_sgr_filter(None, self.dec,
+                                                        self._sgr_ref[p])
+                            self._sgr_ref[p] = list(xqd)
+                            use[ur, uc] = True
+                            pl["ep"][ur, uc] = ep
+                            pl["xqd"][ur, uc] = xqd
+                        continue
                     on = S._code_bin(None, self.dec,
-                                     self.fc.sgrproj_restore)
+                                     self.fc.wiener_restore)
                     if on:
-                        ep, xqd = S.code_sgr_filter(None, self.dec,
-                                                    self._sgr_ref)
-                        self._sgr_ref = list(xqd)
+                        t = S.code_wiener_filter(None, self.dec,
+                                                 self._lr_ref[p])
+                        self._lr_ref[p] = list(t)
                         use[ur, uc] = True
-                        self.lr["ep"][ur, uc] = ep
-                        self.lr["xqd"][ur, uc] = xqd
-                    continue
-                on = S._code_bin(None, self.dec, self.fc.wiener_restore)
-                if on:
-                    t = S.code_wiener_filter(None, self.dec, self._lr_ref)
-                    self._lr_ref = list(t)
-                    use[ur, uc] = True
-                    taps[ur, uc] = t[3:] + t[:3]   # store (h, v)
+                        taps[ur, uc] = t[3:] + t[:3]   # store (h, v)
 
     def _read_cdef(self, r4: int, c4: int, skip: int) -> None:
         """Mirror of TileWriter._write_cdef (spec read_cdef)."""

@@ -4,9 +4,9 @@ Display-side only: grain is added to the OUTPUT picture, never to the
 prediction loop, so coding recon stays grain-free.  Both the decoder's
 output stage and tests share this one implementation.
 
-This build codes overlap_flag=0 streams (block overlap blending is a
-round-2 add); synthesis of the grain templates, scaling LUTs, the
-coupled chroma AR process, and per-block application are spec-exact.
+Synthesis of the grain templates, scaling LUTs, the coupled chroma AR
+process, stripe/block noise-image assembly with overlap blending
+(spec 7.18.3.9/7.18.3.10), and the scaling application are spec-exact.
 """
 
 from __future__ import annotations
@@ -173,15 +173,103 @@ def _scaling_lut(points, num: int) -> np.ndarray:
     return lut
 
 
+def _noise_planes(params: FilmGrainParams, h: int, w: int,
+                  bit_depth: int = 8):
+    """Synthesize the per-plane noise images (spec 7.18.3.9 noise
+    stripes + 7.18.3.10 noise image, incl. overlap blending).
+
+    Stripes are 34 luma rows tall advancing 32 (17/16 chroma at 4:2:0);
+    blocks 34 luma cols wide advancing 32.  With overlap_flag the 2
+    shared luma cols/rows (1 chroma) blend old/new with 27/17 + 17/27
+    (23/22 chroma) weights at >>5 (ref grainSynthesis.c).  Without
+    overlap later writes simply win — identical to disjoint 32x32
+    blocks.  Returns (ny [h,w], ncb, ncr [h/2,w/2]) int32.
+    """
+    luma_g, cb_g, cr_g = _gen_grain(params, bit_depth)
+    gmin = -(128 << (bit_depth - 8))
+    gmax = (256 << (bit_depth - 8)) - 1 - (128 << (bit_depth - 8))
+    hc, wc = (h + 1) // 2, (w + 1) // 2
+    do_y = params.num_y_points > 0
+    do_cb = bool(params.num_cb_points or params.chroma_scaling_from_luma)
+    do_cr = bool(params.num_cr_points or params.chroma_scaling_from_luma)
+    ny = np.zeros((h, w), np.int32)
+    ncb = np.zeros((hc, wc), np.int32)
+    ncr = np.zeros((hc, wc), np.int32)
+    rnd = _Lfsr(params.random_seed)
+    ov = params.overlap_flag
+
+    def hblend(stripe, x0, new, cols, w_old, w_new):
+        """Blend `cols` leading columns of `new` into stripe at x0."""
+        for j in range(cols):
+            if j >= new.shape[1]:
+                return
+            old = stripe[: new.shape[0], x0 + j]
+            new[:, j] = np.clip((old * w_old[j] + new[:, j] * w_new[j]
+                                 + 16) >> 5, gmin, gmax)
+
+    for by in range(0, h, 32):
+        rnd.reseed_line(by, params.random_seed)
+        st_y = np.zeros((34, w), np.int32)
+        st_cb = np.zeros((17, wc), np.int32)
+        st_cr = np.zeros((17, wc), np.int32)
+        for bx in range(0, w, 32):
+            off = rnd.bits(8)
+            ox = (off >> 4) & 15
+            oy = off & 15
+            if do_y:
+                jn = min(34, w - bx)
+                g = luma_g[9 + 2 * oy : 9 + 2 * oy + 34,
+                           9 + 2 * ox : 9 + 2 * ox + jn].copy()
+                if ov and bx > 0:
+                    hblend(st_y, bx, g, 2, (27, 17), (17, 27))
+                st_y[:, bx : bx + jn] = g
+            if do_cb or do_cr:
+                bxc = bx // 2
+                jn = min(17, wc - bxc)
+                for do, tmpl, st in ((do_cb, cb_g, st_cb),
+                                     (do_cr, cr_g, st_cr)):
+                    if not do:
+                        continue
+                    g = tmpl[6 + oy : 6 + oy + 17,
+                             6 + ox : 6 + ox + jn].copy()
+                    if ov and bxc > 0:
+                        hblend(st, bxc, g, 1, (23,), (22,))
+                    st[:, bxc : bxc + jn] = g
+        # merge the stripe into the noise image (vertical overlap rows)
+        rows = min(34, h - by)
+        for i in range(rows):
+            if ov and by > 0 and i < 2:
+                wo, wn = ((27, 17), (17, 27))[i]
+                ny[by + i] = np.clip(
+                    (ny[by + i] * wo + st_y[i] * wn + 16) >> 5, gmin, gmax)
+            elif do_y:
+                ny[by + i] = st_y[i]
+        byc = by // 2
+        rows_c = min(17, hc - byc)
+        for i in range(rows_c):
+            if ov and byc > 0 and i < 1:
+                for do, st, im in ((do_cb, st_cb, ncb), (do_cr, st_cr,
+                                                         ncr)):
+                    if do:
+                        im[byc + i] = np.clip(
+                            (im[byc + i] * 23 + st[i] * 22 + 16) >> 5,
+                            gmin, gmax)
+            else:
+                if do_cb:
+                    ncb[byc + i] = st_cb[i]
+                if do_cr:
+                    ncr[byc + i] = st_cr[i]
+    return ny, ncb, ncr
+
+
 def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
                 v: np.ndarray):
-    """Add grain to an 8-bit 4:2:0 output picture (spec 7.18.3 with
-    overlap_flag=0).  Returns new (y, u, v) uint8 arrays."""
-    assert not params.overlap_flag, "overlap blending lands next round"
+    """Add grain to an 8-bit 4:2:0 output picture (spec 7.18.3, incl.
+    overlap blending).  Returns new (y, u, v) uint8 arrays."""
     if not params.apply_grain:
         return y, u, v
     h, w = y.shape
-    luma_g, cb_g, cr_g = _gen_grain(params)
+    ny, ncb, ncr = _noise_planes(params, h, w)
     lut_y = _scaling_lut(params.scaling_points_y, params.num_y_points)
     if params.chroma_scaling_from_luma:
         lut_cb = lut_cr = lut_y
@@ -190,10 +278,9 @@ def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
                               params.num_cb_points)
         lut_cr = _scaling_lut(params.scaling_points_cr,
                               params.num_cr_points)
-    yy = y.astype(np.int32).copy()
+    yy = y.astype(np.int32)
     uu = u.astype(np.int32).copy()
     vv = v.astype(np.int32).copy()
-    rnd = _Lfsr(params.random_seed)
 
     cb_mult = params.cb_mult - 128
     cb_lmult = params.cb_luma_mult - 128
@@ -211,48 +298,29 @@ def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
         lmin = cmin = 0
         lmax = cmax = 255
 
-    for by in range(0, h // 2, 16):
-        rnd.reseed_line(by * 2, params.random_seed)
-        for bx in range(0, w // 2, 16):
-            off = rnd.bits(8)
-            oy = off & 15
-            ox = (off >> 4) & 15
-            lgy = 3 + 6 + (oy << 1)      # left_pad + 2*ar_pad + 2*off
-            lgx = 3 + 6 + (ox << 1)
-            cgy = 3 + 3 + oy
-            cgx = 3 + 3 + ox
-            bh = min(16, h // 2 - by)
-            bw = min(16, w // 2 - bx)
-            # chroma FIRST: its scaling index averages the UN-grained
-            # luma (spec / ref grainSynthesis.c add_noise_to_block apply
-            # chroma before writing luma grain back)
-            if (params.num_cb_points or params.num_cr_points
-                    or params.chroma_scaling_from_luma):
-                ly2 = yy[2 * by : 2 * by + 2 * bh,
-                         2 * bx : 2 * bx + 2 * bw]
-                avg = (ly2[::2, ::2] + ly2[::2, 1::2] + 1) >> 1
-                for (pl, lut, g2, m, lm, o, do) in (
-                        (uu, lut_cb, cb_g, cb_mult, cb_lmult, cb_off,
-                         params.num_cb_points
-                         or params.chroma_scaling_from_luma),
-                        (vv, lut_cr, cr_g, cr_mult, cr_lmult, cr_off,
-                         params.num_cr_points
-                         or params.chroma_scaling_from_luma)):
-                    if not do:
-                        continue
-                    pc = pl[by : by + bh, bx : bx + bw]
-                    gr = g2[cgy : cgy + bh, cgx : cgx + bw]
-                    idx = np.clip(((avg * lm + m * pc) >> 6) + o, 0, 255)
-                    pc[:] = np.clip(
-                        pc + ((lut[idx] * gr + r_off)
-                              >> params.scaling_shift), cmin, cmax)
-            # luma 2*bh x 2*bw (after chroma consumed the clean luma)
-            if params.num_y_points:
-                py = yy[2 * by : 2 * by + 2 * bh, 2 * bx : 2 * bx + 2 * bw]
-                gr = luma_g[lgy : lgy + 2 * bh, lgx : lgx + 2 * bw]
-                py[:] = np.clip(
-                    py + ((lut_y[py] * gr + r_off) >> params.scaling_shift),
-                    lmin, lmax)
+    # chroma scaling indexes the UN-grained luma (spec add_noise block
+    # order; advisor round-1 fix) — the two-pass structure reads the
+    # original ``yy`` throughout
+    if params.num_cb_points or params.num_cr_points \
+            or params.chroma_scaling_from_luma:
+        ly = yy[: (h & ~1), : (w & ~1)]
+        avg = (ly[::2, ::2] + ly[::2, 1::2] + 1) >> 1
+        for pl, lut, nz, m, lm, o, do in (
+                (uu, lut_cb, ncb, cb_mult, cb_lmult, cb_off,
+                 params.num_cb_points or params.chroma_scaling_from_luma),
+                (vv, lut_cr, ncr, cr_mult, cr_lmult, cr_off,
+                 params.num_cr_points or params.chroma_scaling_from_luma)):
+            if not do:
+                continue
+            hc, wc = avg.shape
+            pc = pl[:hc, :wc]
+            idx = np.clip(((avg * lm + m * pc) >> 6) + o, 0, 255)
+            pl[:hc, :wc] = np.clip(
+                pc + ((lut[idx] * nz[:hc, :wc] + r_off)
+                      >> params.scaling_shift), cmin, cmax)
+    if params.num_y_points:
+        yy = np.clip(yy + ((lut_y[yy] * ny + r_off)
+                           >> params.scaling_shift), lmin, lmax)
     return (yy.astype(np.uint8), uu.astype(np.uint8), vv.astype(np.uint8))
 
 
@@ -274,7 +342,7 @@ def preset_params(level: int, seed: int = 7391) -> FilmGrainParams:
         ar_coeffs_y=(6, 12, 6, 24),
         ar_coeffs_cb=(4, 8, 4, 16, 6),
         ar_coeffs_cr=(4, 8, 4, 16, -6),
-        ar_coeff_shift=7)
+        ar_coeff_shift=7, overlap_flag=True)
 
 
 def estimate_params(y: np.ndarray, seed: int = 7391,
@@ -348,4 +416,4 @@ def estimate_params(y: np.ndarray, seed: int = 7391,
         ar_coeffs_y=(6, 12, 6, 24),
         ar_coeffs_cb=(4, 8, 4, 16, 6),
         ar_coeffs_cr=(4, 8, 4, 16, -6),
-        ar_coeff_shift=7)
+        ar_coeff_shift=7, overlap_flag=True)

@@ -93,6 +93,9 @@ class Encoder:
         self._send_idx = 0
         self._packets: list[Packet] = []
         self._pending: list = []   # dispatched device batches
+        # next-frame fetch prefetch (overlaps transfer with host entropy)
+        self._prefetched: dict = {}
+        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         self._inbox: list[Frame] = []  # frames awaiting dispatch
         self._ref_dev = None       # device recon planes of the last frame
         if self._hier:
@@ -290,11 +293,14 @@ class Encoder:
         encoder's slot book restarts with the keyframe in slot 0."""
         qindex = self._frame_qindex(True)
         out, deb, planes, nbh, nbw = self._intra_dispatch(frame, qindex)
+        meta = {"display": disp, "show": True,
+                "order_hint": self._hint(disp)}
+        if self.cfg.enable_restoration:
+            lr, pl, planes = self._lr_from_dev(frame, deb[:3], deb[4:7])
+            meta.update(lr=lr, lr_planes=tuple(pl))
         self._store = {disp: {"dev": planes, "slot": 0, "pins": 1}}
         self._free_slots = list(range(1, 8))
         self._anchor = disp
-        meta = {"display": disp, "show": True,
-                "order_hint": self._hint(disp)}
         self._pending.append(("key", [frame], out, nbh, nbw, qindex, deb,
                               meta))
 
@@ -349,11 +355,15 @@ class Encoder:
             qindex = max(1, min(255, qindex + q_off))
         if key or getattr(self, "_ldb_last", None) is None:
             out, deb, planes, nbh, nbw = self._intra_dispatch(frame, qindex)
+            kmeta = {"display": d, "show": True, "order_hint": 0}
+            if self.cfg.enable_restoration:
+                lr, pl, planes = self._lr_from_dev(frame, deb[:3],
+                                                   deb[4:7])
+                kmeta.update(lr=lr, lr_planes=tuple(pl))
             self._ldb_golden = (planes, 0)      # (dev planes, slot)
             self._ldb_last = (planes, 0)
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
-                                  deb, {"display": d, "show": True,
-                                        "order_hint": 0}))
+                                  deb, kmeta))
             return
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
@@ -367,15 +377,22 @@ class Encoder:
         fn = PE.build_b_frame_encoder_dyn(
             ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
             cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
-            txs=self._txs, filt=self._pick_interp(frame, qindex))
+            txs=self._txs, filt=self._pick_interp(frame, qindex),
+            lr=cfg.enable_restoration)
         out = fn(sy, su, sv, *self._ldb_last[0], *self._ldb_golden[0],
                  jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                  jnp.int32(lvls[3]))
         last_slot, golden_slot = self._ldb_last[1], self._ldb_golden[1]
         new_slot = 1 if last_slot != 1 else 2
-        planes = self._as_ref_planes(out[5][:ph, :pw],
-                                     out[6][: ph // 2, : pw // 2],
-                                     out[7][: ph // 2, : pw // 2])
+        meta_lr = {}
+        if cfg.enable_restoration:
+            lr, pl, planes = self._lr_from_dev(frame, out[5:8], out[-3:])
+            out = out[:-3]
+            meta_lr = {"lr": lr, "lr_planes": tuple(pl)}
+        else:
+            planes = self._as_ref_planes(out[5][:ph, :pw],
+                                         out[6][: ph // 2, : pw // 2],
+                                         out[7][: ph // 2, : pw // 2])
         self._ldb_last = (planes, new_slot)
         ls = last_slot
         meta = {"display": d, "show": True, "nrefs": 2,
@@ -383,7 +400,7 @@ class Encoder:
                 "order_hint": 0,
                 "refresh": 1 << new_slot,
                 "ref_idx": (ls, ls, ls, golden_slot, ls, ls, ls),
-                "ref_hints": (0,) * 7}
+                "ref_hints": (0,) * 7, **meta_lr}
         self._pending.append(("p", [frame], out, None, None, qindex, None,
                               meta))
 
@@ -419,7 +436,8 @@ class Encoder:
             fn = PE.build_p_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                 cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
-                txs=self._txs, filt=self._pick_interp(frame, qindex))
+                txs=self._txs, filt=self._pick_interp(frame, qindex),
+                lr=cfg.enable_restoration)
             out = fn(sy, su, sv, *fwd["dev"], *dyn)
             nrefs = 1
         else:
@@ -429,13 +447,20 @@ class Encoder:
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                 cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth,
                 rdo=self._rdo, txs=self._txs,
-                filt=self._pick_interp(frame, qindex))
+                filt=self._pick_interp(frame, qindex),
+                lr=cfg.enable_restoration)
             out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
             nrefs = 2
         slot = self._free_slots.pop(0)
-        planes = self._as_ref_planes(out[5][:ph, :pw],
-                                     out[6][: ph // 2, : pw // 2],
-                                     out[7][: ph // 2, : pw // 2])
+        meta_lr = {}
+        if cfg.enable_restoration:
+            lr, pl, planes = self._lr_from_dev(frame, out[5:8], out[-3:])
+            out = out[:-3]
+            meta_lr = {"lr": lr, "lr_planes": tuple(pl)}
+        else:
+            planes = self._as_ref_planes(out[5][:ph, :pw],
+                                         out[6][: ph // 2, : pw // 2],
+                                         out[7][: ph // 2, : pw // 2])
         self._store[step.disp] = {"dev": planes, "slot": slot, "pins": pins}
         fs = fwd["slot"]
         bs = fs if step.bwd is None else self._store[step.bwd]["slot"]
@@ -447,7 +472,7 @@ class Encoder:
                 "order_hint": self._hint(step.disp),
                 "refresh": 1 << slot,
                 "ref_idx": (fs, fs, fs, fs, bs, bs, bs),
-                "ref_hints": (fh, fh, fh, fh, bh, bh, bh)}
+                "ref_hints": (fh, fh, fh, fh, bh, bh, bh), **meta_lr}
         self._pending.append(("p", [frame], out, None, None, qindex, None,
                               meta))
 
@@ -475,8 +500,10 @@ class Encoder:
                 nbh, nbw, self.cfg.bit_depth, rich=self._txs)(
                 sy_b, su_b, sv_b, jnp.int32(qindex))
         deb = None
-        if (self.cfg.enable_deblocking or self.cfg.enable_cdef) and \
-                (self._need_recon() or self.cfg.enable_cdef):
+        lr_on = self.cfg.enable_restoration
+        if (self.cfg.enable_deblocking or self.cfg.enable_cdef
+                or lr_on) and \
+                (self._need_recon() or self.cfg.enable_cdef or lr_on):
             import jax
             from svt_av1_tpu.ops import cdef as CDEF
             y = jax.vmap(_unblock_dev)(out[4])
@@ -491,7 +518,7 @@ class Encoder:
             sk = ((out[1] == 0).all((-1, -2)) & (out[2] == 0).all((-1, -2))
                   & (out[3] == 0).all((-1, -2)))
             deb = _intra_postproc_fn(ph, pw, True, self.cfg.enable_cdef,
-                                     self.cfg.bit_depth)(
+                                     self.cfg.bit_depth, lr=lr_on)(
                 y, u, v, sy, su, sv, sk,
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]), jnp.int32(lvls[3]),
                 jnp.int32(CDEF.pick_damping(qindex)))
@@ -513,36 +540,49 @@ class Encoder:
                 jnp.pad(u, padc, mode="edge"),
                 jnp.pad(v, padc, mode="edge"))
 
-    def _lr_process(self, frame: Frame, y_plane: np.ndarray):
-        """Luma restoration: per-RU Wiener AND self-guided searches
-        against the source; the frame signals whichever type wins more
-        total SSE, then applies it in place on the (mi-padded) recon
-        luma.  Returns the lr syntax dict (ref rest_kernel search:
-        search_wiener + search_sgrproj, EbRestorationPick.c:705; host
-        stage like entropy — see ops/restoration.py)."""
+    def _lr_process(self, frame: Frame, planes, deb):
+        """Per-plane loop restoration: Wiener AND self-guided searches
+        against the source; each plane signals whichever type wins more
+        total SSE, applied in place into ``planes``.  ``deb`` holds the
+        deblocked (pre-CDEF) planes the stripe context rows come from
+        (spec save_deblock_boundary_lines; ref EbCdefProcess.c:545-558).
+        Returns the per-plane lr list [{type, unit, use, ...}|None]*3
+        (ref rest_kernel search: search_wiener + search_sgrproj,
+        EbRestorationPick.c:705; host stage like entropy)."""
         from svt_av1_tpu.ops import restoration as LRR
-        h, w = self.seq.height, self.seq.width
-        src = frame.y[:h, :w].astype(np.int32)
-        crop = np.ascontiguousarray(y_plane[:h, :w].astype(np.int32))
-        use_w, taps = LRR.search_wiener_plane(src, crop, crop.copy(),
-                                              64, 0)
-        use_s, ep, xqd, sse_s = LRR.search_sgr_plane(
-            src, crop, crop.copy(), 64, 0, bd=self.cfg.bit_depth)
-        # frame-level type pick by realized SSE (RU-off keeps self SSE)
-        got_w = crop
-        if use_w.any():
-            got_w = LRR.apply_wiener_plane(crop, crop.copy(), 64, 0,
-                                           use_w, taps)
-        sse_w = ((got_w.astype(np.int64) - src) ** 2).sum()
-        if use_s.any() and sse_s.sum() < sse_w:
-            out = LRR.apply_sgr_plane(crop, crop.copy(), 64, 0, use_s,
-                                      ep, xqd, self.cfg.bit_depth)
-            y_plane[:h, :w] = out
-            return {"unit": 64, "type": 3, "use": use_s, "ep": ep,
-                    "xqd": xqd}
-        if use_w.any():
-            y_plane[:h, :w] = got_w
-        return {"unit": 64, "type": 2, "use": use_w, "taps": taps}
+        out = []
+        for p in range(3):
+            ss = 0 if p == 0 else 1
+            h = self.seq.height if p == 0 else (self.seq.height + 1) // 2
+            w = self.seq.width if p == 0 else (self.seq.width + 1) // 2
+            unit = 64 >> ss          # luma 64, chroma 32 (lr_uv_shift=1)
+            srcp = (frame.y, frame.u, frame.v)[p]
+            src = srcp[:h, :w].astype(np.int32)
+            crop = np.ascontiguousarray(planes[p][:h, :w].astype(np.int32))
+            dsub = np.ascontiguousarray(deb[p][:h, :w].astype(np.int32))
+            use_w, taps = LRR.search_wiener_plane(src, crop, dsub,
+                                                  unit, ss)
+            use_s, ep, xqd, sse_s = LRR.search_sgr_plane(
+                src, crop, dsub, unit, ss, bd=self.cfg.bit_depth)
+            # plane-level type pick by realized SSE (off-RU keeps self)
+            got_w = crop
+            if use_w.any():
+                got_w = LRR.apply_wiener_plane(crop, dsub, unit, ss,
+                                               use_w, taps)
+            sse_w = ((got_w.astype(np.int64) - src) ** 2).sum()
+            if use_s.any() and sse_s.sum() < sse_w:
+                got = LRR.apply_sgr_plane(crop, dsub, unit, ss, use_s,
+                                          ep, xqd, self.cfg.bit_depth)
+                planes[p][:h, :w] = got
+                out.append({"unit": unit, "type": 3, "use": use_s,
+                            "ep": ep, "xqd": xqd})
+            elif use_w.any():
+                planes[p][:h, :w] = got_w
+                out.append({"unit": unit, "type": 2, "use": use_w,
+                            "taps": taps})
+            else:
+                out.append(None)
+        return out if any(p is not None for p in out) else None
 
     def _intra_dispatch(self, frame: Frame, qindex: int):
         """Keyframe device dispatch; returns (out, deb, as-ref planes,
@@ -572,7 +612,8 @@ class Encoder:
                 sy, su, sv, jnp.int32(qindex))
         planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
         deb = None
-        if self.cfg.enable_deblocking or self.cfg.enable_cdef:
+        if (self.cfg.enable_deblocking or self.cfg.enable_cdef
+                or self.cfg.enable_restoration):
             from svt_av1_tpu.ops import cdef as CDEF
             lvls = self._lf_levels(qindex, True)
             sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px),
@@ -594,13 +635,36 @@ class Encoder:
                 extra = (out[10],)
             deb = _intra_postproc_fn(ph, pw, False,
                                      self.cfg.enable_cdef,
-                                     self.cfg.bit_depth, part16)(
+                                     self.cfg.bit_depth, part16,
+                                     lr=self.cfg.enable_restoration)(
                 *planes, sy, su, sv, sk, *extra,
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                 jnp.int32(lvls[3]),
                 jnp.int32(CDEF.pick_damping(qindex)))
             planes = deb[:3]
         return out, deb, self._as_ref_planes(*planes), nbh, nbw
+
+    def _lr_from_dev(self, frame: Frame, rec_dev, deb_dev):
+        """Fetch recon + deblocked planes, run the per-plane LR search,
+        and return (lr, restored host planes, restored device ref
+        planes).  One synchronous round trip per LR frame — restoration
+        output is the reference buffer content (spec), so the chain
+        cannot proceed device-side until LR lands."""
+        import jax
+        import jax.numpy as jnp
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        vals = jax.device_get(list(rec_dev) + list(deb_dev))
+        pl = [np.asarray(vals[0][:ph, :pw], np.int32),
+              np.asarray(vals[1][: ph // 2, : pw // 2], np.int32),
+              np.asarray(vals[2][: ph // 2, : pw // 2], np.int32)]
+        dpl = [np.asarray(vals[3][:ph, :pw], np.int32),
+               np.asarray(vals[4][: ph // 2, : pw // 2], np.int32),
+               np.asarray(vals[5][: ph // 2, : pw // 2], np.int32)]
+        lr = self._lr_process(frame, pl, dpl)
+        refs = self._as_ref_planes(jnp.asarray(pl[0].astype(self._px)),
+                                   jnp.asarray(pl[1].astype(self._px)),
+                                   jnp.asarray(pl[2].astype(self._px)))
+        return lr, pl, refs
 
     def _dispatch_one(self, frame: Frame, q_off: int = 0) -> None:
         """IPPP chain: keyframes via the wavefront intra path, P frames via
@@ -622,13 +686,9 @@ class Encoder:
                                                                   qindex)
             meta = None
             if self.cfg.enable_restoration:
-                y, u, v = (np.array(p) for p in ref_planes)
-                lr = self._lr_process(frame, y)
-                ref_planes = self._as_ref_planes(
-                    jnp.asarray(y[:ph, :pw]),
-                    jnp.asarray(u[: ph // 2, : pw // 2]),
-                    jnp.asarray(v[: ph // 2, : pw // 2]))
-                meta = {"lr": lr, "lr_y": y[:ph, :pw].copy(),
+                lr, pl, ref_planes = self._lr_from_dev(
+                    frame, deb[:3], deb[4:7])
+                meta = {"lr": lr, "lr_planes": tuple(pl),
                         "show": True, "display": self._send_idx - 1,
                         "order_hint": 0}
             self._ref_dev = ref_planes
@@ -662,7 +722,7 @@ class Encoder:
                     cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
                     rdo=self._rdo, txs=self._txs,
                     filt=self._pick_interp(frame, qindex),
-                    gm=gmv is not None)
+                    gm=gmv is not None, lr=self.cfg.enable_restoration)
                 out = fn(sy, su, sv, *self._ref_dev, *gm_args)
             else:
                 # dynamic-q step: lookahead/RC vary q per frame without
@@ -673,21 +733,19 @@ class Encoder:
                     cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
                     rdo=self._rdo, txs=self._txs,
                     filt=self._pick_interp(frame, qindex),
-                    gm=gmv is not None)
+                    gm=gmv is not None, lr=self.cfg.enable_restoration)
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]), *gm_args)
             meta = None
             if self.cfg.enable_restoration:
-                y = np.array(out[5][:ph, :pw])
-                lr = self._lr_process(frame, y)
-                meta = {"lr": lr, "lr_y": y.copy(), "show": True,
+                lr, pl, self._ref_dev = self._lr_from_dev(
+                    frame, out[5:8], out[-3:])
+                out = out[:-3]
+                meta = {"lr": lr, "lr_planes": tuple(pl), "show": True,
                         "display": self._send_idx - 1, "order_hint": 0,
                         "refresh": 0x01, "ref_idx": (0,) * 7,
                         "ref_hints": (0,) * 7}
-                self._ref_dev = self._as_ref_planes(
-                    jnp.asarray(y), out[6][: ph // 2, : pw // 2],
-                    out[7][: ph // 2, : pw // 2])
             else:
                 self._ref_dev = self._as_ref_planes(out[5][:ph, :pw],
                                        out[6][: ph // 2, : pw // 2],
@@ -726,12 +784,17 @@ class Encoder:
                 # does not want recon back (bench path).  One batched
                 # fetch (~30 ms RTT per transfer on the tunneled link).
                 import jax
-                if self._need_recon():
-                    f = jax.device_get(list(deb[:4]))
+                lr_here = (self.cfg.enable_restoration
+                           and (meta is None or "lr" not in meta))
+                if self._need_recon() or lr_here:
+                    f = jax.device_get(list(deb))
                     planes = [np.asarray(a) for a in f[:3]]
                     idx = np.asarray(f[3]) if len(f) > 3 else None
+                    debpl = ([np.asarray(a) for a in f[4:7]]
+                             if len(f) > 6 else None)
                 else:
                     planes = None
+                    debpl = None
                     idx = (np.asarray(jax.device_get(deb[3]))
                            if len(deb) > 3 else None)
                 for i, d in enumerate(devs):
@@ -741,6 +804,10 @@ class Encoder:
                         d["recon_y"] = sel(planes[0])
                         d["recon_u"] = sel(planes[1])
                         d["recon_v"] = sel(planes[2])
+                    if debpl is not None:
+                        d["deb_y"] = sel(debpl[0])
+                        d["deb_u"] = sel(debpl[1])
+                        d["deb_v"] = sel(debpl[2])
                     d["cdef_idx"] = None if idx is None else sel(idx)
             if len(frames) > 1:
                 # frames are entropy-independent: tile-code them across host
@@ -768,19 +835,41 @@ class Encoder:
             if self._rc is not None:
                 self._rc.update(len(p.payload) * 8, p.is_keyframe)
 
-    def _make_inter_packet(self, frame: Frame, out, qindex: int,
-                           meta=None, coded_idx: int = 0) -> Packet:
-        cfg = self.cfg
+    def _fetch_inter_arrs(self, out) -> dict:
+        """ONE batched device->host fetch of an inter step's outputs
+        (the tunneled link pays ~30 ms RTT per transfer — serial
+        np.asarray per array was ~10 RTTs); recon planes are skipped
+        entirely unless the caller needs them."""
         import jax
-        # ONE batched device->host fetch (the tunneled link pays ~30 ms
-        # RTT per transfer — serial np.asarray per array was ~10 RTTs);
-        # recon planes are skipped entirely unless the caller needs them
         need_rec = self._need_recon()
         idxs = [i for i in range(len(out))
                 if need_rec or i not in (5, 6, 7)]
+        vals = jax.device_get([out[i] for i in idxs])
+        return {i: np.asarray(v) for i, v in zip(idxs, vals)}
+
+    def _prefetch_next_inter(self) -> None:
+        """Overlap the NEXT pending inter frame's device->host fetch
+        with this frame's host entropy stage (device_get releases the
+        GIL; the C entropy coder does too, so transfer and coding truly
+        pipeline — the TPU analog of the reference's copy/EC process
+        overlap)."""
+        for entry in self._pending:
+            if entry[0] == "p":
+                out = entry[2]
+                if id(out) not in self._prefetched:
+                    self._prefetched[id(out)] = \
+                        self._fetch_pool.submit(self._fetch_inter_arrs,
+                                                out)
+                return
+
+    def _make_inter_packet(self, frame: Frame, out, qindex: int,
+                           meta=None, coded_idx: int = 0) -> Packet:
+        cfg = self.cfg
+        fut = self._prefetched.pop(id(out), None)
         with self._tracer.span("fetch"):
-            vals = jax.device_get([out[i] for i in idxs])
-        arrs = {i: np.asarray(v) for i, v in zip(idxs, vals)}
+            arrs = fut.result() if fut is not None \
+                else self._fetch_inter_arrs(out)
+        self._prefetch_next_inter()
         sizes, mv = arrs[0], arrs[1].astype(np.int32)
         levels = {bs: tuple(_unpack_levels(arrs[2 + p], bs)
                             for p in range(3))
@@ -833,8 +922,8 @@ class Encoder:
             return np.ascontiguousarray(a[rr : rr + nr, cc : cc + nc])
 
         lr = meta.get("lr") if meta else None
-        if lr is not None:
-            ry = meta["lr_y"]
+        if meta is not None and meta.get("lr_planes") is not None:
+            ry, ru, rv = meta["lr_planes"]
 
         def code_tile(r01, c01) -> bytes:
             (r0, r1), (c0, c1) = r01, c01
@@ -907,8 +996,7 @@ class Encoder:
                            interp_filter=(self._interp_filt or 0),
                            filter_levels=self._lf_levels(qindex, False),
                            film_grain=self._grain_for(coded_idx),
-                           lr_types=((lr.get("type", 2), 0, 0)
-                                     if lr is not None else (0, 0, 0)),
+                           lr_types=_lr_types(lr), lr_uv_shift=1,
                            **hdr, **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
@@ -933,13 +1021,19 @@ class Encoder:
             if meta is not None and "lr" in meta:
                 lr = meta["lr"]
                 dev = dict(dev)
-                dev["recon_y"] = meta["lr_y"]
+                (dev["recon_y"], dev["recon_u"],
+                 dev["recon_v"]) = meta["lr_planes"]
             else:
                 # intra-only path: restore at packet time (no refs)
-                y = np.array(dev["recon_y"], np.int32)
-                lr = self._lr_process(frame, y)
+                pl = [np.array(dev["recon_y"], np.int32),
+                      np.array(dev["recon_u"], np.int32),
+                      np.array(dev["recon_v"], np.int32)]
+                dpl = [np.array(dev[k], np.int32)
+                       if dev.get(k) is not None else pl[i].copy()
+                       for i, k in enumerate(("deb_y", "deb_u", "deb_v"))]
+                lr = self._lr_process(frame, pl, dpl)
                 dev = dict(dev)
-                dev["recon_y"] = y
+                dev["recon_y"], dev["recon_u"], dev["recon_v"] = pl
         sizes = dev.get("sizes")
         lv16 = (None if dev.get("levels16_y") is None else
                 (dev["levels16_y"], dev["levels16_u"], dev["levels16_v"]))
@@ -974,8 +1068,7 @@ class Encoder:
                            order_hint=(0 if meta is None
                                        else meta["order_hint"]),
                            film_grain=self._grain_for(coded_idx),
-                           lr_types=((lr.get("type", 2), 0, 0)
-                                     if lr is not None else (0, 0, 0)),
+                           lr_types=_lr_types(lr), lr_uv_shift=1,
                            **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_sequence_header(self.seq)
@@ -1073,6 +1166,13 @@ def _unpack_levels(packed: np.ndarray, bs: int) -> np.ndarray:
             .reshape(gh, gw, k * t, k * t))
 
 
+def _lr_types(lr) -> tuple:
+    """FrameParams.lr_types from a per-plane lr list (None -> NONE)."""
+    if lr is None:
+        return (0, 0, 0)
+    return tuple(0 if pl is None else pl["type"] for pl in lr)
+
+
 def _unblock_dev(blocks):
     """[nbh, nbw, bs, bs] device block grid -> [H, W] device plane."""
     nbh, nbw, bs, _ = blocks.shape
@@ -1084,14 +1184,17 @@ import functools
 
 @functools.lru_cache(maxsize=8)
 def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool,
-                       bd: int = 8, part16: bool = False):
+                       bd: int = 8, part16: bool = False,
+                       lr: bool = False):
     """Jitted keyframe in-loop postproc: deblock (8x8/4x4 tx grid, or a
     per-cell 8/16 size map at the RD presets) then optional CDEF
     search+apply; levels are runtime scalars so rate control never
     recompiles.
 
     f(y, u, v, src_y, src_u, src_v, skip_cells [, sizes8],
-      lf_y, lf_u, lf_v, damping) -> (y, u, v, cdef_idx_sb)
+      lf_y, lf_u, lf_v, damping) -> (y, u, v, cdef_idx_sb[, deb_y,
+      deb_u, deb_v]) — the trailing deblocked (pre-CDEF) planes feed the
+    loop-restoration stripe context (spec save_deblock_boundary_lines).
     """
     import jax
     import jax.numpy as jnp
@@ -1118,6 +1221,7 @@ def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool,
                              lu, lu, False, bd=bd)
         v = DB.deblock_plane(jnp, v.astype(jnp.int32), sz_c,
                              lv, lv, False, bd=bd)
+        deb = (y.astype(px), u.astype(px), v.astype(px)) if lr else ()
         idx_sb = jnp.zeros((-(-ph // 64), -(-pw // 64)), jnp.uint8)
         if cdef:
             (y, u, v), idx_sb = CDEF.cdef_search_and_apply(
@@ -1126,7 +1230,7 @@ def _intra_postproc_fn(ph: int, pw: int, batched: bool, cdef: bool,
                  sv.astype(jnp.int32)), sk, damping,
                 coeff_shift=bd - 8)
             idx_sb = idx_sb.astype(jnp.uint8)
-        return (y.astype(px), u.astype(px), v.astype(px), idx_sb)
+        return (y.astype(px), u.astype(px), v.astype(px), idx_sb) + deb
 
     if not part16:
         g = lambda y, u, v, sy, su, sv, sk, ly, lu, lv, damping: f(

@@ -45,16 +45,19 @@ from svt_av1_tpu.ops import me as ME
 from svt_av1_tpu.ops import quant as Q
 from svt_av1_tpu.ops import transforms as T
 
+from svt_av1_tpu.pipeline import rdo as RDO
+
 SEARCH_RANGE = 16   # full-pel luma search window (+-R)
 PAD = SEARCH_RANGE + 1  # +1: subpel refinement can cross one more pel
 SIZES = (8, 16, 32)     # ME sweep sizes (the SAD pyramid's native levels)
 SIZES64 = (8, 16, 32, 64)   # leaf sizes incl. 64x64 (PARTITION_NONE at SB)
 TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32, 64: T.TX_64X64}
 TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16, 64: T.TX_32X32}
-# per-leaf overhead bits beyond residual+mv (mode/ref/skip + amortized
-# partition symbol) used in the merge decision
-LEAF_OVERHEAD_BITS = 6
-SPLIT_EXTRA_BITS = 4
+# CDF-derived per-decision rate scalars (pipeline/rdo.py — from the
+# normative default CDF tables, the same source the reference's
+# av1_estimate_syntax_rate reads; replaces round-1 hand constants)
+_PART_BITS = RDO.partition_bits()      # {bs: (none_bits, split_bits)}
+_LEAF = RDO.inter_leaf_bits()          # mode / ref_single / comp_extra
 
 
 def _block(plane, bs: int):
@@ -259,11 +262,9 @@ def _mc_patch(plane_pad, mv8, bs: int, pad: int, chroma: bool, bd: int,
     return _interp_patch(patch, ph_r, ph_c, bs, bd, jnt, filt)
 
 
-COMP_EXTRA_BITS = 8  # comp_inter + ref pair + compound mode signaling
-# RD-path bit estimates (full merge runs on J = SSE + lambda*bits):
-MODE_BITS = 9          # inter mode + ref + skip flags per leaf
-PART_NONE_BITS = 1.0   # partition symbol, NONE vs SPLIT (default-CDF avg)
-PART_SPLIT_BITS = 3.0
+# compound signaling beyond a single-ref leaf (comp_inter + ref pair +
+# NEW_NEWMV symbol), from the default CDFs
+COMP_EXTRA_BITS = round(_LEAF["comp_extra"])
 
 
 def _coeff_bits(lv):
@@ -299,7 +300,7 @@ def _tiles8(x, t: int):
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                  nrefs: int = 1, compound: bool = False, bd: int = 8,
                  rdo: bool = True, txs: bool = False, filt: int = 0,
-                 gm: bool = False):
+                 gm: bool = False, lr: bool = False):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *64-padded* plane dims (multiples of 64,
@@ -519,7 +520,9 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 pred_v = mc_one(2, True, cbs, cpad, mv[bs], mv_c[bs],
                                 refsel[bs])
                 base_r = (ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
-                          + MODE_BITS)
+                          + round(_LEAF["mode"]
+                                  + (_LEAF["ref_single"]
+                                     if nrefs == 2 else 0)))
                 if compound:
                     base_r = base_r + jnp.where(
                         refsel[bs] == 2,
@@ -571,35 +574,38 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                               best[3].astype(jnp.int16))
                 rec_planes[bs] = (_unblock(best[4]), _unblock(best[5]),
                                   _unblock(best[6]))
-            j8 = jcost[8] + lam_rd * PART_NONE_BITS
-            j_split16 = _sum4(j8) + lam_rd * PART_SPLIT_BITS
-            j16 = jcost[16] + lam_rd * PART_NONE_BITS
+            j8 = jcost[8] + lam_rd * _PART_BITS[8][0]
+            j_split16 = _sum4(j8) + lam_rd * _PART_BITS[16][1]
+            j16 = jcost[16] + lam_rd * _PART_BITS[16][0]
             use16 = j16 <= j_split16
             j_at16 = jnp.where(use16, j16, j_split16)
-            j_split32 = _sum4(j_at16) + lam_rd * PART_SPLIT_BITS
-            j32 = jcost[32] + lam_rd * PART_NONE_BITS
+            j_split32 = _sum4(j_at16) + lam_rd * _PART_BITS[32][1]
+            j32 = jcost[32] + lam_rd * _PART_BITS[32][0]
             use32 = j32 <= j_split32
             j_at32 = jnp.where(use32, j32, j_split32)
-            j_split64 = _sum4(j_at32) + lam_rd * PART_SPLIT_BITS
-            j64 = jcost[64] + lam_rd * PART_NONE_BITS
+            j_split64 = _sum4(j_at32) + lam_rd * _PART_BITS[64][1]
+            j64 = jcost[64] + lam_rd * _PART_BITS[64][0]
             use64 = j64 <= j_split64
         else:
             # fast path (preset 8): SAD-domain rate-biased merge from the
             # ME costs; residual coding happens once, at the selected
             # size, below
-            oh = (lam * LEAF_OVERHEAD_BITS) >> 4
-            split_oh = (lam * SPLIT_EXTRA_BITS) >> 4
-            j8 = cost[8] + oh
-            j_split16 = _sum4(j8) + split_oh
-            j16 = cost[16] + oh
+            mb = _LEAF["mode"] + (_LEAF["ref_single"] if nrefs == 2 else 0)
+            oh = {bs: (lam * round(mb + _PART_BITS[bs][0])) >> 4
+                  for bs in SIZES64}
+            sp = {bs: (lam * round(_PART_BITS[bs][1])) >> 4
+                  for bs in (16, 32, 64)}
+            j8 = cost[8] + oh[8]
+            j_split16 = _sum4(j8) + sp[16]
+            j16 = cost[16] + oh[16]
             use16 = j16 <= j_split16
             j_at16 = jnp.where(use16, j16, j_split16)
-            j_split32 = _sum4(j_at16) + split_oh
-            j32 = cost[32] + oh
+            j_split32 = _sum4(j_at16) + sp[32]
+            j32 = cost[32] + oh[32]
             use32 = j32 <= j_split32
             j_at32 = jnp.where(use32, j32, j_split32)
-            j_split64 = _sum4(j_at32) + split_oh
-            j64 = cost[64] + oh
+            j_split64 = _sum4(j_at32) + sp[64]
+            j64 = cost[64] + oh[64]
             use64 = j64 <= j_split64
 
         # edge legality: a merged node must lie fully inside the mi grid;
@@ -716,6 +722,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             cv = DB.deblock_plane(jnp, cv, sizes_c, lf_levels[3],
                                   lf_levels[3], False, bd=bd)
 
+        # deblocked (pre-CDEF) planes: the loop-restoration stripe
+        # context rows come from these (spec save_deblock_boundary_lines;
+        # ref EbCdefProcess.c:545-558)
+        deb_out = (cy, cu, cv) if lr else None
+
         if use_cdef:
             # per-8x8-unit skip: the selected leaf has all-zero levels
             def skipmap(bs2):
@@ -779,6 +790,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             out = out + (mv2_sel,)
         if txs:
             out = out + (txty8,)
+        if lr:
+            out = out + tuple(p.astype(px_dt) for p in deb_out)
         return out
 
     # static edge-legality masks in mi-grid terms are bound by the caller
@@ -816,9 +829,10 @@ def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
                           deblock: bool = True, cdef: bool = False,
                           bd: int = 8, rdo: bool = True, txs: bool = False,
-                          filt: int = 0, gm: bool = False):
+                          filt: int = 0, gm: bool = False,
+                          lr: bool = False):
     fn = p_frame_step(ph, pw, qindex, search, bd=bd, rdo=rdo, txs=txs,
-                      filt=filt, gm=gm)
+                      filt=filt, gm=gm, lr=lr)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -828,11 +842,11 @@ def build_b_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           qindex: int, search: int = SEARCH_RANGE,
                           deblock: bool = True, cdef: bool = False,
                           rdo: bool = True, txs: bool = False,
-                          filt: int = 0):
+                          filt: int = 0, lr: bool = False):
     """Two-reference (fwd + bwd) step for hierarchical-B mini-GOPs.
     fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u, r1v) -> P outputs + ref8."""
     fn = p_frame_step(ph, pw, qindex, search, nrefs=2, rdo=rdo, txs=txs,
-                      filt=filt)
+                      filt=filt, lr=lr)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -842,11 +856,12 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
                               cdef: bool = False, bd: int = 8,
                               rdo: bool = True, txs: bool = False,
-                              filt: int = 0, gm: bool = False):
+                              filt: int = 0, gm: bool = False,
+                              lr: bool = False):
     """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v[, gmv]); one
     compile serves every qindex (rate control)."""
     fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo, txs=txs,
-                      filt=filt, gm=gm)
+                      filt=filt, gm=gm, lr=lr)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)
 
@@ -856,12 +871,13 @@ def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
                               cdef: bool = False, compound: bool = False,
                               bd: int = 8, rdo: bool = True,
-                              txs: bool = False, filt: int = 0):
+                              txs: bool = False, filt: int = 0,
+                              lr: bool = False):
     """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
     r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
     (hier-B layer offsets, rate control).  compound=True adds the
     COMPOUND_AVERAGE candidate (fwd+bwd pairs only)."""
     fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound,
-                      bd=bd, rdo=rdo, txs=txs, filt=filt)
+                      bd=bd, rdo=rdo, txs=txs, filt=filt, lr=lr)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

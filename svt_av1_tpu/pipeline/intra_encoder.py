@@ -281,11 +281,16 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
 # --- multi-size keyframe wavefront (presets <= 7) ----------------------------
 # Per-leaf overheads for the in-loop partition RD select (J = SSE +
 # lambda * bits; same lambda model as the inter RD merge,
-# pipeline/inter_encoder.py): intra mode bits ~ y mode + uv mode + skip
-# + angle symbols; partition symbols at the 16 node / 8 leaves.
-MODE_BITS_I = 9
-PART_NONE_I = 1.0
-PART_SPLIT_I = 3.0
+# pipeline/inter_encoder.py).  The scalars are derived from the default
+# CDF tables (pipeline/rdo.py, the reference's av1_estimate_syntax_rate
+# source): intra leaf = skip + expected kf-y-mode + uv-mode entropy;
+# partition symbols from the size-16/size-8 rows.
+from svt_av1_tpu.pipeline import rdo as _RDO
+
+MODE_BITS_I = _RDO.intra_leaf_bits()
+PART_NONE_I = _RDO.partition_bits()[8][0]
+PART_SPLIT_I = _RDO.partition_bits()[16][1]
+_PART_NONE16_I = _RDO.partition_bits()[16][0]
 
 
 def frame_step16(nbh: int, nbw: int, qindex, bd: int = 8,
@@ -590,7 +595,7 @@ def frame_step16(nbh: int, nbw: int, qindex, bd: int = 8,
             sse_y16 = ((src16 - rec16y) ** 2).sum((-1, -2))
             J16 = (sse_y16 + sse_c16).astype(jnp.float32) + lam * (
                 _coeff_bits(l16y) + bits_c16 + MODE_BITS_I
-                + PART_NONE_I).astype(jnp.float32)
+                + _PART_NONE16_I).astype(jnp.float32)
 
             legal = jnp.asarray(legal_pad)[Ru, Cu]
             use16 = legal & valid_u & (J16 <= J8)

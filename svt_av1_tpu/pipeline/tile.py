@@ -114,43 +114,56 @@ class TileWriter:
         self.cdef_idx = None     # [nsb_h, nsb_w] per-64x64 strength index
         self.cdef_bits = 2
         self._cdef_done = False
-        # loop restoration (luma Wiener): {"unit", "use", "taps"};
-        # per-SB RU syntax is interleaved at SB starts (spec read_lr)
+        # loop restoration: per-plane list [lr_y, lr_u, lr_v] (None =
+        # RESTORE_NONE), each {"unit" (plane samples), "type" (2 wiener /
+        # 3 sgrproj), "use", "taps"/"ep"+"xqd"}; per-SB RU syntax is
+        # interleaved at SB starts (spec read_lr)
         self.lr = lr
-        self._lr_ref = list(S.WIENER_MID) * 2 if lr else None
-        self._sgr_ref = list(S.SGR_XQD_MID) if lr else None
+        self._lr_ref = ([list(S.WIENER_MID) * 2 for _ in range(3)]
+                        if lr else None)
+        self._sgr_ref = ([list(S.SGR_XQD_MID) for _ in range(3)]
+                         if lr else None)
 
     def _write_lr(self, r4: int, c4: int) -> None:
-        """spec read_lr mirror: code RUs whose index range starts in
-        this SB (luma plane; WIENER or SGRPROJ frame type)."""
+        """spec read_lr mirror: for each plane, code RUs whose index
+        range starts in this SB (WIENER or SGRPROJ frame type)."""
         if self.lr is None:
             return
-        unit = self.lr["unit"]
-        use = self.lr["use"]
-        sgr = self.lr.get("type", 2) == 3
-        py0, py1 = r4 * 4, min((r4 + SB_MI) * 4, self.tc.mi_rows * 4)
-        px0, px1 = c4 * 4, min((c4 + SB_MI) * 4, self.tc.mi_cols * 4)
-        nr, nc = use.shape
-        for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
-            for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):
-                on = int(use[ur, uc])
-                if sgr:
-                    S._code_bin(self.enc, None, self.fc.sgrproj_restore,
-                                on)
+        for p in range(3):
+            pl = self.lr[p]
+            if pl is None:
+                continue
+            ss = 0 if p == 0 else 1
+            unit = pl["unit"]
+            use = pl["use"]
+            sgr = pl.get("type", 2) == 3
+            py0 = (r4 * 4) >> ss
+            py1 = min((r4 + SB_MI) * 4, self.tc.mi_rows * 4) >> ss
+            px0 = (c4 * 4) >> ss
+            px1 = min((c4 + SB_MI) * 4, self.tc.mi_cols * 4) >> ss
+            nr, nc = use.shape
+            for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
+                for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):
+                    on = int(use[ur, uc])
+                    if sgr:
+                        S._code_bin(self.enc, None, self.fc.sgrproj_restore,
+                                    on)
+                        if on:
+                            ep = int(pl["ep"][ur, uc])
+                            xqd = tuple(int(x) for x in pl["xqd"][ur, uc])
+                            _, out = S.code_sgr_filter(self.enc, None,
+                                                       self._sgr_ref[p],
+                                                       ep, xqd)
+                            self._sgr_ref[p] = list(out)
+                        continue
+                    S._code_bin(self.enc, None, self.fc.wiener_restore, on)
                     if on:
-                        ep = int(self.lr["ep"][ur, uc])
-                        xqd = tuple(int(x) for x in self.lr["xqd"][ur, uc])
-                        _, out = S.code_sgr_filter(self.enc, None,
-                                                   self._sgr_ref, ep, xqd)
-                        self._sgr_ref = list(out)
-                    continue
-                S._code_bin(self.enc, None, self.fc.wiener_restore, on)
-                if on:
-                    t = tuple(int(x) for x in self.lr["taps"][ur, uc])
-                    # coded order: vertical then horizontal taps
-                    S.code_wiener_filter(self.enc, None, self._lr_ref,
-                                         t[3:] + t[:3])
-                    self._lr_ref = list(t[3:] + t[:3])
+                        t = tuple(int(x) for x in pl["taps"][ur, uc])
+                        # coded order: vertical then horizontal taps
+                        S.code_wiener_filter(self.enc, None,
+                                             self._lr_ref[p],
+                                             t[3:] + t[:3])
+                        self._lr_ref[p] = list(t[3:] + t[:3])
 
     def encode(self, modes: np.ndarray, levels_y: np.ndarray,
                levels_u: np.ndarray, levels_v: np.ndarray,

@@ -95,3 +95,22 @@ def test_film_grain_auto_estimation():
     assert enc._grain is not None
     d = dec.decode_temporal_unit(pkt.payload)
     assert d is not None
+
+
+def test_noise_overlap_blend_bands():
+    """Overlap blending (spec 7.18.3.9/10) touches exactly the 2-col /
+    2-row luma bands at 32-pixel block seams and nothing else."""
+    import dataclasses
+
+    from svt_av1_tpu.ops.film_grain import _noise_planes, preset_params
+    p0 = dataclasses.replace(preset_params(10), overlap_flag=False)
+    p1 = dataclasses.replace(preset_params(10), overlap_flag=True)
+    n0 = _noise_planes(p0, 96, 96)[0]
+    n1 = _noise_planes(p1, 96, 96)[0]
+    diff = n0 != n1
+    band = np.zeros_like(diff)
+    for b in (32, 64):
+        band[:, b : b + 2] = True
+        band[b : b + 2, :] = True
+    assert not diff[~band].any(), "overlap changed non-boundary noise"
+    assert diff.any(), "overlap had no effect at seams"

@@ -66,13 +66,19 @@ def test_wiener_search_denoises():
     assert ((out - src) ** 2).sum() < 0.5 * ((deg - src) ** 2).sum()
 
 
+def _lr_on_count(dec) -> int:
+    if dec.lr is None:
+        return 0
+    return sum(int(pl["use"].sum()) for pl in dec.lr if pl is not None)
+
+
 def test_restoration_e2e_bit_exact():
     W, H = 192, 160   # three stripes
     for ip in (-2, 63):
         cfg = EncoderConfig(width=W, height=H, qp=50, intra_period=ip,
                             pred_structure=0, enable_restoration=True,
+                            enable_cdef=False,
                             scene_change_detection=False)
-        assert not cfg.enable_cdef   # LR forces CDEF off this round
         enc, dec = Encoder(cfg), Decoder()
         base = synthetic_frame(W, H, seed=0, kind="noise")
         n_on = 0
@@ -87,9 +93,92 @@ def test_restoration_e2e_bit_exact():
             np.testing.assert_array_equal(d.y, pkt.recon.y)
             np.testing.assert_array_equal(d.u, pkt.recon.u)
             np.testing.assert_array_equal(d.v, pkt.recon.v)
-            if dec.lr is not None:
-                n_on += int(dec.lr["use"].sum())
+            n_on += _lr_on_count(dec)
         assert n_on > 0, "Wiener never engaged on noisy content"
+
+
+def test_restoration_with_cdef_e2e():
+    """LR composes with CDEF: stripe context rows come from the
+    DEBLOCKED pre-CDEF planes (spec save_deblock_boundary_lines; ref
+    EbCdefProcess.c:545-558) while the filter input is the CDEF output.
+    Round-1 forced CDEF off under LR; this covers the composition."""
+    W, H = 192, 160
+    cfg = EncoderConfig(width=W, height=H, qp=50, intra_period=63,
+                        pred_structure=0, enable_restoration=True,
+                        enable_cdef=True, scene_change_detection=False)
+    assert cfg.enable_cdef
+    enc, dec = Encoder(cfg), Decoder()
+    base = synthetic_frame(W, H, seed=0, kind="noise")
+    n_on = 0
+    for i in range(3):
+        f = synthetic_frame(W, H, seed=0, kind="noise")
+        f.y[:] = np.roll(base.y, (i, 2 * i), (0, 1))
+        f.u[:] = np.roll(base.u, (0, i), (0, 1))
+        f.v[:] = np.roll(base.v, (0, i), (0, 1))
+        enc.send_picture(f)
+        pkt = enc.get_packet()
+        d = dec.decode_temporal_unit(pkt.payload)
+        np.testing.assert_array_equal(d.y, pkt.recon.y)
+        np.testing.assert_array_equal(d.u, pkt.recon.u)
+        np.testing.assert_array_equal(d.v, pkt.recon.v)
+        n_on += _lr_on_count(dec)
+    assert n_on > 0
+
+
+def test_restoration_chroma_planes():
+    """Chroma-noisy content engages LR on U/V (32-sample chroma RUs,
+    lr_uv_shift=1) and mirror-decodes bit-exactly."""
+    rng = np.random.default_rng(7)
+    W, H = 192, 160
+    f = synthetic_frame(W, H, seed=1)
+    f.u[:] = np.clip(f.u.astype(np.int32)
+                     + rng.normal(0, 8, f.u.shape), 0, 255).astype(np.uint8)
+    f.v[:] = np.clip(f.v.astype(np.int32)
+                     + rng.normal(0, 8, f.v.shape), 0, 255).astype(np.uint8)
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=30,
+                                enable_restoration=True,
+                                scene_change_detection=False))
+    enc.send_picture(f)
+    pkt = enc.get_packet()
+    dec = Decoder()
+    d = dec.decode_temporal_unit(pkt.payload)
+    np.testing.assert_array_equal(d.y, pkt.recon.y)
+    np.testing.assert_array_equal(d.u, pkt.recon.u)
+    np.testing.assert_array_equal(d.v, pkt.recon.v)
+    assert dec.lr is not None
+    assert any(pl is not None and pl["use"].any()
+               for pl in dec.lr[1:]), "chroma LR never engaged"
+
+
+def test_restoration_hier_b_e2e():
+    """LR on a hierarchical-B mini-GOP: restored frames are the
+    references (spec: LR output lands in the ref buffer), every coded
+    frame mirror-decodes bit-exactly in display order."""
+    from svt_av1_tpu.io.yuv import Frame
+    W, H, N = 128, 96, 5
+    rng = np.random.default_rng(9)
+    base = synthetic_frame(W, H, seed=3, kind="noise")
+    cfg = EncoderConfig(width=W, height=H, qp=45, intra_period=-1,
+                        pred_structure=2, hierarchical_levels=2,
+                        enable_restoration=True, compound_mode=1,
+                        scene_change_detection=False)
+    enc, dec = Encoder(cfg), Decoder()
+    frames = [Frame(np.roll(base.y, (i, 2 * i), (0, 1)),
+                    np.roll(base.u, (0, i), (0, 1)),
+                    np.roll(base.v, (0, i), (0, 1))) for i in range(N)]
+    pkts = list(enc.encode_all(frames))
+    shown = []
+    for p in pkts:
+        f = dec.decode_temporal_unit(p.payload)
+        if f is not None:
+            shown.append(f)
+    assert len(shown) == N
+    recs = {p.display_idx: p.recon for p in pkts if p.recon is not None}
+    for d in range(N):
+        np.testing.assert_array_equal(shown[d].y, recs[d].y,
+                                      err_msg=f"frame {d}")
+        np.testing.assert_array_equal(shown[d].u, recs[d].u,
+                                      err_msg=f"frame {d}")
 
 
 def test_sgr_search_and_apply_roundtrip():

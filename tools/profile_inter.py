@@ -1,13 +1,15 @@
 #!/usr/bin/env python3
-"""Profile the P-frame device step stage by stage on the real chip.
+"""Profile the inter (P/B) device step stage by stage on the real chip.
 
 Each stage is jitted separately and timed warm (block_until_ready), so
 the totals differ slightly from the fused step (XLA fuses across stage
-boundaries there), but the ranking tells us where the ~1s goes.
+boundaries there), but the ranking tells us where the time goes.
+
+Usage: python tools/profile_inter.py [W H]   (default 1920 1080)
 """
 import os
-import time
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -15,19 +17,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/svt_av1_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from svt_av1_tpu.ops import cdef as CD
+from svt_av1_tpu.ops import deblock as DB
 from svt_av1_tpu.ops import mc as MC
 from svt_av1_tpu.ops import me as ME
 from svt_av1_tpu.pipeline import inter_encoder as PE
 
-W, H = (1280, 720) if len(sys.argv) < 2 else (int(sys.argv[1]), int(sys.argv[2]))
-ph, pw = -(-H // 32) * 32, -(-W // 32) * 32
+W, H = (1920, 1080) if len(sys.argv) < 3 else (int(sys.argv[1]), int(sys.argv[2]))
+ph, pw = -(-H // 64) * 64, -(-W // 64) * 64
 search = PE.SEARCH_RANGE
 pad = search + 1
+cpad = pad // 2 + 1
 rng = np.random.default_rng(0)
 sy = jnp.asarray(rng.integers(0, 255, (ph, pw), np.int32))
 ry = jnp.asarray(rng.integers(0, 255, (ph, pw), np.int32))
 su = jnp.asarray(rng.integers(0, 255, (ph // 2, pw // 2), np.int32))
 ru = jnp.asarray(rng.integers(0, 255, (ph // 2, pw // 2), np.int32))
+lam = 20
 
 
 def timeit(name, fn, *args, n=5):
@@ -38,112 +47,122 @@ def timeit(name, fn, *args, n=5):
         out = fn(*args)
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:36s} {dt*1000:8.2f} ms")
+    print(f"{name:40s} {dt*1000:8.2f} ms")
     return out
 
 
 print(f"=== {W}x{H} padded {pw}x{ph}, search={search} ===")
 
-# 1. phase banks (per ref: 1 luma 4x4 + 2 chroma 2x2)
-pad_y = jax.jit(lambda r: MC.pad_for_filter(jnp, r, pad))
-py = timeit("pad_for_filter luma", pad_y, ry)
-bank_y = jax.jit(lambda p: MC.phase_bank(jnp, p, 4, 8))
-by = timeit("phase_bank luma 4x4", bank_y, py)
-cpad = pad // 2 + 1
-pad_c = jax.jit(lambda r: MC.pad_for_filter(jnp, r, cpad))
-pu = timeit("pad_for_filter chroma", pad_c, ru)
-bank_c = jax.jit(lambda p: MC.phase_bank(jnp, p, 2, 8))
-bu = timeit("phase_bank chroma 2x2 (x2 planes)", bank_c, pu)
+py = jax.jit(lambda r: MC.pad_for_filter(jnp, r, pad))(ry)
+pu = jax.jit(lambda r: MC.pad_for_filter(jnp, r, cpad))(ru)
+jax.block_until_ready((py, pu))
 
-# 2. HME centers
-hme = jax.jit(lambda s, r: ME.hme_centers(s, r, search_reach=search - 4))
+# --- full-pel ME pipeline (one reference) -------------------------------
+r2 = 4
+hme = jax.jit(lambda s, r: ME.hme_centers(s, r, search_reach=search - r2))
 centers = timeit("hme_centers", hme, sy, ry)
-
-# 3. warp_by_centers
-warp = jax.jit(lambda r, c: ME.warp_by_centers(jnp.pad(r, search, mode="edge"), c, 32, search))
+warp = jax.jit(lambda r, c: ME.warp_by_centers(
+    jnp.pad(r, search, mode="edge"), c, 32, search))
 warped = timeit("warp_by_centers", warp, ry, centers)
-
-# 4. refined sweep (one pass)
-sweep = jax.jit(lambda s, w, c: ME.refined_search_multisize(s, w, c, 32, 4))
-p1 = timeit("refined_search_multisize (1 pass)", sweep, sy, warped, centers)
-
-# 5. priors + pass2
-lam = 20
-pri = jax.jit(lambda m: ME.median3_mv_field(m))
-priors8 = timeit("median3_mv_field", pri, p1[8][0])
+lat_f = jax.jit(lambda s, w: ME.sad_lattice_multisize(s, w, r2))
+lat = timeit("sad_lattice_multisize", lat_f, sy, warped)
+sel1 = jax.jit(lambda l, c: ME.select_from_lattice(l, c, 32, r2))
+p1 = timeit("select_from_lattice (pass 1)", sel1, lat, centers)
+pri = jax.jit(ME.median3_mv_field)
+priors = {bs: pri(p1[bs][0]) for bs in PE.SIZES}
+jax.block_until_ready(priors)
 
 
-def sweep2(s, w, c, pr8, pr16, pr32):
-    return ME.refined_search_multisize(s, w, c, 32, 4, lam,
-                                       {8: pr8, 16: pr16, 32: pr32})
+def sel2(l, c, pr8, pr16, pr32):
+    return ME.select_from_lattice(l, c, 32, r2, lam,
+                                  {8: pr8, 16: pr16, 32: pr32})
 
 
-sw2 = jax.jit(sweep2)
-p2 = timeit("refined sweep pass2 (rate-biased)", sw2, sy, warped, centers,
-            priors8, pri(p1[16][0]), pri(p1[32][0]))
+p2 = timeit("select_from_lattice (rate-biased)", jax.jit(sel2), lat,
+            centers, priors[8], priors[16], priors[32])
 
-# 6. true-cost re-score (3 sizes)
-def rescore(bank, mv, pr):
-    out = []
-    for bs in (8, 16, 32):
-        pred0 = PE._mc_luma(bank, mv[bs][0] * 8, bs, pad)
-        out.append((jnp.abs(PE._block(sy, bs) - pred0).sum((-1, -2))
-                    + ((lam * ME.mv_rate_bits((mv[bs][0] - pr[bs]) * 8)) >> 4)))
-    return out
+for bs in PE.SIZES:
+    f = jax.jit(lambda mv, pr, bs=bs: PE._subpel_refine_dense(
+        PE._block(sy, bs), py, mv, bs, pad, lam, pr * 8))
+    timeit(f"subpel_refine_dense {bs}x{bs}", f, p2[bs][0], priors[bs])
 
-
-pr = {bs: pri(p1[bs][0]) for bs in (8, 16, 32)}
-rs = jax.jit(lambda b: rescore(b, p2, pr))
-true_cost = timeit("true-cost re-score (3 sizes)", rs, by)
-
-# 7. subpel refine (3 sizes)
-def subpel(bank, tc):
-    out = []
-    for i, bs in enumerate((8, 16, 32)):
-        out.append(PE._subpel_refine(PE._block(sy, bs), bank, p2[bs][0] * 8,
-                                     tc[i], bs, pad, lam, pr[bs] * 8))
-    return out
+mv = {bs: jax.jit(lambda m, p, bs=bs: PE._subpel_refine_dense(
+    PE._block(sy, bs), py, m, bs, pad, lam, p * 8)[0])(
+        p2[bs][0], priors[bs]) for bs in PE.SIZES}
+jax.block_until_ready(mv)
 
 
-sp = jax.jit(lambda b, tc: subpel(b, tc))
-mvs = timeit("subpel refine (2 steps x 3 sizes)", sp, by, true_cost)
+def me64f(mv32, pr64):
+    src64 = PE._block(sy, 64)
+    best = None
+    bmv = None
+    for dr in (0, 1):
+        for dc in (0, 1):
+            mvc = mv32[dr::2, dc::2]
+            pred = PE._mc_patch(py, mvc, 64, pad, False, 8)
+            c = (jnp.abs(src64 - pred).sum((-1, -2))
+                 + ((lam * ME.mv_rate_bits(mvc - pr64 * 8)) >> 4))
+            if best is None:
+                best, bmv = c, mvc
+            else:
+                b = c < best
+                bmv = jnp.where(b[..., None], mvc, bmv)
+                best = jnp.minimum(c, best)
+    return bmv, best
 
-# 8. residual coding at 3 sizes (luma + 2 chroma each)
-def resid(bank_y_, mv8):
-    outs = []
-    for i, bs in enumerate((8, 16, 32)):
-        pred = PE._mc_luma(bank_y_, mv8[i][0], bs, pad)
-        lv, rec = PE._encode_plane(PE._block(sy, bs), pred, 100, PE.TX_OF[bs])
-        outs.append((lv, rec))
-    return outs
 
+mv[64], _ = timeit("me64 (4 cand)", jax.jit(me64f), mv[32],
+                   priors[32][::2, ::2])
 
-rd = jax.jit(resid)
-timeit("residual code luma (3 sizes)", rd, by, mvs)
+# --- compound candidate (per size: 2 jnt MC + average + SAD) ------------
+for bs in PE.SIZES64:
+    f = jax.jit(lambda m, bs=bs: MC.jnt_average(
+        jnp,
+        PE._mc_patch(py, m, bs, pad, False, 8, jnt=True),
+        PE._mc_patch(py, m, bs, pad, False, 8, jnt=True), 8))
+    timeit(f"compound 2xjntMC+avg {bs}x{bs}", f, mv[bs])
 
+# --- fast-path MC at selected-cell granularity --------------------------
+mv8 = jnp.repeat(jnp.repeat(mv[8], 1, 0), 1, 1)
+f = jax.jit(lambda m: PE._mc_patch(py, m, 8, pad, False, 8))
+timeit("mc_patch luma 8x8 cells (1 ref)", f, mv8)
+mvc4 = mv8  # same grid count for chroma 4x4
+f = jax.jit(lambda m: PE._mc_patch(pu, m, 4, cpad, True, 8))
+timeit("mc_patch chroma 4x4 cells (1 pl)", f, mvc4)
 
-def resid_c(bank_u_, mv8):
-    outs = []
-    for i, bs in enumerate((8, 16, 32)):
+# --- residual coding at each size (3 planes) ----------------------------
+for bs in PE.SIZES64:
+    def res(m, bs=bs):
+        pred = PE._mc_patch(py, m, bs, pad, False, 8)
+        ly, ry_ = PE._encode_plane(PE._block(sy, bs), pred, 100,
+                                   PE.TX_OF[bs])
         cbs = bs // 2
-        pred = PE._mc_chroma(bank_u_, mv8[i][0], cbs, cpad)
-        lv, rec = PE._encode_plane(PE._block(su, cbs), pred, 100, PE.TX_OF_C[bs])
-        outs.append((lv, rec))
-    return outs
+        predc = PE._mc_patch(pu, m, cbs, cpad, True, 8)
+        lu, ru_ = PE._encode_plane(PE._block(su, cbs), predc, 100,
+                                   PE.TX_OF_C[bs])
+        return ly, ry_, lu, ru_
+    timeit(f"MC+residual code {bs} (y+1c)", jax.jit(res), mv[bs])
 
+# --- in-loop filters ----------------------------------------------------
+sz_y = jnp.full((ph, pw), 8, jnp.int32)
+f = jax.jit(lambda p: DB.deblock_plane(jnp, p, sz_y, 10, 10, True))
+timeit("deblock luma", f, sy)
+sk = jnp.zeros((ph // 8, pw // 8), bool)
+f = jax.jit(lambda cy, cu, cv: CD.cdef_search_and_apply(
+    jnp, (cy, cu, cv), (cy, cu, cv), sk, 5, coeff_shift=0))
+timeit("cdef search+apply", f, sy, su, su)
 
-rdc = jax.jit(resid_c)
-timeit("residual code chroma u (3 sizes)", rdc, bu, mvs)
-
-# 9. full fused step for comparison
-fn = PE.build_p_frame_encoder(ph, pw, H // 4, W // 4, 100, cdef=True)
-su8 = sy.astype(jnp.uint8)
-timeit("FULL fused P step (cdef on)", fn,
-       sy.astype(jnp.uint8), su.astype(jnp.uint8), su.astype(jnp.uint8),
-       ry.astype(jnp.uint8), ru.astype(jnp.uint8), ru.astype(jnp.uint8), n=3)
-
-# 10. dense subpel refine (new path)
-dsp = jax.jit(lambda pp: [PE._subpel_refine_dense(
-    PE._block(sy, bs), pp, p2[bs][0], bs, pad, lam, pr[bs] * 8)
-    for bs in (8, 16, 32)])
-timeit("subpel refine DENSE (3 sizes)", dsp, py)
+# --- full fused steps ---------------------------------------------------
+mi_r, mi_c = H // 4, W // 4
+su8 = su.astype(jnp.uint8)
+fnp = PE.build_p_frame_encoder_dyn(ph, pw, mi_r, mi_c, cdef=True,
+                                   rdo=False)
+args = (sy.astype(jnp.uint8), su8, su8,
+        ry.astype(jnp.uint8), ru.astype(jnp.uint8), ru.astype(jnp.uint8))
+dyn = (jnp.int32(100), jnp.int32(10), jnp.int32(10), jnp.int32(10))
+timeit("FULL P step (fast, cdef)", fnp, *args, *dyn, n=3)
+fnb = PE.build_b_frame_encoder_dyn(ph, pw, mi_r, mi_c, cdef=True,
+                                   compound=True, rdo=False)
+timeit("FULL B step (fast, compound, cdef)", fnb, *args,
+       ry.astype(jnp.uint8), ru.astype(jnp.uint8), ru.astype(jnp.uint8),
+       *dyn, n=3)
