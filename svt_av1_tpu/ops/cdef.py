@@ -156,8 +156,6 @@ def filter_plane(xp, plane, dir_units, pri, sec, damping, bs: int,
     vmax = x0
     vmin = x0
     total = xp.zeros((H, W), xp.int32)
-    pri_taps = xp.asarray(np.array(PRI_TAPS, np.int32))
-    sec_taps = xp.asarray(np.array(SEC_TAPS, np.int32))
 
     if xp is np:
         yy = np.arange(H)[:, None] + 2
@@ -191,7 +189,8 @@ def filter_plane(xp, plane, dir_units, pri, sec, damping, bs: int,
 
     for k in range(2):
         p0, p1 = taps_for(dir_px, k)
-        t = pri_taps[tap_sel, k]
+        # select, NOT a per-pixel table gather (see _filter_from_taps)
+        t = xp.where(tap_sel == 1, PRI_TAPS[1][k], PRI_TAPS[0][k])
         total = total + t * _constrain(xp, p0 - x0, pri_px, damping)
         total = total + t * _constrain(xp, p1 - x0, pri_px, damping)
         for s in (p0, p1):
@@ -200,7 +199,7 @@ def filter_plane(xp, plane, dir_units, pri, sec, damping, bs: int,
             vmin = xp.minimum(vmin, s)
         for rot in (2, 6):
             s0, s1 = taps_for((dir_px + rot) & 7, k)
-            st = sec_taps[k]
+            st = SEC_TAPS[k]
             total = total + st * _constrain(xp, s0 - x0, sec_px, damping)
             total = total + st * _constrain(xp, s1 - x0, sec_px, damping)
             for s in (s0, s1):
@@ -208,6 +207,72 @@ def filter_plane(xp, plane, dir_units, pri, sec, damping, bs: int,
                 vmax = xp.where(valid, xp.maximum(vmax, s), vmax)
                 vmin = xp.minimum(vmin, s)
 
+    out = x0 + ((8 + total - (total < 0)) >> 4)
+    out = xp.clip(out, vmin, vmax)
+    active = (pri_px > 0) | (sec_px > 0)
+    return xp.where(active, out, plane)
+
+
+def _extract_taps(xp, plane, dir_px):
+    """Shared tap extraction for one plane: the direction-indexed
+    shifted planes (the expensive 8-way select chains) depend only on
+    the DIRECTION field, not the strengths, so the encoder search
+    evaluates many strength candidates off one extraction.
+
+    Returns (x0, taps) where taps[k] = (p0, p1, s0a, s0b, s1a, s1b):
+    primary pair + the two secondary rotations' pairs at distance k.
+    """
+    H, W = plane.shape
+    pad = xp.full((H + 4, W + 4), VERY_LARGE, xp.int32)
+    pad = pad.at[2:-2, 2:-2].set(plane)
+    shifted = {}
+    for d in range(8):
+        for k in range(2):
+            for sgn in (1, -1):
+                dy = int(DIRS[d, k, 0]) * sgn
+                dx = int(DIRS[d, k, 1]) * sgn
+                shifted[(d, k, sgn)] = pad[2 + dy : 2 + dy + H,
+                                           2 + dx : 2 + dx + W]
+
+    def taps_for(dsel, k):
+        a = shifted[(0, k, 1)]
+        b = shifted[(0, k, -1)]
+        for d in range(1, 8):
+            m = dsel == d
+            a = xp.where(m, shifted[(d, k, 1)], a)
+            b = xp.where(m, shifted[(d, k, -1)], b)
+        return a, b
+
+    taps = []
+    vmax = plane
+    vmin = plane
+    for k in range(2):
+        p0, p1 = taps_for(dir_px, k)
+        s0a, s0b = taps_for((dir_px + 2) & 7, k)
+        s1a, s1b = taps_for((dir_px + 6) & 7, k)
+        taps.append((p0, p1, s0a, s0b, s1a, s1b))
+        for s in (p0, p1, s0a, s0b, s1a, s1b):
+            valid = s != VERY_LARGE
+            vmax = xp.where(valid, xp.maximum(vmax, s), vmax)
+            vmin = xp.minimum(vmin, s)
+    return plane, taps, vmin, vmax
+
+
+def _filter_from_taps(xp, x0, taps, vmin, vmax, pri_px, sec_px, tap_sel,
+                      damping, plane):
+    """Apply one (pri, sec) strength candidate on pre-extracted taps
+    (numerics identical to filter_plane)."""
+    total = xp.zeros_like(x0)
+    for k in range(2):
+        p0, p1, s0a, s0b, s1a, s1b = taps[k]
+        # per-pixel 2-entry table GATHERS are pathologically slow on
+        # TPU (~46 ms/pass at 1080p measured); a select is free
+        t = xp.where(tap_sel == 1, PRI_TAPS[1][k], PRI_TAPS[0][k])
+        total = total + t * _constrain(xp, p0 - x0, pri_px, damping)
+        total = total + t * _constrain(xp, p1 - x0, pri_px, damping)
+        st = SEC_TAPS[k]
+        for s in (s0a, s0b, s1a, s1b):
+            total = total + st * _constrain(xp, s - x0, sec_px, damping)
     out = x0 + ((8 + total - (total < 0)) >> 4)
     out = xp.clip(out, vmin, vmax)
     active = (pri_px > 0) | (sec_px > 0)
@@ -235,14 +300,20 @@ def _unit_strengths(xp, idx_sb, skip_units, strengths, h_units, w_units,
                     units_per_sb: int, coeff_shift: int = 0):
     """Per-unit (pri, sec) from the per-64x64 strength index (scaled
     << coeff_shift for high bit depth; ref EbCdef.c:284-285)."""
-    pri_tab = xp.asarray(np.array([s[0] << coeff_shift
-                                   for s in strengths], np.int32))
-    sec_raw = np.array([s[1] for s in strengths], np.int32)
-    sec_tab = xp.asarray((sec_raw + (sec_raw == 3)) << coeff_shift)
+    pri_tab = [s[0] << coeff_shift for s in strengths]
+    sec_raw = [s[1] for s in strengths]
+    sec_tab = [(s + (s == 3)) << coeff_shift for s in sec_raw]
     up = lambda a: xp.repeat(xp.repeat(a, units_per_sb, 0), units_per_sb, 1)
     idx_u = up(idx_sb)[:h_units, :w_units]
-    pri = xp.where(skip_units, 0, pri_tab[idx_u])
-    sec = xp.where(skip_units, 0, sec_tab[idx_u])
+    # select chains over the (tiny, static) strength lists — per-element
+    # table gathers are slow on TPU
+    pri = xp.full_like(idx_u, pri_tab[0])
+    sec = xp.full_like(idx_u, sec_tab[0])
+    for i in range(1, len(strengths)):
+        pri = xp.where(idx_u == i, pri_tab[i], pri)
+        sec = xp.where(idx_u == i, sec_tab[i], sec)
+    pri = xp.where(skip_units, 0, pri)
+    sec = xp.where(skip_units, 0, sec)
     return pri, sec
 
 
@@ -304,19 +375,31 @@ def cdef_search_and_apply(xp, planes, srcs, skip8, damping: int,
 
     # luma-only candidate filtering (index 0 is the identity); chroma is
     # filtered once afterwards with the chosen per-SB indices — ~2.5x
-    # less filter work than filtering all planes per candidate
+    # less filter work than filtering all planes per candidate.  The
+    # direction field is identical for every nonzero-strength candidate
+    # (pri > 0 iff var > 0 and not skipped), so the expensive
+    # direction-indexed tap selection runs ONCE and each candidate only
+    # re-runs the cheap constrain/accumulate stage (_filter_from_taps).
     cs = coeff_shift
     dirs, var = find_dir_grid(xp, y, cs)
     h8, w8 = H // 8, W // 8
-    lumas = [y]
-    costs = [sb_sse(y, srcs[0], 1)]
+    up = lambda a: xp.repeat(xp.repeat(a, 8, 0), 8, 1)
+    pris, secs = [], []
     for i in range(1, len(Y_STRENGTHS)):
         idx = xp.full((nsb_h, nsb_w), i, xp.int32)
         pri, sec = _unit_strengths(xp, idx, skip8, Y_STRENGTHS, h8, w8, 8,
                                    cs)
-        pri = adjust_strength(xp, pri, var)
-        fy = filter_plane(xp, y, xp.where(pri > 0, dirs, 0), pri, sec,
-                          damping + cs, 8, cs)
+        pris.append(adjust_strength(xp, pri, var))
+        secs.append(sec)
+    dir_px = up(xp.where(pris[0] > 0, dirs, 0))
+    x0, taps, vmin, vmax = _extract_taps(xp, y, dir_px)
+    lumas = [y]
+    costs = [sb_sse(y, srcs[0], 1)]
+    for pri, sec in zip(pris, secs):
+        pri_px, sec_px = up(pri), up(sec)
+        tap_sel = ((pri_px >> cs) & 1).astype(xp.int32)
+        fy = _filter_from_taps(xp, x0, taps, vmin, vmax, pri_px, sec_px,
+                               tap_sel, damping + cs, y)
         lumas.append(fy)
         costs.append(sb_sse(fy, srcs[0], 1))
     cost = xp.stack(costs, axis=-1)          # [nsb_h, nsb_w, 4]

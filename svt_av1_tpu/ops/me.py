@@ -177,41 +177,52 @@ def warp_by_centers(ref_pad, centers, tile: int, pad: int):
             .transpose(0, 2, 1, 3).reshape(th * tile, tw * tile))
 
 
-def sad_lattice_multisize(src, warped, r2: int):
+def sad_lattice_multisize(src, warped, r2: int, bd: int = 8):
     """One +-r2 full-pel sweep on the center-warped reference, returning
-    the FULL per-offset SAD lattice {bs: [H//bs, W//bs, (2r2+1)^2]}.
+    the FULL per-offset SAD lattice {bs: [(2r2+1)^2, H//bs, W//bs]}.
 
     The two selections the encoder needs (unbiased winners for the MVP
     prior, then rate-biased winners against that prior) are cheap
     reductions over this lattice — computing the image diffs once
     replaces the former double sweep (ref runs its ME once and re-costs
-    candidates the same way, EbMotionEstimation.c full-pel loop)."""
+    candidates the same way, EbMotionEstimation.c full-pel loop).
+
+    The offset axis is MAJOR (contiguous block stores).  The sweep
+    accumulates only the 8x8 level, in int16 when the bit depth allows
+    (|8x8 SAD| <= 64*255 fits; halves the sweep's memory traffic — the
+    81-offset diff+blocksum pass is bandwidth-bound); the 16/32 levels
+    are 2x2 lattice sums AFTER the loop, batched over all offsets."""
     H, W = src.shape
     n = 2 * r2 + 1
-    wpad = jnp.pad(warped, r2, mode="edge")
+    # 8x8 SAD bound: 64 * ((1<<bd)-1); int16 only when it fits (bd=8)
+    dt = jnp.int16 if 64 * ((1 << bd) - 1) <= 32767 else jnp.int32
+    s16 = src.astype(dt)
+    wpad = jnp.pad(warped, r2, mode="edge").astype(dt)
 
-    def body(dy, state):
+    def body(dy, lat8):
         rows = jax.lax.dynamic_slice(wpad, (dy, 0), (H, W + 2 * r2))
-        out = dict(state)
         for dx in range(n):
-            diff = jnp.abs(src - rows[:, dx : dx + W])
-            d8 = diff.reshape(H // 8, 8, W // 8, 8).sum((1, 3))
-            d16 = d8.reshape(H // 16, 2, W // 16, 2).sum((1, 3))
-            d32 = d16.reshape(H // 32, 2, W // 32, 2).sum((1, 3))
-            for bs, d in ((8, d8), (16, d16), (32, d32)):
-                out[bs] = jax.lax.dynamic_update_index_in_dim(
-                    out[bs], d, dy * n + dx, 2)
-        return out
+            diff = jnp.abs(s16 - rows[:, dx : dx + W])
+            d8 = diff.reshape(H // 8, 8, W // 8, 8).sum((1, 3), dtype=dt)
+            lat8 = jax.lax.dynamic_update_index_in_dim(
+                lat8, d8, dy * n + dx, 0)
+        return lat8
 
-    state = {bs: jnp.zeros((H // bs, W // bs, n * n), jnp.int32)
-             for bs in (8, 16, 32)}
-    return jax.lax.fori_loop(0, n, body, state)
+    lat8 = jax.lax.fori_loop(
+        0, n, body, jnp.zeros((n * n, H // 8, W // 8), dt))
+    lat8 = lat8.astype(jnp.int32)
+    lat16 = lat8.reshape(n * n, H // 16, 2, W // 16, 2).sum((2, 4))
+    lat32 = lat16.reshape(n * n, H // 32, 2, W // 32, 2).sum((2, 4))
+    return {8: lat8, 16: lat16, 32: lat32}
 
 
 def select_from_lattice(lat, centers, tile: int, r2: int,
                         lam=None, priors=None):
     """Pick per-block winners from a sad_lattice_multisize result;
-    returns {bs: (mv_fp, cost)} like refined_search_multisize."""
+    returns {bs: (mv_fp, cost)} like refined_search_multisize.
+
+    The winner's (dy, dx) is resolved with a one-hot matmul against the
+    tiny offset table (MXU-friendly) instead of a per-block gather."""
     n = 2 * r2 + 1
     dyx = jnp.stack([jnp.arange(n * n) // n - r2,
                      jnp.arange(n * n) % n - r2], -1)        # [n*n, 2]
@@ -219,16 +230,16 @@ def select_from_lattice(lat, centers, tile: int, r2: int,
     for bs in (8, 16, 32):
         k = tile // bs
         cen = jnp.repeat(jnp.repeat(centers, k, 0), k, 1)
-        cost = lat[bs]
+        cost = lat[bs]                                       # [n*n, h, w]
         if lam is not None:
-            mv8 = (cen[:, :, None, :] + dyx[None, None]
-                   - (priors[bs][:, :, None, :]
+            mv8 = (cen[None] + dyx[:, None, None, :]
+                   - (priors[bs][None]
                       if priors is not None else 0)) * 8
             cost = cost + ((lam * mv_rate_bits(mv8)) >> 4)
-        kbest = jnp.argmin(cost, -1)
-        out[bs] = (cen + dyx[kbest],
-                   jnp.take_along_axis(cost, kbest[..., None],
-                                       -1)[..., 0])
+        kbest = jnp.argmin(cost, 0)                          # [h, w]
+        onehot = (kbest[..., None]
+                  == jnp.arange(n * n)[None, None]).astype(jnp.int32)
+        out[bs] = (cen + onehot @ dyx, cost.min(0))
     return out
 
 

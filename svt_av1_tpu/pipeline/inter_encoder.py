@@ -370,7 +370,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             # ONE image-diff sweep; both selections (unbiased winners ->
             # MVP priors, then rate-biased winners) are reductions over
             # the stored lattice (was two full sweeps)
-            lat = ME.sad_lattice_multisize(sy, warped, r2)
+            lat = ME.sad_lattice_multisize(sy, warped, r2, bd)
             p1 = ME.select_from_lattice(lat, centers, 32, r2)
             priors = {bs: ME.median3_mv_field(p1[bs][0]) for bs in SIZES}
             p2 = ME.select_from_lattice(lat, centers, 32, r2, lam, priors)
