@@ -140,10 +140,9 @@ class EncoderConfig:
         unimplemented = {
             "film grain at bit_depth=10":
                 bool(self.enable_film_grain) and self.bit_depth == 10,
-            "restoration with tiles/10-bit":
+            "restoration with tiles":
                 self.enable_restoration
-                and (self.bit_depth == 10 or self.tile_columns_log2
-                     or self.tile_rows_log2),
+                and (self.tile_columns_log2 or self.tile_rows_log2),
 
             "super_block_size=128": self.super_block_size == 128,
             "enable_warped_motion": self.enable_warped_motion,

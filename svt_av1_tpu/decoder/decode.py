@@ -236,7 +236,8 @@ class Decoder:
                 else:
                     out = LRR.apply_wiener_plane(sub, dsub, pl["unit"],
                                                  ss, pl["use"],
-                                                 pl["taps"])
+                                                 pl["taps"],
+                                                 sp.bit_depth)
                 self.rec[p][:h, :w] = out
 
         # reference update (spec decode_frame_wrapup refresh)

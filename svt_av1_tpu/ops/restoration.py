@@ -22,8 +22,8 @@ WIENER_TAPS_MID = (3, -7, 15)
 WIENER_TAPS_MIN = (-5, -23, -17)
 WIENER_TAPS_MAX = (10, 8, 46)
 WIENER_SUBEXP_K = (1, 2, 3)
-ROUND0, ROUND1 = 3, 11      # 8-bit wiener conv params
-CLAMP_LIMIT = 1 << 13       # WIENER_CLAMP_LIMIT(3, 8)
+ROUND0, ROUND1 = 3, 11      # wiener conv rounding (all bit depths)
+CLAMP_LIMIT = 1 << 13       # WIENER_CLAMP_LIMIT(3, bd=8); bd-param below
 STRIPE = 64
 STRIPE_OFF = 8
 BORDER = 3
@@ -52,20 +52,26 @@ def _conv7_v(x: np.ndarray, k: np.ndarray) -> np.ndarray:
     return out
 
 
-def wiener_block(ext: np.ndarray, taps_h, taps_v) -> np.ndarray:
+def wiener_block(ext: np.ndarray, taps_h, taps_v,
+                 bd: int = 8) -> np.ndarray:
     """Filter one extended block: ext is int32 [h+6, w+6] (3-pixel halo
     already holds the correct stripe/frame context).  Returns [h, w]
-    pixels (ref av1_wiener_convolve_add_src_c, 8-bit)."""
+    pixels (ref av1_wiener_convolve_add_src_c /
+    av1_highbd_wiener_convolve_add_src_c, convolve.c:145-222: horiz
+    offset 1<<(bd+6), clamp (1<<(bd+5))-1; vert offset -(1<<(bd+10)),
+    clip to pixel range)."""
     kx = wiener_kernel(taps_h)
     ky = wiener_kernel(taps_v)
-    # horizontal: add-src (center << 7) + offset, clamp to 13 bits
+    # horizontal: add-src (center << 7) + offset, clamp to bd+5 bits
     center = ext[:, 3 : ext.shape[1] - 3]
-    s = _conv7_h(ext, kx) + (center << 7) + (1 << 14)
-    im = np.clip((s + (1 << (ROUND0 - 1))) >> ROUND0, 0, CLAMP_LIMIT - 1)
+    s = _conv7_h(ext, kx) + (center << 7) + (1 << (bd + 6))
+    im = np.clip((s + (1 << (ROUND0 - 1))) >> ROUND0, 0,
+                 (1 << (bd + 5)) - 1)
     # vertical: add-src - offset, clip to pixel range
     vcen = im[3 : im.shape[0] - 3, :]
-    s = _conv7_v(im, ky) + (vcen << 7) - (1 << 18)
-    return np.clip((s + (1 << (ROUND1 - 1))) >> ROUND1, 0, 255)
+    s = _conv7_v(im, ky) + (vcen << 7) - (1 << (bd + 10))
+    return np.clip((s + (1 << (ROUND1 - 1))) >> ROUND1, 0,
+                   (1 << bd) - 1)
 
 
 def _stripe_spans(h: int, ss_y: int):
@@ -117,8 +123,8 @@ def ru_grid(size: int, unit: int):
 
 def apply_wiener_plane(cdef: np.ndarray, deblock: np.ndarray,
                        unit: int, ss_y: int,
-                       ru_use: np.ndarray, ru_taps: np.ndarray
-                       ) -> np.ndarray:
+                       ru_use: np.ndarray, ru_taps: np.ndarray,
+                       bd: int = 8) -> np.ndarray:
     """Apply per-RU Wiener filters over a full plane (stripe-aware).
 
     ru_use:  [nrow, ncol] bool — RESTORE unit on/off
@@ -139,12 +145,14 @@ def apply_wiener_plane(cdef: np.ndarray, deblock: np.ndarray,
                     continue
                 t = ru_taps[ri, ci]
                 blk = ext[iy0 - y0s : iy1 - y0s + 6, cx0 : cx1 + 6]
-                out[iy0:iy1, cx0:cx1] = wiener_block(blk, t[:3], t[3:])
+                out[iy0:iy1, cx0:cx1] = wiener_block(blk, t[:3], t[3:],
+                                                     bd)
     return out
 
 
 def search_wiener_plane(src: np.ndarray, cdef: np.ndarray,
-                        deblock: np.ndarray, unit: int, ss_y: int):
+                        deblock: np.ndarray, unit: int, ss_y: int,
+                        bd: int = 8):
     """Per-RU Wiener search: separable normal-equation fit (the
     reference's search_wiener compute_stats + wiener_decompose), taps
     quantized to the coded ranges, kept only when SSE improves.
@@ -170,7 +178,7 @@ def search_wiener_plane(src: np.ndarray, cdef: np.ndarray,
             ru_t = np.zeros((len(rows), len(cols), 6), np.int32)
             ru_t[ri, ci] = cand
             got = apply_wiener_plane(cdef, deblock, unit, ss_y, ru_use,
-                                     ru_t)
+                                     ru_t, bd)
             a = src[ry0:ry1, cx0:cx1].astype(np.int64)
             sse_new = ((got[ry0:ry1, cx0:cx1] - a) ** 2).sum()
             sse_old = ((cdef[ry0:ry1, cx0:cx1].astype(np.int64) - a)

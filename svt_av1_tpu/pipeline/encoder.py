@@ -401,7 +401,8 @@ class Encoder:
                 "refresh": 1 << new_slot,
                 "ref_idx": (ls, ls, ls, golden_slot, ls, ls, ls),
                 "ref_hints": (0,) * 7, **meta_lr}
-        self._pending.append(("p", [frame], out, None, None, qindex, None,
+        lay = PE.inter_layout(2, False, self._txs, lv8=True, lr=False)
+        self._pending.append(("p", [frame], out, lay, None, qindex, None,
                               meta))
 
     def _pick_interp(self, frame: Frame, qindex: int) -> int:
@@ -473,7 +474,9 @@ class Encoder:
                 "refresh": 1 << slot,
                 "ref_idx": (fs, fs, fs, fs, bs, bs, bs),
                 "ref_hints": (fh, fh, fh, fh, bh, bh, bh), **meta_lr}
-        self._pending.append(("p", [frame], out, None, None, qindex, None,
+        lay = PE.inter_layout(nrefs, compound, self._txs, lv8=True,
+                              lr=False)
+        self._pending.append(("p", [frame], out, lay, None, qindex, None,
                               meta))
 
     def _dispatch_inbox(self) -> None:
@@ -560,15 +563,16 @@ class Encoder:
             src = srcp[:h, :w].astype(np.int32)
             crop = np.ascontiguousarray(planes[p][:h, :w].astype(np.int32))
             dsub = np.ascontiguousarray(deb[p][:h, :w].astype(np.int32))
-            use_w, taps = LRR.search_wiener_plane(src, crop, dsub,
-                                                  unit, ss)
+            use_w, taps = LRR.search_wiener_plane(
+                src, crop, dsub, unit, ss, bd=self.cfg.bit_depth)
             use_s, ep, xqd, sse_s = LRR.search_sgr_plane(
                 src, crop, dsub, unit, ss, bd=self.cfg.bit_depth)
             # plane-level type pick by realized SSE (off-RU keeps self)
             got_w = crop
             if use_w.any():
                 got_w = LRR.apply_wiener_plane(crop, dsub, unit, ss,
-                                               use_w, taps)
+                                               use_w, taps,
+                                               self.cfg.bit_depth)
             sse_w = ((got_w.astype(np.int64) - src) ** 2).sum()
             if use_s.any() and sse_s.sum() < sse_w:
                 got = LRR.apply_sgr_plane(crop, dsub, unit, ss, use_s,
@@ -750,7 +754,10 @@ class Encoder:
                 self._ref_dev = self._as_ref_planes(out[5][:ph, :pw],
                                        out[6][: ph // 2, : pw // 2],
                                        out[7][: ph // 2, : pw // 2])
-            self._pending.append(("p", [frame], out, None, None, qindex,
+            dyn_q = not (self._rc is None and self._la is None)
+            lay = PE.inter_layout(1, False, self._txs, lv8=dyn_q,
+                                  lr=False)
+            self._pending.append(("p", [frame], out, lay, None, qindex,
                                   None, meta))
 
     def _finish_one(self) -> None:
@@ -771,7 +778,7 @@ class Encoder:
         meta = entry[7] if len(entry) > 7 else None
         if kind == "p":
             pkts = [self._make_inter_packet(frames[0], out, qindex, meta,
-                                            self._frame_idx)]
+                                            self._frame_idx, lay=nbh)]
         else:
             if kind == "key":
                 devs = [IE.materialize_frame(out, nbh, nbw)]
@@ -835,17 +842,52 @@ class Encoder:
             if self._rc is not None:
                 self._rc.update(len(p.payload) * 8, p.is_keyframe)
 
-    def _fetch_inter_arrs(self, out) -> dict:
+    def _fetch_inter_arrs(self, out, lay) -> dict:
         """ONE batched device->host fetch of an inter step's outputs
         (the tunneled link pays ~30 ms RTT per transfer — serial
-        np.asarray per array was ~10 RTTs); recon planes are skipped
-        entirely unless the caller needs them."""
+        np.asarray per array was ~10 RTTs), keyed by the build's
+        inter_layout.  Recon planes are skipped unless needed; when the
+        step carries int8 level shadows and every level fits, the int8
+        trio replaces the int16 packs (halves the dominant transfer)."""
         import jax
         need_rec = self._need_recon()
-        idxs = [i for i in range(len(out))
-                if need_rec or i not in (5, 6, 7)]
+        skip = set()
+        if not need_rec:
+            skip |= {lay["rec_y"], lay["rec_u"], lay["rec_v"]}
+        lv8 = "small" in lay
+        if lv8:
+            skip |= {lay[n] for n in ("ly", "lu", "lv",
+                                      "ly8", "lu8", "lv8")}
+        for n in ("deb_y", "deb_u", "deb_v"):   # consumed at dispatch
+            skip.add(lay.get(n))
+        idxs = [i for i in range(len(out)) if i not in skip]
         vals = jax.device_get([out[i] for i in idxs])
-        return {i: np.asarray(v) for i, v in zip(idxs, vals)}
+        arrs = {i: np.asarray(v) for i, v in zip(idxs, vals)}
+        if lv8:
+            flags = arrs[lay["lflags"]]
+            cnt = int(arrs[lay["lcount"]])
+            small = bool(arrs[lay["small"]])
+            cap = PE.sparse_capacity(flags.size)
+            if small and cnt <= cap:
+                # scatter the sparse pack back into dense cell grids
+                # (stable-argsort order == raster order of set flags)
+                nbh8, nbw8 = flags.shape
+                idx = np.flatnonzero(flags.reshape(-1))
+                for n, t in (("ly", 8), ("lu", 4), ("lv", 4)):
+                    dense = np.zeros((nbh8 * nbw8, t * t), np.int16)
+                    dense[idx] = arrs[lay["p" + n]][:cnt]
+                    arrs[lay[n]] = dense.reshape(nbh8, nbw8, t, t)
+            elif small:
+                vals = jax.device_get([out[lay[n + "8"]]
+                                       for n in ("ly", "lu", "lv")])
+                for n, v in zip(("ly", "lu", "lv"), vals):
+                    arrs[lay[n]] = np.asarray(v).astype(np.int16)
+            else:   # rare: some level exceeded int8 — pull the int16s
+                vals = jax.device_get([out[lay[n]]
+                                       for n in ("ly", "lu", "lv")])
+                for n, v in zip(("ly", "lu", "lv"), vals):
+                    arrs[lay[n]] = np.asarray(v)
+        return arrs
 
     def _prefetch_next_inter(self) -> None:
         """Overlap the NEXT pending inter frame's device->host fetch
@@ -854,30 +896,37 @@ class Encoder:
         pipeline — the TPU analog of the reference's copy/EC process
         overlap)."""
         for entry in self._pending:
-            if entry[0] == "p":
+            if entry[0] == "p" and entry[3] is not None:
                 out = entry[2]
                 if id(out) not in self._prefetched:
                     self._prefetched[id(out)] = \
                         self._fetch_pool.submit(self._fetch_inter_arrs,
-                                                out)
+                                                out, entry[3])
                 return
 
     def _make_inter_packet(self, frame: Frame, out, qindex: int,
-                           meta=None, coded_idx: int = 0) -> Packet:
+                           meta=None, coded_idx: int = 0,
+                           lay=None) -> Packet:
         cfg = self.cfg
+        if lay is None:
+            lay = PE.inter_layout((meta or {}).get("nrefs", 1),
+                                  bool((meta or {}).get("compound")),
+                                  self._txs, lv8=True, lr=False)
         fut = self._prefetched.pop(id(out), None)
         with self._tracer.span("fetch"):
             arrs = fut.result() if fut is not None \
-                else self._fetch_inter_arrs(out)
+                else self._fetch_inter_arrs(out, lay)
         self._prefetch_next_inter()
-        sizes, mv = arrs[0], arrs[1].astype(np.int32)
-        levels = {bs: tuple(_unpack_levels(arrs[2 + p], bs)
-                            for p in range(3))
+        sizes = arrs[lay["sizes"]]
+        mv = arrs[lay["mv"]].astype(np.int32)
+        levels = {bs: tuple(_unpack_levels(arrs[lay[n]], bs)
+                            for n in ("ly", "lu", "lv"))
                   for bs in (8, 16, 32, 64)}
-        ry, ru, rv = arrs.get(5), arrs.get(6), arrs.get(7)
-        cdef_idx = arrs[8] if cfg.enable_cdef and len(out) > 8 else None
-        # tx-type search output rides at the END of the tuple
-        txty = arrs[len(out) - 1] if self._txs else None
+        ry = arrs.get(lay["rec_y"])
+        ru = arrs.get(lay["rec_u"])
+        rv = arrs.get(lay["rec_v"])
+        cdef_idx = arrs[lay["cdef"]] if cfg.enable_cdef else None
+        txty = arrs[lay["txty"]] if "txty" in lay else None
         # per-cell ref types from the device refsel map (0 -> ref0,
         # 1 -> ref1); hier-B pairs (LAST, ALTREF), low-delay B (LAST,
         # GOLDEN)
@@ -888,7 +937,7 @@ class Encoder:
         if meta is not None and meta.get("nrefs", 1) == 2:
             t0, t1 = meta.get("ref_types", (1, 7))
             if meta.get("compound"):
-                mode8 = arrs[9]
+                mode8 = arrs[lay["ref8"]]
                 # 0 in refs8 marks a compound cell (frame-level pair)
                 refs8 = np.where(mode8 == 0, t0,
                                  np.where(mode8 == 1, t1, 0)).astype(
@@ -897,10 +946,11 @@ class Encoder:
                 # single-ref-only frames keep the C++ fast path
                 ref_select = bool((mode8 == 2).any())
                 if ref_select:
-                    mvs2 = arrs[10].astype(np.int32)
+                    mvs2 = arrs[lay["mv2"]].astype(np.int32)
                     comp_pair = (t0, t1)
             else:
-                refs8 = np.where(arrs[9] == 0, t0, t1).astype(np.uint8)
+                refs8 = np.where(arrs[lay["ref8"]] == 0, t0,
+                                 t1).astype(np.uint8)
         sign_bias = None
         if meta is not None:
             sign_bias = O.ref_sign_biases(self.seq, meta["order_hint"],

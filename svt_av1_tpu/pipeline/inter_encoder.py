@@ -60,6 +60,38 @@ _PART_BITS = RDO.partition_bits()      # {bs: (none_bits, split_bits)}
 _LEAF = RDO.inter_leaf_bits()          # mode / ref_single / comp_extra
 
 
+def inter_layout(nrefs: int, compound: bool, txs: bool, lv8: bool,
+                 lr: bool) -> dict:
+    """name -> output-tuple index for a p_frame_step build.
+
+    Single source of truth shared by the step assembly and the
+    encoder's fetch stage (the tuple grew too many optional tails for
+    positional indexing).  ``lv8`` marks the dynamic-q int8 level
+    shadow outputs (small flag + int8 casts of the three packs — the
+    tunnel fetch pulls those when every level fits int8, halving the
+    dominant per-frame transfer)."""
+    names = ["sizes", "mv", "ly", "lu", "lv", "rec_y", "rec_u", "rec_v",
+             "cdef"]
+    if nrefs == 2:
+        names.append("ref8")
+    if compound:
+        names.append("mv2")
+    if txs:
+        names.append("txty")
+    if lv8:
+        names += ["small", "ly8", "lu8", "lv8",
+                  "lflags", "lcount", "ply", "plu", "plv"]
+    if lr:
+        names += ["deb_y", "deb_u", "deb_v"]
+    return {n: i for i, n in enumerate(names)}
+
+
+def sparse_capacity(n_cells: int) -> int:
+    """Fixed sparse-pack capacity (cells) — must match between the
+    device pack and the host scatter."""
+    return max(256, n_cells // 2)
+
+
 def _block(plane, bs: int):
     h, w = plane.shape
     return plane.reshape(h // bs, bs, w // bs, bs).transpose(0, 2, 1, 3)
@@ -790,6 +822,32 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             out = out + (mv2_sel,)
         if txs:
             out = out + (txty8,)
+        if dynamic_q:
+            # int8 level shadows + fits-int8 flag (see inter_layout)
+            small = ((jnp.abs(ly_pack) <= 127).all()
+                     & (jnp.abs(lu_pack) <= 127).all()
+                     & (jnp.abs(lv_pack) <= 127).all())
+            ly8 = ly_pack.astype(jnp.int8)
+            lu8 = lu_pack.astype(jnp.int8)
+            lv8_ = lv_pack.astype(jnp.int8)
+            # sparse cell pack: most 8x8 cells code NO coefficients
+            # (skip), so the per-frame level transfer compacts to the
+            # nonzero cells under a fixed capacity (host falls back to
+            # the dense arrays when count exceeds it).  Stable argsort
+            # puts nonzero cells first in raster order — the host
+            # scatter re-derives the same order from the flag bitmap.
+            nb = nb8h * nb8w
+            cap = sparse_capacity(nb)
+            lflags = ((ly8 != 0).any((-1, -2))
+                      | (lu8 != 0).any((-1, -2))
+                      | (lv8_ != 0).any((-1, -2)))
+            order = jnp.argsort(~lflags.reshape(-1), stable=True)[:cap]
+            lcount = lflags.sum().astype(jnp.int32)
+            ply = jnp.take(ly8.reshape(nb, 64), order, axis=0)
+            plu = jnp.take(lu8.reshape(nb, 16), order, axis=0)
+            plv = jnp.take(lv8_.reshape(nb, 16), order, axis=0)
+            out = out + (small, ly8, lu8, lv8_,
+                         lflags, lcount, ply, plu, plv)
         if lr:
             out = out + tuple(p.astype(px_dt) for p in deb_out)
         return out

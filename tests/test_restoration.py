@@ -238,3 +238,27 @@ def test_sgr_syntax_roundtrip():
         r0, r1 = SGR_PARAMS[ep][0], SGR_PARAMS[ep][1]
         if r0 and r1:
             assert got == xqd
+
+
+def test_restoration_10bit_e2e():
+    """10-bit LR: highbd Wiener rounding (offsets 1<<(bd+6)/-(1<<(bd+10)),
+    clamp (1<<(bd+5))-1; ref av1_highbd_wiener_convolve_add_src_c,
+    convolve.c:145-222) + SGR at bd=10, mirror-decoded bit-exactly."""
+    rng = np.random.default_rng(5)
+    W, H = 192, 128
+    f = synthetic_frame(W, H, seed=4, bit_depth=10)
+    f.y[:] = np.clip(f.y.astype(np.int32)
+                     + rng.normal(0, 20, f.y.shape), 0, 1023).astype(
+                         np.uint16)
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=30, bit_depth=10,
+                                enable_restoration=True,
+                                scene_change_detection=False))
+    enc.send_picture(f)
+    pkt = enc.get_packet()
+    dec = Decoder()
+    d = dec.decode_temporal_unit(pkt.payload)
+    assert d.y.dtype == np.uint16
+    np.testing.assert_array_equal(d.y, pkt.recon.y)
+    np.testing.assert_array_equal(d.u, pkt.recon.u)
+    np.testing.assert_array_equal(d.v, pkt.recon.v)
+    assert _lr_on_count(dec) > 0, "LR never engaged on noisy 10-bit"
