@@ -108,6 +108,7 @@ class Decoder:
         # filters run frame-wide across tile boundaries, spec 7.14)
         self.skip_map = np.zeros((mi_rows, mi_cols), np.uint8)
         self.w4_map = np.zeros((mi_rows, mi_cols), np.uint8)
+        self.h4_map = np.zeros((mi_rows, mi_cols), np.uint8)
         if self.is_inter_frame:
             self.mi = MVP.MiInter(mi_rows, mi_cols)
             self.sign_bias = O.ref_sign_biases(sp, fp.order_hint,
@@ -195,14 +196,18 @@ class Decoder:
             # per-pixel tx-size maps from the coded block sizes (intra
             # frames fill w4_map in _block; uniform-8 streams are all 2s)
             w4 = np.maximum(self.w4_map.astype(np.int32), 2)
-            sizes_y = np.repeat(np.repeat(w4, 4, 0), 4, 1) * 4
-            sizes_c = np.repeat(np.repeat(w4, 2, 0), 2, 1) * 2
-            self.rec[0] = DB.deblock_plane(np, self.rec[0], sizes_y, l0, l1,
-                                           True, bd=sp.bit_depth)
-            self.rec[1] = DB.deblock_plane(np, self.rec[1], sizes_c, lu2,
-                                           lu2, False, bd=sp.bit_depth)
-            self.rec[2] = DB.deblock_plane(np, self.rec[2], sizes_c, lv2,
-                                           lv2, False, bd=sp.bit_depth)
+            h4 = np.maximum(self.h4_map.astype(np.int32), 2)
+            upy = lambda a: np.repeat(np.repeat(a, 4, 0), 4, 1) * 4
+            upc = lambda a: np.repeat(np.repeat(a, 2, 0), 2, 1) * 2
+            self.rec[0] = DB.deblock_plane(np, self.rec[0], upy(w4), l0, l1,
+                                           True, bd=sp.bit_depth,
+                                           sizes_px_h=upy(h4))
+            self.rec[1] = DB.deblock_plane(np, self.rec[1], upc(w4), lu2,
+                                           lu2, False, bd=sp.bit_depth,
+                                           sizes_px_h=upc(h4))
+            self.rec[2] = DB.deblock_plane(np, self.rec[2], upc(w4), lv2,
+                                           lv2, False, bd=sp.bit_depth,
+                                           sizes_px_h=upc(h4))
 
         # LR stripe context rows come from the DEBLOCKED (pre-CDEF)
         # frame (spec save_deblock_boundary_lines; ref EbCdefProcess.c
@@ -276,6 +281,7 @@ class Decoder:
         self.skip_map[r0:r1, c0:c1] = self.tc.skips
         if self.is_inter_frame:
             self.w4_map[r0:r1, c0:c1] = self.mi.w4
+            self.h4_map[r0:r1, c0:c1] = self.mi.h4
 
     def _read_lr(self, r4: int, c4: int) -> None:
         """Mirror of TileWriter._write_lr (spec read_lr; per-plane
@@ -337,7 +343,7 @@ class Decoder:
             p = read_partition_symbol(self.dec, self.fc, tc, r4, c4, n4)
             assert p == S.PARTITION_NONE, f"unsupported partition {p} at 8x8"
             if self.is_inter_frame:
-                self._inter_block(r4, c4, 8)
+                self._inter_block(r4, c4, 2, 2)
             else:
                 self._block(r4, c4)
             return
@@ -346,10 +352,21 @@ class Decoder:
             if self.is_inter_frame:
                 assert n4 in (4, 8, 16), \
                     f"unsupported PARTITION_NONE at n4={n4}"
-                self._inter_block(r4, c4, n4 * 4)
+                self._inter_block(r4, c4, n4, n4)
             else:
                 assert n4 == 4, f"unsupported intra PARTITION_NONE {n4}"
                 self._block(r4, c4, 16)
+            return
+        if p in (S.PARTITION_HORZ, S.PARTITION_VERT):
+            assert self.is_inter_frame and n4 in (4, 8), \
+                f"unsupported partition {p} at n4={n4}"
+            half = n4 >> 1
+            if p == S.PARTITION_HORZ:
+                self._inter_block(r4, c4, n4, half)
+                self._inter_block(r4 + half, c4, n4, half)
+            else:
+                self._inter_block(r4, c4, half, n4)
+                self._inter_block(r4, c4 + half, half, n4)
             return
         assert p == S.PARTITION_SPLIT, \
             f"unsupported partition {p} at n4={n4}"
@@ -362,10 +379,21 @@ class Decoder:
     _TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32,
               64: T.TX_64X64}
     _TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16, 64: T.TX_32X32}
+    # rect leaf transforms keyed (bh, bw) in pixels (mirror of
+    # TileWriter._TX_RECT)
+    _TX_RECT = {(8, 16): T.TX_16X8, (16, 8): T.TX_8X16,
+                (16, 32): T.TX_32X16, (32, 16): T.TX_16X32}
+    _TX_RECT_C = {(8, 16): T.TX_8X4, (16, 8): T.TX_4X8,
+                  (16, 32): T.TX_16X8, (32, 16): T.TX_8X16}
 
-    def _inter_block(self, r4: int, c4: int, bs: int) -> None:
+    def _inter_block(self, r4: int, c4: int, w4: int, h4: int) -> None:
         dec, fc, tc, mi = self.dec, self.fc, self.tc, self.mi
-        n4 = bs // 4
+        bw, bh = w4 * 4, h4 * 4
+        if w4 == h4:
+            tx_y, tx_c = self._TX_OF[bw], self._TX_OF_C[bw]
+        else:
+            tx_y = self._TX_RECT[(bh, bw)]
+            tx_c = self._TX_RECT_C[(bh, bw)]
 
         ctx = tc.skip_ctx(r4, c4)
         cdf = fc.skip[ctx]
@@ -382,7 +410,7 @@ class Decoder:
         mv8b = None
         if is_comp:
             rf = S.code_comp_refs(None, dec, fc, mi, tc, counts, r4, c4)
-            res = MVP.find_mv_stack_comp(mi, r4, c4, n4, n4, rf,
+            res = MVP.find_mv_stack_comp(mi, r4, c4, w4, h4, rf,
                                          sign_bias=self.sign_bias)
             mode = S.code_compound_mode(None, dec, fc, res)
             if mode == S.NEW_NEWMV:
@@ -402,7 +430,7 @@ class Decoder:
             ref2 = MVP.NONE_FRAME
             gmv = (self.fp.gm_trans[ref - 1]
                    if self.fp.gm_types[ref - 1] else (0, 0))
-            res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
+            res = MVP.find_mv_stack(mi, r4, c4, w4, h4, ref,
                                     sign_bias=self.sign_bias,
                                     global_mv=gmv)
             mode = S.code_inter_mode(None, dec, fc, res)
@@ -421,9 +449,9 @@ class Decoder:
                 mv8 = res.global_mv
         bank_y, bank_u, bank_v = self.banks[self.fp.ref_frame_idx[ref - 1]]
 
-        tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), S.DC_PRED,
+        tc.set_block(r4, c4, w4, h4, S.block_size_of(w4, h4), S.DC_PRED,
                      skip)
-        mi.set_block(r4, c4, n4, n4, is_inter=True, ref_frame=ref,
+        mi.set_block(r4, c4, w4, h4, is_inter=True, ref_frame=ref,
                      mode=mode, mv=mv8, ref_frame2=ref2,
                      mv2=mv8b if mv8b is not None else (0, 0))
 
@@ -436,31 +464,32 @@ class Decoder:
         ltx = 0   # luma tx type; chroma INHERITS it (spec compute_tx_type
                   # inter-chroma branch; the reduced inter set allows IDTX
                   # at every chroma tx size here)
-        for plane, tx_size in enumerate(
-                (self._TX_OF[bs], self._TX_OF_C[bs], self._TX_OF_C[bs])):
+        for plane, tx_size in enumerate((tx_y, tx_c, tx_c)):
             pr = r4 >> (plane > 0)
             pc = c4 >> (plane > 0)
-            w4 = n4 >> (plane > 0)
-            pbs = bs >> (plane > 0)
+            w4p = w4 >> (plane > 0)
+            h4p = h4 >> (plane > 0)
+            pbw = bw >> (plane > 0)
+            pbh = bh >> (plane > 0)
             if skip:
-                levels = np.zeros((pbs, pbs), np.int32)
-                tc.set_txb(plane, pr, pc, w4, w4, 0)
+                levels = np.zeros((pbh, pbw), np.int32)
+                tc.set_txb(plane, pr, pc, w4p, h4p, 0)
             else:
-                txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
+                txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4p, h4p,
                                              full_block_tx=True,
                                              larger_block=False)
                 levels, cul, ptx = S.read_coeffs_txb(
                     dec, fc, tx_size, int(plane > 0), txb_ctx, dc_ctx,
                     read_tx_type=True, reduced_tx_set=self.fp.reduced_tx_set,
                     allow_tx_type=self.fp.base_q_idx > 0, is_inter=True)
-                tc.set_txb(plane, pr, pc, w4, w4, cul)
+                tc.set_txb(plane, pr, pc, w4p, h4p, cul)
                 if plane == 0:
                     ltx = ptx
-                if levels.shape != (pbs, pbs):
+                if levels.shape != (pbh, pbw):
                     # dim-64 tx: the parsed 32x32 adjusted region sits in
                     # the top-left of a zero 64x64 coefficient array
-                    levels = np.pad(levels, ((0, pbs - levels.shape[0]),
-                                             (0, pbs - levels.shape[1])))
+                    levels = np.pad(levels, ((0, pbh - levels.shape[0]),
+                                             (0, pbw - levels.shape[1])))
 
             py = (pr + (self.toff[0] >> (plane > 0))) * 4
             px = (pc + (self.toff[1] >> (plane > 0))) * 4
@@ -473,27 +502,27 @@ class Decoder:
                 filt_ = self.fp.interp_filter
                 pred = MC.jnt_average(
                     np,
-                    MC.jnt_pred_np(pp0[plane], py, px, mv8, pbs, ppad,
-                                   plane > 0, bd_, filt_),
-                    MC.jnt_pred_np(pp1[plane], py, px, mv8b, pbs, ppad,
-                                   plane > 0, bd_, filt_), bd_)
+                    MC.jnt_pred_np(pp0[plane], py, px, mv8, (pbh, pbw),
+                                   ppad, plane > 0, bd_, filt_),
+                    MC.jnt_pred_np(pp1[plane], py, px, mv8b, (pbh, pbw),
+                                   ppad, plane > 0, bd_, filt_), bd_)
             elif plane == 0:
                 r0 = py + PAD + (mv8[0] >> 3)
                 c0 = px + PAD + (mv8[1] >> 3)
                 pred = bank_y[((mv8[0] * 2) & 15) >> 2,
                               ((mv8[1] * 2) & 15) >> 2][
-                    r0 : r0 + pbs, c0 : c0 + pbs]
+                    r0 : r0 + pbh, c0 : c0 + pbw]
             else:
                 r0 = py + cpad + (mv8[0] >> 4)
                 c0 = px + cpad + (mv8[1] >> 4)
                 bank_c = bank_u if plane == 1 else bank_v
                 pred = bank_c[(mv8[0] & 15) >> 1,
                               (mv8[1] & 15) >> 1][
-                    r0 : r0 + pbs, c0 : c0 + pbs]
+                    r0 : r0 + pbh, c0 : c0 + pbw]
             bd2 = self.seq.bit_depth
             dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size, bd2)
             resid = T.inv_txfm2d_np(dq, tx_size, ltx, bd2)
-            self.rec[plane][py : py + pbs, px : px + pbs] = np.clip(
+            self.rec[plane][py : py + pbh, px : px + pbw] = np.clip(
                 pred + resid, 0, (1 << bd2) - 1)
 
     def _block(self, r4: int, c4: int, lbs: int = 8) -> None:
@@ -534,6 +563,8 @@ class Decoder:
         tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4), y_mode,
                      skip)
         self.w4_map[r4 + self.toff[0] : r4 + self.toff[0] + n4,
+                    c4 + self.toff[1] : c4 + self.toff[1] + n4] = n4
+        self.h4_map[r4 + self.toff[0] : r4 + self.toff[0] + n4,
                     c4 + self.toff[1] : c4 + self.toff[1] + n4] = n4
 
         for plane, tx_size in enumerate(

@@ -88,8 +88,11 @@ class MiInter:
 
 def _has_top_right(sb_mi: int, mi_row: int, mi_col: int, w4: int, h4: int,
                    bs: int) -> int:
-    """ref has_top_right (EbAdaptiveMotionVectorPrediction.c:562); square
-    uniform partitions only (is_sec_rect=0, no VERT_A)."""
+    """ref has_top_right (EbAdaptiveMotionVectorPrediction.c:562),
+    incl. the rectangular-block rules: the FIRST (left) half of a VERT
+    partition always has a top-right (the block above is decoded); the
+    SECOND (bottom) half of a HORZ partition never does.  is_sec_rect
+    marks the second rect block (no AB/4-way shapes produced here)."""
     if bs > 16:  # mi_size_wide[BLOCK_64X64]
         return 0
     mask_row = mi_row & (sb_mi - 1)
@@ -104,9 +107,14 @@ def _has_top_right(sb_mi: int, mi_row: int, mi_col: int, w4: int, h4: int,
         else:
             break
         b <<= 1
-    if w4 < h4:
+    is_sec_rect = 0
+    if w4 < h4 and (mi_col & (h4 - 1)):
+        is_sec_rect = 1
+    if w4 > h4 and (mi_row & (w4 - 1)):
+        is_sec_rect = 1
+    if w4 < h4 and not is_sec_rect:
         has_tr = 1
-    if w4 > h4:
+    if w4 > h4 and is_sec_rect:
         has_tr = 0
     return int(has_tr)
 

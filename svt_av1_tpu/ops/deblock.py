@@ -242,11 +242,17 @@ def deblock_plane_vertical(xp, plane, sizes_px, level: int, is_luma: bool,
 
 
 def deblock_plane(xp, plane, sizes_px, level_v: int, level_h: int,
-                  is_luma: bool, sharpness: int = 0, bd: int = 8):
+                  is_luma: bool, sharpness: int = 0, bd: int = 8,
+                  sizes_px_h=None):
     """Both directions: all vertical edges, then all horizontal (spec
-    loop-filter pass order)."""
+    loop-filter pass order).  With rectangular transforms the two
+    directions see different block extents: sizes_px is the tx WIDTH
+    map (vertical edges), sizes_px_h the tx HEIGHT map (horizontal
+    edges; defaults to sizes_px for square-only streams)."""
+    if sizes_px_h is None:
+        sizes_px_h = sizes_px
     p = deblock_plane_vertical(xp, plane, sizes_px, level_v, is_luma,
                                sharpness, bd)
-    p = deblock_plane_vertical(xp, p.T, sizes_px.T, level_h, is_luma,
+    p = deblock_plane_vertical(xp, p.T, sizes_px_h.T, level_h, is_luma,
                                sharpness, bd)
     return p.T

@@ -161,21 +161,21 @@ JNT_ROUND_BITS = 2 * FILTER_BITS - ROUND0 - JNT_ROUND1   # 4
 def jnt_block(xp, patch, kx, ky, bd: int = 8):
     """One block's compound-domain prediction.
 
-    patch: int32 [bs+7, bs+7] full-pel window (top-left at fullpel
+    patch: int32 [bh+7, bw+7] full-pel window (top-left at fullpel
     position - 3); kx, ky: 8-tap kernels.  Returns CONV_BUF int32
-    [bs, bs] (ref av1_jnt_convolve_2d_c non-averaging pass).
+    [bh, bw] (ref av1_jnt_convolve_2d_c non-averaging pass).
     """
-    bs = patch.shape[0] - 7
+    bh, bw = patch.shape[0] - 7, patch.shape[1] - 7
     offset0 = 1 << (bd + FILTER_BITS - 1)
     offset_bits = bd + 2 * FILTER_BITS - ROUND0
     im = None
     for k in range(8):
-        term = kx[k] * patch[:, k : k + bs]
+        term = kx[k] * patch[:, k : k + bw]
         im = term if im is None else im + term
     im = _round_shift(im + offset0, ROUND0)
     res = None
     for k in range(8):
-        term = ky[k] * im[k : k + bs, :]
+        term = ky[k] * im[k : k + bh, :]
         res = term if res is None else res + term
     return _round_shift(res + (1 << offset_bits), JNT_ROUND1)
 
@@ -222,10 +222,12 @@ def jnt_average(xp, res0, res1, bd: int = 8):
     return xp.clip(_round_shift(tmp, JNT_ROUND_BITS), 0, (1 << bd) - 1)
 
 
-def jnt_pred_np(plane_pad, py: int, px: int, mv8: tuple, bs: int,
+def jnt_pred_np(plane_pad, py: int, px: int, mv8: tuple, bs,
                 pad: int, chroma: bool, bd: int = 8, filt: int = 0):
     """Decoder-side per-block compound-domain prediction (numpy twin of
-    the device path).  plane_pad is pad_for_filter(np, plane, pad)."""
+    the device path).  plane_pad is pad_for_filter(np, plane, pad).
+    bs: block size (int = square, (bh, bw) = rect)."""
+    bh, bw = (bs, bs) if isinstance(bs, int) else bs
     if chroma:
         fy, fx = mv8[0] >> 4, mv8[1] >> 4
         phy, phx = mv8[0] & 15, mv8[1] & 15
@@ -234,7 +236,7 @@ def jnt_pred_np(plane_pad, py: int, px: int, mv8: tuple, bs: int,
         phy, phx = (mv8[0] * 2) & 15, (mv8[1] * 2) & 15
     r0 = py + fy + pad
     c0 = px + fx + pad
-    patch = plane_pad[r0 : r0 + bs + 7, c0 : c0 + bs + 7]
+    patch = plane_pad[r0 : r0 + bh + 7, c0 : c0 + bw + 7]
     return jnt_block(np, patch, kernel(phx, filt), kernel(phy, filt),
                      bd)
 

@@ -70,6 +70,9 @@ class Encoder:
         self._rdo = config.enc_mode <= 7
         # presets <= 5 additionally search the inter tx-type set
         self._txs = config.enc_mode <= 5
+        # presets <= 5 add rectangular partitions (PARTITION_HORZ/VERT
+        # at the 16/32 nodes) to the inter RD merge
+        self._rect = config.enc_mode <= 5
         # frame-level interpolation filter: forced by config, or decided
         # once per stream from open-loop stats of the first inter source
         # (analysis.pick_interp_filter); the decision is host-static
@@ -378,7 +381,7 @@ class Encoder:
             ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
             cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
             txs=self._txs, filt=self._pick_interp(frame, qindex),
-            lr=cfg.enable_restoration)
+            lr=cfg.enable_restoration, rect=self._rect)
         out = fn(sy, su, sv, *self._ldb_last[0], *self._ldb_golden[0],
                  jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                  jnp.int32(lvls[3]))
@@ -401,7 +404,8 @@ class Encoder:
                 "refresh": 1 << new_slot,
                 "ref_idx": (ls, ls, ls, golden_slot, ls, ls, ls),
                 "ref_hints": (0,) * 7, **meta_lr}
-        lay = PE.inter_layout(2, False, self._txs, lv8=True, lr=False)
+        lay = PE.inter_layout(2, False, self._txs, lv8=True, lr=False,
+                              rect=self._rect)
         self._pending.append(("p", [frame], out, lay, None, qindex, None,
                               meta))
 
@@ -438,7 +442,7 @@ class Encoder:
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                 cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
                 txs=self._txs, filt=self._pick_interp(frame, qindex),
-                lr=cfg.enable_restoration)
+                lr=cfg.enable_restoration, rect=self._rect)
             out = fn(sy, su, sv, *fwd["dev"], *dyn)
             nrefs = 1
         else:
@@ -449,7 +453,7 @@ class Encoder:
                 cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth,
                 rdo=self._rdo, txs=self._txs,
                 filt=self._pick_interp(frame, qindex),
-                lr=cfg.enable_restoration)
+                lr=cfg.enable_restoration, rect=self._rect)
             out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
             nrefs = 2
         slot = self._free_slots.pop(0)
@@ -475,7 +479,7 @@ class Encoder:
                 "ref_idx": (fs, fs, fs, fs, bs, bs, bs),
                 "ref_hints": (fh, fh, fh, fh, bh, bh, bh), **meta_lr}
         lay = PE.inter_layout(nrefs, compound, self._txs, lv8=True,
-                              lr=False)
+                              lr=False, rect=self._rect)
         self._pending.append(("p", [frame], out, lay, None, qindex, None,
                               meta))
 
@@ -726,7 +730,8 @@ class Encoder:
                     cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
                     rdo=self._rdo, txs=self._txs,
                     filt=self._pick_interp(frame, qindex),
-                    gm=gmv is not None, lr=self.cfg.enable_restoration)
+                    gm=gmv is not None, lr=self.cfg.enable_restoration,
+                    rect=self._rect)
                 out = fn(sy, su, sv, *self._ref_dev, *gm_args)
             else:
                 # dynamic-q step: lookahead/RC vary q per frame without
@@ -737,7 +742,8 @@ class Encoder:
                     cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
                     rdo=self._rdo, txs=self._txs,
                     filt=self._pick_interp(frame, qindex),
-                    gm=gmv is not None, lr=self.cfg.enable_restoration)
+                    gm=gmv is not None, lr=self.cfg.enable_restoration,
+                    rect=self._rect)
                 out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
                          jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                          jnp.int32(lvls[3]), *gm_args)
@@ -756,7 +762,7 @@ class Encoder:
                                        out[7][: ph // 2, : pw // 2])
             dyn_q = not (self._rc is None and self._la is None)
             lay = PE.inter_layout(1, False, self._txs, lv8=dyn_q,
-                                  lr=False)
+                                  lr=False, rect=self._rect)
             self._pending.append(("p", [frame], out, lay, None, qindex,
                                   None, meta))
 
@@ -911,7 +917,8 @@ class Encoder:
         if lay is None:
             lay = PE.inter_layout((meta or {}).get("nrefs", 1),
                                   bool((meta or {}).get("compound")),
-                                  self._txs, lv8=True, lr=False)
+                                  self._txs, lv8=True, lr=False,
+                                  rect=self._rect)
         fut = self._prefetched.pop(id(out), None)
         with self._tracer.span("fetch"):
             arrs = fut.result() if fut is not None \
@@ -922,6 +929,15 @@ class Encoder:
         levels = {bs: tuple(_unpack_levels(arrs[lay[n]], bs)
                             for n in ("ly", "lu", "lv"))
                   for bs in (8, 16, 32, 64)}
+        shapes = arrs[lay["shape8"]] if "shape8" in lay else None
+        if shapes is not None and not shapes.any():
+            shapes = None       # square-only frame: keep the C++ path
+        if shapes is not None:
+            # rect leaf grids re-stitched from the same per-cell tiles
+            for bh, bw in ((8, 16), (16, 8), (16, 32), (32, 16)):
+                levels[(bh, bw)] = tuple(
+                    _unpack_levels_rect(arrs[lay[n]], bh // 8, bw // 8)
+                    for n in ("ly", "lu", "lv"))
         ry = arrs.get(lay["rec_y"])
         ru = arrs.get(lay["rec_u"])
         rv = arrs.get(lay["rec_v"])
@@ -985,18 +1001,27 @@ class Encoder:
             t_refs = sl(refs8, r0, c0, hm, wm, 2, align=8)
             t_mv2 = sl(mvs2, r0, c0, hm, wm, 2, align=8)
             t_tt = sl(txty, r0, c0, hm, wm, 2, align=8)
+            t_sh = sl(shapes, r0, c0, hm, wm, 2, align=8)
             t_ci = sl(cdef_idx, r0, c0, hm, wm, 16)
             n8h, n8w = t_sizes.shape
 
-            def slv(a, bs):
-                rr, cc = r0 // (bs // 4), c0 // (bs // 4)
-                nr, nc = n8h * 8 // bs, n8w * 8 // bs
+            def slv(a, bs2, bw2=None):
+                bw2 = bs2 if bw2 is None else bw2
+                rr, cc = r0 // (bs2 // 4), c0 // (bw2 // 4)
+                nr, nc = n8h * 8 // bs2, n8w * 8 // bw2
                 return np.ascontiguousarray(a[rr : rr + nr, cc : cc + nc])
 
             t_lv = {bs: tuple(slv(levels[bs][p], bs) for p in range(3))
                     for bs in (8, 16, 32, 64)}
+            if t_sh is not None and not t_sh.any():
+                t_sh = None
+            if t_sh is not None:
+                for key in ((8, 16), (16, 8), (16, 32), (32, 16)):
+                    t_lv[key] = tuple(slv(levels[key][p], *key)
+                                      for p in range(3))
             fc = FrameContext(qindex)
-            if lr is None and cfg.entropy_backend in ("auto", "cpp"):
+            if (lr is None and t_sh is None
+                    and cfg.entropy_backend in ("auto", "cpp")):
                 from svt_av1_tpu.entropy import backend as native
                 if native.available():
                     return native.encode_tile_inter_cpp(
@@ -1010,7 +1035,7 @@ class Encoder:
             return tw.encode_inter(t_sizes, t_mv, t_lv, cdef_idx=t_ci,
                                    refs=t_refs, sign_bias=sign_bias,
                                    comp_pair=comp_pair, mvs2=t_mv2,
-                                   txty=t_tt, gm=gm)
+                                   txty=t_tt, gm=gm, shapes=t_sh)
 
         jobs = [(r01, c01) for r01 in trows for c01 in tcols]
         if len(jobs) > 1:
@@ -1214,6 +1239,18 @@ def _unpack_levels(packed: np.ndarray, bs: int) -> np.ndarray:
     return (packed.astype(np.int32)
             .reshape(gh, k, gw, k, t, t).transpose(0, 2, 1, 4, 3, 5)
             .reshape(gh, gw, k * t, k * t))
+
+
+def _unpack_levels_rect(packed: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Rect-leaf twin of _unpack_levels: [nb8h, nb8w, t, t] cell tiles
+    -> [GH, GW, kh*t, kw*t] rect-leaf grids (kh/kw = leaf extent in 8px
+    cells; t = 8 luma / 4 chroma, so the stitched dims are the rect tx
+    dims at that plane's subsampling)."""
+    nb8h, nb8w, t, _ = packed.shape
+    gh, gw = nb8h // kh, nb8w // kw
+    return (packed.astype(np.int32)
+            .reshape(gh, kh, gw, kw, t, t).transpose(0, 2, 1, 4, 3, 5)
+            .reshape(gh, gw, kh * t, kw * t))
 
 
 def _lr_types(lr) -> tuple:

@@ -61,7 +61,7 @@ _LEAF = RDO.inter_leaf_bits()          # mode / ref_single / comp_extra
 
 
 def inter_layout(nrefs: int, compound: bool, txs: bool, lv8: bool,
-                 lr: bool) -> dict:
+                 lr: bool, rect: bool = False) -> dict:
     """name -> output-tuple index for a p_frame_step build.
 
     Single source of truth shared by the step assembly and the
@@ -78,6 +78,8 @@ def inter_layout(nrefs: int, compound: bool, txs: bool, lv8: bool,
         names.append("mv2")
     if txs:
         names.append("txty")
+    if rect:
+        names.append("shape8")
     if lv8:
         names += ["small", "ly8", "lu8", "lv8",
                   "lflags", "lcount", "ply", "plu", "plv"]
@@ -97,15 +99,33 @@ def _block(plane, bs: int):
     return plane.reshape(h // bs, bs, w // bs, bs).transpose(0, 2, 1, 3)
 
 
+def _block_rect(plane, bh: int, bw: int):
+    h, w = plane.shape
+    return plane.reshape(h // bh, bh, w // bw, bw).transpose(0, 2, 1, 3)
+
+
+# rect leaf shapes searched by the RD merge (PARTITION_HORZ / VERT at
+# the 16 and 32 nodes; ref ext partition shapes, EbSvtAv1Enc.h:194).
+# kind codes for the per-cell leaf map: 0..3 square 8/16/32/64, then
+# the rect kinds below.
+RECT_KINDS = {4: (16, "h"), 5: (16, "v"), 6: (32, "h"), 7: (32, "v")}
+KIND_SIZE = np.array([8, 16, 32, 64, 16, 16, 32, 32], np.int32)
+KIND_SHAPE = np.array([0, 0, 0, 0, 1, 2, 1, 2], np.int32)  # 1=HORZ 2=VERT
+# rect luma tx per kind (h16 = 8x16px tall? no: HORZ at node 16 is a
+# 16-wide x 8-high block -> TX_16X8; VERT -> TX_8X16)
+RECT_TX = {4: T.TX_16X8, 5: T.TX_8X16, 6: T.TX_32X16, 7: T.TX_16X32}
+RECT_TX_C = {4: T.TX_8X4, 5: T.TX_4X8, 6: T.TX_16X8, 7: T.TX_8X16}
+
+
 def _unblock(blocks):
-    nbh, nbw, bs, _ = blocks.shape
-    return blocks.transpose(0, 2, 1, 3).reshape(nbh * bs, nbw * bs)
+    nbh, nbw, bh, bw = blocks.shape
+    return blocks.transpose(0, 2, 1, 3).reshape(nbh * bh, nbw * bw)
 
 
 def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
                   bd: int = 8, tx_type: int = T.DCT_DCT):
-    nbh, nbw, bs, _ = src_blocks.shape
-    resid = (src_blocks - pred_blocks).reshape(-1, bs, bs)
+    nbh, nbw, bh, bw = src_blocks.shape
+    resid = (src_blocks - pred_blocks).reshape(-1, bh, bw)
     # forward txfm on the MXU (f32 matrix path): the fwd side is an
     # encoder choice — levels are self-consistent with the normative
     # int32 INVERSE below, so recon parity never depends on it (max
@@ -121,9 +141,9 @@ def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
         levels = jnp.where(jnp.asarray(keep), levels, 0)
     dq = Q.dequantize_batch(levels, qindex, tx_size, bd)
     rec = T.inv_txfm2d_batch(dq, tx_size, tx_type, bd)
-    recon = jnp.clip(pred_blocks + rec.reshape(nbh, nbw, bs, bs), 0,
+    recon = jnp.clip(pred_blocks + rec.reshape(nbh, nbw, bh, bw), 0,
                      (1 << bd) - 1)
-    return levels.reshape(nbh, nbw, bs, bs), recon
+    return levels.reshape(nbh, nbw, bh, bw), recon
 
 
 def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
@@ -321,18 +341,20 @@ def _sum4(a):
 
 
 def _tiles8(x, t: int):
-    """[gh, gw, bs, bs] block grid -> [gh*bs/t, gw*bs/t, t, t] tile grid
-    (pure reshuffle; host inverts it with numpy)."""
-    gh, gw, bs, _ = x.shape
-    k = bs // t
-    return (x.reshape(gh, gw, k, t, k, t).transpose(0, 2, 1, 4, 3, 5)
-            .reshape(gh * k, gw * k, t, t))
+    """[gh, gw, bh, bw] block grid -> [gh*bh/t, gw*bw/t, t, t] tile grid
+    (pure reshuffle; host inverts it with numpy).  Handles rectangular
+    blocks: block (R, C) lands its (i, j) tile at cell (R*bh/t + i,
+    C*bw/t + j)."""
+    gh, gw, bh, bw = x.shape
+    kh, kw = bh // t, bw // t
+    return (x.reshape(gh, gw, kh, t, kw, t).transpose(0, 2, 1, 4, 3, 5)
+            .reshape(gh * kh, gw * kw, t, t))
 
 
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                  nrefs: int = 1, compound: bool = False, bd: int = 8,
                  rdo: bool = True, txs: bool = False, filt: int = 0,
-                 gm: bool = False, lr: bool = False):
+                 gm: bool = False, lr: bool = False, rect: bool = False):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *64-padded* plane dims (multiples of 64,
@@ -354,6 +376,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
     """
     pad = search + 1
     txs = txs and rdo
+    rect = rect and rdo
     from svt_av1_tpu import tables as _tbl
     dynamic_q = qindex is None
 
@@ -606,17 +629,135 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                               best[3].astype(jnp.int16))
                 rec_planes[bs] = (_unblock(best[4]), _unblock(best[5]),
                                   _unblock(best[6]))
+            rect_d = {}
+            if rect:
+                # rect leaf hypotheses (PARTITION_HORZ / VERT at the 16
+                # and 32 nodes): each rect half inherits the full inter
+                # descriptor (mv / ref select / second mv) of its
+                # cheaper square child, predicted at 8x8-cell
+                # granularity (interpolation is translation-invariant)
+                # and coded with the matching rect transform; the merge
+                # below weighs both halves' true J against NONE/SPLIT.
+                # ref: ext partition shapes in mode_decision_sb
+                # (EbProductCodingLoop.c:3300, EbSvtAv1Enc.h:194).
+                for kind, (ns, shp) in RECT_KINDS.items():
+                    cs = ns // 2
+                    horz = shp == "h"
+                    if horz:
+                        slc = (lambda a: a[:, 0::2], lambda a: a[:, 1::2])
+                        bh_, bw_ = cs, ns
+                    else:
+                        slc = (lambda a: a[0::2, :], lambda a: a[1::2, :])
+                        bh_, bw_ = ns, cs
+                    selB = slc[1](cost[cs]) < slc[0](cost[cs])
+
+                    def pick(a, _s=selB, _sl=slc):
+                        m = _s[..., None] if a.ndim == 3 else _s
+                        return jnp.where(m, _sl[1](a), _sl[0](a))
+
+                    rmv = pick(mv[cs])
+                    rpri = pick(per_ref[0][2][cs])
+                    rsel = (None if refsel[cs] is None
+                            else pick(refsel[cs]))
+                    rmv2 = None if mv_c[cs] is None else pick(mv_c[cs])
+                    reph, repw = bh_ // 8, bw_ // 8
+                    up = lambda a: jnp.repeat(jnp.repeat(a, reph, 0),
+                                              repw, 1)
+                    cmv = up(rmv).astype(jnp.int32)
+                    csel = None if rsel is None else up(rsel)
+                    cmv2 = (None if rmv2 is None
+                            else up(rmv2).astype(jnp.int32))
+                    py_ = _unblock(mc_one(0, False, 8, pad, cmv, cmv2,
+                                          csel))
+                    pu_ = _unblock(mc_one(1, True, 4, cpad, cmv, cmv2,
+                                          csel))
+                    pv_ = _unblock(mc_one(2, True, 4, cpad, cmv, cmv2,
+                                          csel))
+                    sby = _block_rect(sy, bh_, bw_)
+                    sbu = _block_rect(su, bh_ // 2, bw_ // 2)
+                    sbv = _block_rect(sv, bh_ // 2, bw_ // 2)
+                    ly_, ry_ = _encode_plane(sby, _block_rect(py_, bh_, bw_),
+                                             q, RECT_TX[kind], bd)
+                    lu_, ru_ = _encode_plane(
+                        sbu, _block_rect(pu_, bh_ // 2, bw_ // 2), q,
+                        RECT_TX_C[kind], bd)
+                    lv_, rv_ = _encode_plane(
+                        sbv, _block_rect(pv_, bh_ // 2, bw_ // 2), q,
+                        RECT_TX_C[kind], bd)
+                    d = (((sby - ry_) ** 2).sum((-1, -2))
+                         + ((sbu - ru_) ** 2).sum((-1, -2))
+                         + ((sbv - rv_) ** 2).sum((-1, -2)))
+                    r = (_coeff_bits(ly_) + _coeff_bits(lu_)
+                         + _coeff_bits(lv_)
+                         + ME.mv_rate_bits(rmv - rpri * 8)
+                         + round(_LEAF["mode"]
+                                 + (_LEAF["ref_single"]
+                                    if nrefs == 2 else 0)))
+                    if compound:
+                        rpri2 = pick(per_ref[1][2][cs])
+                        r = r + jnp.where(
+                            rsel == 2,
+                            ME.mv_rate_bits(rmv2 - rpri2 * 8)
+                            + COMP_EXTRA_BITS, 0)
+                    jr = d.astype(jnp.float32) + lam_rd * r
+                    jnode = ((jr[0::2] + jr[1::2]) if horz
+                             else (jr[:, 0::2] + jr[:, 1::2]))
+                    rect_d[kind] = {
+                        "j": jnode, "mv": cmv.astype(jnp.int16),
+                        "sel": csel, "mv2": (None if cmv2 is None
+                                             else cmv2.astype(jnp.int16)),
+                        "levels": (ly_.astype(jnp.int16),
+                                   lu_.astype(jnp.int16),
+                                   lv_.astype(jnp.int16)),
+                        "rec": (_unblock(ry_), _unblock(ru_),
+                                _unblock(rv_))}
+
+            INF = jnp.float32(3e38)
+            ins16 = jnp.asarray(inside16)
+            ins32 = jnp.asarray(inside32)
+            ins64 = jnp.asarray(inside64)
             j8 = jcost[8] + lam_rd * _PART_BITS[8][0]
             j_split16 = _sum4(j8) + lam_rd * _PART_BITS[16][1]
-            j16 = jcost[16] + lam_rd * _PART_BITS[16][0]
-            use16 = j16 <= j_split16
-            j_at16 = jnp.where(use16, j16, j_split16)
+            j16 = jnp.where(ins16, jcost[16] + lam_rd * _PART_BITS[16][0],
+                            INF)
+            if rect:
+                jh16 = jnp.where(
+                    ins16, rect_d[4]["j"] + lam_rd * _PART_BITS[16][2], INF)
+                jv16 = jnp.where(
+                    ins16, rect_d[5]["j"] + lam_rd * _PART_BITS[16][3], INF)
+                j_at16 = jnp.minimum(jnp.minimum(j16, j_split16),
+                                     jnp.minimum(jh16, jv16))
+                choice16 = jnp.where(
+                    j_at16 == j16, 0,
+                    jnp.where(j_at16 == jh16, 1,
+                              jnp.where(j_at16 == jv16, 2, 3))
+                ).astype(jnp.uint8)
+            else:
+                use16 = j16 <= j_split16
+                choice16 = jnp.where(use16, 0, 3).astype(jnp.uint8)
+                j_at16 = jnp.where(use16, j16, j_split16)
             j_split32 = _sum4(j_at16) + lam_rd * _PART_BITS[32][1]
-            j32 = jcost[32] + lam_rd * _PART_BITS[32][0]
-            use32 = j32 <= j_split32
-            j_at32 = jnp.where(use32, j32, j_split32)
+            j32 = jnp.where(ins32, jcost[32] + lam_rd * _PART_BITS[32][0],
+                            INF)
+            if rect:
+                jh32 = jnp.where(
+                    ins32, rect_d[6]["j"] + lam_rd * _PART_BITS[32][2], INF)
+                jv32 = jnp.where(
+                    ins32, rect_d[7]["j"] + lam_rd * _PART_BITS[32][3], INF)
+                j_at32 = jnp.minimum(jnp.minimum(j32, j_split32),
+                                     jnp.minimum(jh32, jv32))
+                choice32 = jnp.where(
+                    j_at32 == j32, 0,
+                    jnp.where(j_at32 == jh32, 1,
+                              jnp.where(j_at32 == jv32, 2, 3))
+                ).astype(jnp.uint8)
+            else:
+                use32 = j32 <= j_split32
+                choice32 = jnp.where(use32, 0, 3).astype(jnp.uint8)
+                j_at32 = jnp.where(use32, j32, j_split32)
             j_split64 = _sum4(j_at32) + lam_rd * _PART_BITS[64][1]
-            j64 = jcost[64] + lam_rd * _PART_BITS[64][0]
+            j64 = jnp.where(ins64, jcost[64] + lam_rd * _PART_BITS[64][0],
+                            INF)
             use64 = j64 <= j_split64
         else:
             # fast path (preset 8): SAD-domain rate-biased merge from the
@@ -630,61 +771,90 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             j8 = cost[8] + oh[8]
             j_split16 = _sum4(j8) + sp[16]
             j16 = cost[16] + oh[16]
-            use16 = j16 <= j_split16
+            use16 = (j16 <= j_split16) & jnp.asarray(inside16)
+            choice16 = jnp.where(use16, 0, 3).astype(jnp.uint8)
             j_at16 = jnp.where(use16, j16, j_split16)
             j_split32 = _sum4(j_at16) + sp[32]
             j32 = cost[32] + oh[32]
-            use32 = j32 <= j_split32
+            use32 = (j32 <= j_split32) & jnp.asarray(inside32)
+            choice32 = jnp.where(use32, 0, 3).astype(jnp.uint8)
             j_at32 = jnp.where(use32, j32, j_split32)
             j_split64 = _sum4(j_at32) + sp[64]
             j64 = cost[64] + oh[64]
             use64 = j64 <= j_split64
 
-        # edge legality: a merged node must lie fully inside the mi grid;
-        # ph/pw are 64-padded so only the true frame geometry (baked in by
-        # the caller via masks) matters — caller passes it via closure.
-        use16 = use16 & jnp.asarray(inside16)
-        use32 = use32 & jnp.asarray(inside32)
+        # edge legality for 64 (16/32 legality is folded into choices);
+        # ph/pw are 64-padded so only the true frame geometry matters.
         use64 = use64 & jnp.asarray(inside64)
 
-        # per-8x8-cell size map
+        # per-8x8-cell leaf-kind map: 0..3 square 8/16/32/64, 4..7 rect
+        # (RECT_KINDS); choiceN: 0 NONE, 1 HORZ, 2 VERT, 3 SPLIT
         up2 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
         up8 = lambda a: up2(up2(up2(a)))
-        size8 = jnp.where(up8(use64), 64,
-                          jnp.where(up2(up2(use32)), 32,
-                                    jnp.where(up2(use16), 16, 8))
-                          ).astype(jnp.uint8)
+        c16c = up2(choice16)
+        kind16 = jnp.where(c16c == 0, 1,
+                           jnp.where(c16c == 1, 4,
+                                     jnp.where(c16c == 2, 5, 0)))
+        c32c = up2(up2(choice32))
+        kind32 = jnp.where(c32c == 0, 2,
+                           jnp.where(c32c == 1, 6,
+                                     jnp.where(c32c == 2, 7, 255)))
+        kind8 = jnp.where(up8(use64), 3,
+                          jnp.where(kind32 != 255, kind32,
+                                    kind16)).astype(jnp.uint8)
+        size8 = jnp.where(
+            kind8 == 3, 64,
+            jnp.where((kind8 == 2) | (kind8 == 6) | (kind8 == 7), 32,
+                      jnp.where(kind8 == 0, 8, 16))).astype(jnp.uint8)
+        shape8 = jnp.where(
+            (kind8 == 4) | (kind8 == 6), 1,
+            jnp.where((kind8 == 5) | (kind8 == 7), 2, 0)).astype(jnp.uint8)
 
-        # selected-MV field at 8x8 granularity
-        mv_sel = jnp.where(
-            up8(use64)[..., None], up8(mv[64]),
-            jnp.where(up2(up2(use32))[..., None], up2(up2(mv[32])),
-                      jnp.where(up2(use16)[..., None], up2(mv[16]),
-                                mv[8]))).astype(jnp.int16)
+        def kpick(per_kind, dtype):
+            """Per-cell select over leaf kinds (per_kind: {kind: cell
+            array}; kinds absent from the map never win)."""
+            out = per_kind[0]
+            for k in sorted(per_kind):
+                if k == 0 or per_kind[k] is None:
+                    continue
+                m = kind8 == k
+                v = per_kind[k]
+                if v.ndim > m.ndim:
+                    m = m.reshape(m.shape + (1,) * (v.ndim - m.ndim))
+                out = jnp.where(m, v, out)
+            return out.astype(dtype)
+
+        sq_cells = lambda d: {0: d[8], 1: up2(d[16]), 2: up2(up2(d[32])),
+                              3: up8(d[64])}
+        mv_cells = sq_cells(mv)
+        if rect:
+            for k in RECT_KINDS:
+                mv_cells[k] = rect_d[k]["mv"]
+        mv_sel = kpick(mv_cells, jnp.int16)
 
         # selected-ref/mode field (0 = ref0/fwd, 1 = ref1/bwd,
         # 2 = compound average) + second MV for compound leaves
         ref8 = None
         mv2_sel = None
         if nrefs == 2:
-            ref8 = jnp.where(
-                up8(use64), up8(refsel[64]),
-                jnp.where(up2(up2(use32)), up2(up2(refsel[32])),
-                          jnp.where(up2(use16), up2(refsel[16]),
-                                    refsel[8]))).astype(jnp.uint8)
+            cells = sq_cells(refsel)
+            if rect:
+                for k in RECT_KINDS:
+                    cells[k] = rect_d[k]["sel"]
+            ref8 = kpick(cells, jnp.uint8)
             if compound:
-                mv2_sel = jnp.where(
-                    up8(use64)[..., None], up8(mv_c[64]),
-                    jnp.where(up2(up2(use32))[..., None], up2(up2(mv_c[32])),
-                              jnp.where(up2(use16)[..., None], up2(mv_c[16]),
-                                        mv_c[8]))).astype(jnp.int16)
+                cells = sq_cells(mv_c)
+                if rect:
+                    for k in RECT_KINDS:
+                        cells[k] = rect_d[k]["mv2"]
+                mv2_sel = kpick(cells, jnp.int16)
         txty8 = None
         if txs:
-            txty8 = jnp.where(
-                up8(use64), up8(txty[64]),
-                jnp.where(up2(up2(use32)), up2(up2(txty[32])),
-                          jnp.where(up2(use16), up2(txty[16]),
-                                    txty[8]))).astype(jnp.uint8)
+            cells = sq_cells(txty)
+            if rect:
+                for k in RECT_KINDS:   # rect leaves code DCT only
+                    cells[k] = jnp.zeros_like(cells[0])
+            txty8 = kpick(cells, jnp.uint8)
 
         if not rdo:
             # --- motion compensation ONCE at selected-cell granularity ---
@@ -719,19 +889,37 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 rec_planes[bs] = (_unblock(rec_y), _unblock(rec_u),
                                   _unblock(rec_v))
 
-        # --- final recon: per-cell select of the chosen size's recon -----
+        # --- final recon: per-cell select of the chosen leaf's recon -----
         def select_plane(idx_plane, shift):
-            m8 = jnp.repeat(jnp.repeat(size8, 8 >> shift, 0), 8 >> shift, 1)
-            out = jnp.where(
-                m8 == 64, rec_planes[64][idx_plane],
-                jnp.where(m8 == 32, rec_planes[32][idx_plane],
-                          jnp.where(m8 == 16, rec_planes[16][idx_plane],
-                                    rec_planes[8][idx_plane])))
+            km = jnp.repeat(jnp.repeat(kind8, 8 >> shift, 0),
+                            8 >> shift, 1)
+            out = rec_planes[8][idx_plane]
+            for k, bs_ in ((1, 16), (2, 32), (3, 64)):
+                out = jnp.where(km == k, rec_planes[bs_][idx_plane], out)
+            if rect:
+                for k in RECT_KINDS:
+                    out = jnp.where(km == k, rect_d[k]["rec"][idx_plane],
+                                    out)
             return out
 
         rec_y = select_plane(0, 0)
         rec_u = select_plane(1, 1)
         rec_v = select_plane(2, 1)
+
+        # --- level pack: per 8x8 cell, the SELECTED leaf's tiles only —
+        # one array per plane instead of per-size grids (the tunnel link
+        # is the bottleneck; host re-stitches leaves from cell tiles) ---
+        def pack_cells(pidx, t):
+            cells = {i: _tiles8(levels[bs_][pidx], t)
+                     for i, bs_ in enumerate((8, 16, 32, 64))}
+            if rect:
+                for k in RECT_KINDS:
+                    cells[k] = _tiles8(rect_d[k]["levels"][pidx], t)
+            return kpick(cells, jnp.int16)
+
+        ly_pack = pack_cells(0, 8)
+        lu_pack = pack_cells(1, 4)
+        lv_pack = pack_cells(2, 4)
 
         # --- in-loop filters over the mi-grid region (the decoder
         # filters exactly [ph_mi, pw_mi]; the 32-pad margin is redefined
@@ -745,14 +933,33 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         idx_sb = jnp.zeros((-(-ph_mi // 64), -(-pw_mi // 64)), jnp.uint8)
 
         if dynamic_q or lf_levels[0] or lf_levels[2] or lf_levels[3]:
-            sizes_y = jnp.repeat(jnp.repeat(sz8, 8, 0), 8, 1)
-            sizes_c = jnp.repeat(jnp.repeat(sz8 >> 1, 4, 0), 4, 1)
-            cy = DB.deblock_plane(jnp, cy, sizes_y, lf_levels[0],
-                                  lf_levels[1], True, bd=bd)
-            cu = DB.deblock_plane(jnp, cu, sizes_c, lf_levels[2],
-                                  lf_levels[2], False, bd=bd)
-            cv = DB.deblock_plane(jnp, cv, sizes_c, lf_levels[3],
-                                  lf_levels[3], False, bd=bd)
+            # per-direction tx extents (they differ at rect leaves:
+            # vertical edges follow the tx WIDTH, horizontal the HEIGHT)
+            if rect:
+                k8c = kind8[: ph_mi // 8, : pw_mi // 8].astype(jnp.int32)
+                szw8 = jnp.where(k8c == 4, 16,
+                                 jnp.where(k8c == 5, 8,
+                                           jnp.where(k8c == 6, 32,
+                                                     jnp.where(k8c == 7, 16,
+                                                               sz8))))
+                szh8 = jnp.where(k8c == 4, 8,
+                                 jnp.where(k8c == 5, 16,
+                                           jnp.where(k8c == 6, 16,
+                                                     jnp.where(k8c == 7, 32,
+                                                               sz8))))
+            else:
+                szw8 = szh8 = sz8
+            upy = lambda a: jnp.repeat(jnp.repeat(a, 8, 0), 8, 1)
+            upc = lambda a: jnp.repeat(jnp.repeat(a >> 1, 4, 0), 4, 1)
+            cy = DB.deblock_plane(jnp, cy, upy(szw8), lf_levels[0],
+                                  lf_levels[1], True, bd=bd,
+                                  sizes_px_h=upy(szh8))
+            cu = DB.deblock_plane(jnp, cu, upc(szw8), lf_levels[2],
+                                  lf_levels[2], False, bd=bd,
+                                  sizes_px_h=upc(szh8))
+            cv = DB.deblock_plane(jnp, cv, upc(szw8), lf_levels[3],
+                                  lf_levels[3], False, bd=bd,
+                                  sizes_px_h=upc(szh8))
 
         # deblocked (pre-CDEF) planes: the loop-restoration stripe
         # context rows come from these (spec save_deblock_boundary_lines;
@@ -760,19 +967,23 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         deb_out = (cy, cu, cv) if lr else None
 
         if use_cdef:
-            # per-8x8-unit skip: the selected leaf has all-zero levels
-            def skipmap(bs2):
-                lyv, luv, lvv2 = levels[bs2]
-                z = ((lyv == 0).all((-1, -2)) & (luv == 0).all((-1, -2))
-                     & (lvv2 == 0).all((-1, -2)))
-                rep = bs2 // 8
-                return jnp.repeat(jnp.repeat(z, rep, 0), rep, 1)
+            # per-8x8-unit skip: the selected LEAF has all-zero levels
+            # (the skip flag is coded per block, so every cell of a leaf
+            # shares it)
+            def skipmap(lv3, reph, repw):
+                z = ((lv3[0] == 0).all((-1, -2))
+                     & (lv3[1] == 0).all((-1, -2))
+                     & (lv3[2] == 0).all((-1, -2)))
+                return jnp.repeat(jnp.repeat(z, reph, 0), repw, 1)
 
-            clipm = lambda m: m[: sz8.shape[0], : sz8.shape[1]]
-            sk = jnp.where(sz8 == 64, clipm(skipmap(64)),
-                           jnp.where(sz8 == 32, clipm(skipmap(32)),
-                                     jnp.where(sz8 == 16, clipm(skipmap(16)),
-                                               clipm(skipmap(8)))))
+            cells = {i: skipmap(levels[bs_], bs_ // 8, bs_ // 8)
+                     for i, bs_ in enumerate((8, 16, 32, 64))}
+            if rect:
+                for k, (ns_, shp_) in RECT_KINDS.items():
+                    bh_ = (ns_ // 2 if shp_ == "h" else ns_) // 8
+                    bw_ = (ns_ if shp_ == "h" else ns_ // 2) // 8
+                    cells[k] = skipmap(rect_d[k]["levels"], bh_, bw_)
+            sk = kpick(cells, jnp.bool_)[: sz8.shape[0], : sz8.shape[1]]
             # traced damping mirrors CD.pick_damping(q) so the header's
             # per-frame damping matches under dynamic q (hier-B layers, RC)
             damping = (3 + (q >> 6)) if dynamic_q else CD.pick_damping(qindex)
@@ -787,25 +998,6 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         rec_u = repad(cu, rec_u).astype(px_dt)
         rec_v = repad(cv, rec_v).astype(px_dt)
 
-        # pack levels: per 8x8 cell, the SELECTED leaf's tiles only — one
-        # array per plane instead of three size grids (the tunnel link is
-        # the bottleneck; host re-stitches leaves from tiles)
-        m8 = size8[..., None, None]
-        ly_pack = jnp.where(
-            m8 == 64, _tiles8(levels[64][0], 8),
-            jnp.where(m8 == 32, _tiles8(levels[32][0], 8),
-                      jnp.where(m8 == 16, _tiles8(levels[16][0], 8),
-                                levels[8][0])))
-        lu_pack = jnp.where(
-            m8 == 64, _tiles8(levels[64][1], 4),
-            jnp.where(m8 == 32, _tiles8(levels[32][1], 4),
-                      jnp.where(m8 == 16, _tiles8(levels[16][1], 4),
-                                levels[8][1])))
-        lv_pack = jnp.where(
-            m8 == 64, _tiles8(levels[64][2], 4),
-            jnp.where(m8 == 32, _tiles8(levels[32][2], 4),
-                      jnp.where(m8 == 16, _tiles8(levels[16][2], 4),
-                                levels[8][2])))
         if not dynamic_q:
             dt = (Q.level_dtype(qindex, T.TX_64X64, bd)
                   if Q.level_dtype(qindex, T.TX_64X64, bd) ==
@@ -822,6 +1014,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             out = out + (mv2_sel,)
         if txs:
             out = out + (txty8,)
+        if rect:
+            out = out + (shape8,)
         if dynamic_q:
             # int8 level shadows + fits-int8 flag (see inter_layout)
             small = ((jnp.abs(ly_pack) <= 127).all()
@@ -888,9 +1082,9 @@ def build_p_frame_encoder(ph: int, pw: int, mi_rows: int, mi_cols: int,
                           deblock: bool = True, cdef: bool = False,
                           bd: int = 8, rdo: bool = True, txs: bool = False,
                           filt: int = 0, gm: bool = False,
-                          lr: bool = False):
+                          lr: bool = False, rect: bool = False):
     fn = p_frame_step(ph, pw, qindex, search, bd=bd, rdo=rdo, txs=txs,
-                      filt=filt, gm=gm, lr=lr)
+                      filt=filt, gm=gm, lr=lr, rect=rect)
     fn.bind_masks(mi_rows, mi_cols, deblock, cdef)
     return jax.jit(fn)
 
@@ -915,11 +1109,11 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               cdef: bool = False, bd: int = 8,
                               rdo: bool = True, txs: bool = False,
                               filt: int = 0, gm: bool = False,
-                              lr: bool = False):
+                              lr: bool = False, rect: bool = False):
     """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v[, gmv]); one
     compile serves every qindex (rate control)."""
     fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo, txs=txs,
-                      filt=filt, gm=gm, lr=lr)
+                      filt=filt, gm=gm, lr=lr, rect=rect)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)
 
@@ -930,12 +1124,12 @@ def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               cdef: bool = False, compound: bool = False,
                               bd: int = 8, rdo: bool = True,
                               txs: bool = False, filt: int = 0,
-                              lr: bool = False):
+                              lr: bool = False, rect: bool = False):
     """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
     r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
     (hier-B layer offsets, rate control).  compound=True adds the
     COMPOUND_AVERAGE candidate (fwd+bwd pairs only)."""
     fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound,
-                      bd=bd, rdo=rdo, txs=txs, filt=filt, lr=lr)
+                      bd=bd, rdo=rdo, txs=txs, filt=filt, lr=lr, rect=rect)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -26,7 +26,7 @@ import numpy as np
 from svt_av1_tpu.entropy.cdf_model import FrameContext
 
 # partition symbols (entropy/syntax.py)
-_P_NONE, _P_SPLIT = 0, 3
+_P_NONE, _P_HORZ, _P_VERT, _P_SPLIT = 0, 1, 2, 3
 # bsl per square size: 8x8 -> 0 ... 64x64 -> 3 (tile.py write_partition)
 _BSL = {8: 0, 16: 1, 32: 2, 64: 3}
 
@@ -54,14 +54,17 @@ def _fc0() -> FrameContext:
 
 @functools.lru_cache(maxsize=1)
 def partition_bits() -> dict:
-    """{bs: (none_bits, split_bits)} from the default partition CDFs,
-    averaged over the 4 above/left neighbor contexts of that size."""
+    """{bs: (none_bits, split_bits, horz_bits, vert_bits)} from the
+    default partition CDFs, averaged over the 4 above/left neighbor
+    contexts of that size."""
     fc = _fc0()
     out = {}
     for bs, bsl in _BSL.items():
         rows = fc.partition[bsl * 4 : bsl * 4 + 4]
         out[bs] = (_avg_over_ctx(rows, _P_NONE),
-                   _avg_over_ctx(rows, _P_SPLIT))
+                   _avg_over_ctx(rows, _P_SPLIT),
+                   _avg_over_ctx(rows, _P_HORZ),
+                   _avg_over_ctx(rows, _P_VERT))
     return out
 
 

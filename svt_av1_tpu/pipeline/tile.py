@@ -192,19 +192,24 @@ class TileWriter:
     def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
                      levels: dict, cdef_idx=None, refs=None,
                      sign_bias=None, comp_pair=None, mvs2=None,
-                     txty=None, gm=None) -> bytes:
+                     txty=None, gm=None, shapes=None) -> bytes:
         """P/B-frame tile: variable-partition single-ref NEWMV blocks.
 
-        sizes:  [nb8h, nb8w] leaf size (8/16/32) covering each 8x8 cell
+        sizes:  [nb8h, nb8w] leaf size (8/16/32/64) covering each 8x8
+                cell (for rect leaves: the NODE size)
+        shapes: [nb8h, nb8w] leaf shape (0 square, 1 PARTITION_HORZ,
+                2 PARTITION_VERT) or None (square-only)
         mvs:    [nb8h, nb8w, 2] selected leaf MV in 1/8-pel (quarter-pel
                 granularity; even values; allow_high_precision_mv=0)
-        levels: {bs: (ly, lu, lv)} per-size level grids
+        levels: {bs: (ly, lu, lv)} per-size level grids; rect leaves
+                under {(bh, bw): ...} keys
         refs:   [nb8h, nb8w] per-cell ref frame type (1=LAST..7=ALTREF);
                 None = all LAST (flat low-delay P)
         Mirrors the reference inter write_modes_b path
         (EbEntropyCoding.c:5000-5290)."""
         tc = self.tc
         self.sizes = sizes
+        self.shapes = shapes
         self.mvs = mvs
         self.levels = levels
         self.refs = refs
@@ -247,13 +252,29 @@ class TileWriter:
         tc = self.tc
         if r4 >= tc.mi_rows or c4 >= tc.mi_cols:
             return
-        if n4 == LEAF_MI or self._leaf_here(r4, c4, n4):
-            write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4,
-                                   S.PARTITION_NONE)
-            if self.inter:
-                self._inter_block(r4, c4, n4 * 4)
+        p = None
+        if n4 == LEAF_MI:
+            p = S.PARTITION_NONE
+        elif self._leaf_here(r4, c4, n4):
+            shp = (0 if not self.inter
+                   or getattr(self, "shapes", None) is None
+                   else int(self.shapes[r4 // 2, c4 // 2]))
+            p = (S.PARTITION_NONE, S.PARTITION_HORZ,
+                 S.PARTITION_VERT)[shp]
+        if p is not None:
+            write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4, p)
+            half = n4 >> 1
+            if p == S.PARTITION_NONE:
+                if self.inter:
+                    self._inter_block(r4, c4, n4, n4)
+                else:
+                    self._block(r4, c4, n4 * 4)
+            elif p == S.PARTITION_HORZ:
+                self._inter_block(r4, c4, n4, half)
+                self._inter_block(r4 + half, c4, n4, half)
             else:
-                self._block(r4, c4, n4 * 4)
+                self._inter_block(r4, c4, half, n4)
+                self._inter_block(r4, c4 + half, half, n4)
             return
         write_partition_symbol(self.enc, self.fc, tc, r4, c4, n4,
                                S.PARTITION_SPLIT)
@@ -265,12 +286,23 @@ class TileWriter:
 
     _TX_OF = {8: T.TX_8X8, 16: T.TX_16X16, 32: T.TX_32X32, 64: T.TX_64X64}
     _TX_OF_C = {8: T.TX_4X4, 16: T.TX_8X8, 32: T.TX_16X16, 64: T.TX_32X32}
+    # rect leaf transforms keyed (bh, bw) in pixels
+    _TX_RECT = {(8, 16): T.TX_16X8, (16, 8): T.TX_8X16,
+                (16, 32): T.TX_32X16, (32, 16): T.TX_16X32}
+    _TX_RECT_C = {(8, 16): T.TX_8X4, (16, 8): T.TX_4X8,
+                  (16, 32): T.TX_16X8, (32, 16): T.TX_8X16}
 
-    def _inter_block(self, r4: int, c4: int, bs: int) -> None:
+    def _inter_block(self, r4: int, c4: int, w4: int, h4: int) -> None:
         enc, fc, tc, mi = self.enc, self.fc, self.tc, self.mi
-        n4 = bs // 4
-        br, bc = r4 * 4 // bs, c4 * 4 // bs
-        ly, lu, lv = self.levels[bs]
+        bw, bh = w4 * 4, h4 * 4
+        br, bc = r4 * 4 // bh, c4 * 4 // bw
+        if w4 == h4:
+            ly, lu, lv = self.levels[bw]
+            tx_y, tx_c = self._TX_OF[bw], self._TX_OF_C[bw]
+        else:
+            ly, lu, lv = self.levels[(bh, bw)]
+            tx_y = self._TX_RECT[(bh, bw)]
+            tx_c = self._TX_RECT_C[(bh, bw)]
         lvls = (ly[br, bc], lu[br, bc], lv[br, bc])
         skip = int(all((l == 0).all() for l in lvls))
         mv8 = (int(self.mvs[r4 // 2, c4 // 2, 0]),
@@ -296,7 +328,7 @@ class TileWriter:
         if is_comp:
             rf = self.comp_pair
             S.code_comp_refs(enc, None, fc, mi, tc, counts, r4, c4, rf)
-            res = MVP.find_mv_stack_comp(mi, r4, c4, n4, n4, rf,
+            res = MVP.find_mv_stack_comp(mi, r4, c4, w4, h4, rf,
                                          sign_bias=self.sign_bias)
             mv8b = (int(self.mvs2[r4 // 2, c4 // 2, 0]),
                     int(self.mvs2[r4 // 2, c4 // 2, 1]))
@@ -311,9 +343,9 @@ class TileWriter:
                 S.code_drl_idx(enc, None, fc, res, mode, 0)
                 S.code_mv(enc, None, fc, pmv0, mv8)
                 S.code_mv(enc, None, fc, pmv1, mv8b)
-            tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4),
+            tc.set_block(r4, c4, w4, h4, S.block_size_of(w4, h4),
                          S.DC_PRED, skip)
-            mi.set_block(r4, c4, n4, n4, is_inter=True, ref_frame=rf[0],
+            mi.set_block(r4, c4, w4, h4, is_inter=True, ref_frame=rf[0],
                          ref_frame2=rf[1], mode=mode, mv=mv8, mv2=mv8b)
         else:
             S.code_single_ref(enc, None, fc, counts, ref)
@@ -323,7 +355,7 @@ class TileWriter:
             # GLOBALMV when it equals the frame's global translation
             # (both skip MV coding; ref write_modes_b mode selection)
             gmv = self.gm.get(ref, (0, 0))
-            res = MVP.find_mv_stack(mi, r4, c4, n4, n4, ref,
+            res = MVP.find_mv_stack(mi, r4, c4, w4, h4, ref,
                                     sign_bias=self.sign_bias,
                                     global_mv=gmv)
             pred_mv = MVP.lower_mv_precision(res.stack[0][0])
@@ -344,25 +376,25 @@ class TileWriter:
                 S.code_drl_idx(enc, None, fc, res, mode, 0)
                 S.code_mv(enc, None, fc, pred_mv, mv8)
 
-            tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4),
+            tc.set_block(r4, c4, w4, h4, S.block_size_of(w4, h4),
                          S.DC_PRED, skip)
-            mi.set_block(r4, c4, n4, n4, is_inter=True,
+            mi.set_block(r4, c4, w4, h4, is_inter=True,
                          ref_frame=ref, mode=mode, mv=mv8)
 
         # luma tx type (reduced inter set: DCT / IDTX); chroma inherits
         # it for the INVERSE transform (spec compute_tx_type) but its
         # coefficient syntax always parses with class-2D contexts
         ttx = 0 if self.txty is None else int(self.txty[r4 // 2, c4 // 2])
-        for plane, (lvl, tx_size) in enumerate(
-                zip(lvls, (self._TX_OF[bs], self._TX_OF_C[bs],
-                           self._TX_OF_C[bs]))):
+        for plane, (lvl, tx_size) in enumerate(zip(lvls, (tx_y, tx_c,
+                                                          tx_c))):
             pr = r4 >> (plane > 0)
             pc = c4 >> (plane > 0)
-            w4 = n4 >> (plane > 0)
+            w4p = w4 >> (plane > 0)
+            h4p = h4 >> (plane > 0)
             if skip:
-                self.tc.set_txb(plane, pr, pc, w4, w4, 0)
+                self.tc.set_txb(plane, pr, pc, w4p, h4p, 0)
                 continue
-            txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
+            txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4p, h4p,
                                          full_block_tx=True,
                                          larger_block=False)
             # dim-64 transforms code only the adjusted 32x32 region
@@ -373,7 +405,7 @@ class TileWriter:
                 ttx if plane == 0 else 0, txb_ctx, dc_ctx,
                 write_tx_type=True, reduced_tx_set=self.reduced_tx_set,
                 allow_tx_type=self.qindex > 0, is_inter=True)
-            tc.set_txb(plane, pr, pc, w4, w4, cul)
+            tc.set_txb(plane, pr, pc, w4p, h4p, cul)
 
     def _block(self, r4: int, c4: int, bs: int = 8) -> None:
         modes, ly, lu, lv = self.data

@@ -1,0 +1,125 @@
+"""Rectangular partitions (PARTITION_HORZ / PARTITION_VERT at the 16
+and 32 nodes, presets <= 5): device-side RD selection, bit-exact
+encode -> mirror-decode parity, and independent conformance.
+
+ref: ext partition shapes (EbSvtAv1Enc.h:194) injected/searched in
+mode_decision_sb (EbProductCodingLoop.c:3300); partition syntax
+EncodePartitionAv1 (EbEntropyCoding.c:934).
+"""
+
+import numpy as np
+import pytest
+
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.decoder import Decoder
+from svt_av1_tpu.io.yuv import synthetic_frame
+from svt_av1_tpu.pipeline.encoder import Encoder
+
+
+def _band_clip(w, h, n, axis=1):
+    """Two bands moving differently: a sharp motion boundary through
+    node interiors makes rect leaves pay."""
+    base = synthetic_frame(w, h, seed=3)
+    frames = []
+    for i in range(n):
+        f = synthetic_frame(w, h, seed=3)
+        if axis == 1:
+            f.y[: h // 2] = np.roll(base.y[: h // 2], 3 * i, 1)
+            f.y[h // 2:] = base.y[h // 2:]
+        else:
+            f.y[:, : w // 2] = np.roll(base.y[:, : w // 2], 3 * i, 0)
+            f.y[:, w // 2:] = base.y[:, w // 2:]
+        f.u[:] = base.u
+        f.v[:] = base.v
+        frames.append(f)
+    return frames
+
+
+def test_device_step_picks_rect_leaves():
+    import jax.numpy as jnp
+
+    from svt_av1_tpu.pipeline import inter_encoder as PE
+
+    w, h = 192, 128
+    cur, base = _band_clip(w, h, 2)[1], _band_clip(w, h, 1)[0]
+    fn = PE.build_p_frame_encoder(h, w, h // 4, w // 4, 40, rdo=True,
+                                  txs=True, rect=True, deblock=False)
+    lay = PE.inter_layout(1, False, True, lv8=False, lr=False, rect=True)
+    args = [jnp.asarray(p.astype(np.int32))
+            for p in (cur.y, cur.u, cur.v, base.y, base.u, base.v)]
+    out = fn(*args)
+    shape = np.asarray(out[lay["shape8"]])
+    sizes = np.asarray(out[lay["sizes"]])
+    assert shape.any(), "no rect leaf chosen on band-motion content"
+    # rect cells carry the NODE size (16 or 32)
+    assert set(np.unique(sizes[shape > 0])) <= {16, 32}
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+def test_rect_ippp_bitexact(axis):
+    w, h = 192, 128
+    frames = _band_clip(w, h, 4, axis=axis)
+    enc = Encoder(EncoderConfig(width=w, height=h, qp=40, intra_period=-1,
+                                pred_structure=0, enc_mode=5,
+                                scene_change_detection=False))
+    dec = Decoder()
+    # record whether any tile actually coded rect leaves (the Python
+    # writer only runs when shapes are present; C++ handles square-only)
+    from svt_av1_tpu.pipeline import tile as TL
+    seen = []
+    orig = TL.TileWriter.encode_inter
+
+    def spy(self, *a, **kw):
+        if kw.get("shapes") is not None:
+            seen.append(True)
+        return orig(self, *a, **kw)
+
+    TL.TileWriter.encode_inter = spy
+    try:
+        payloads = []
+        for f in frames:
+            enc.send_picture(f)
+        enc.flush()
+        n = 0
+        while True:
+            pkt = enc.get_packet()
+            if pkt is None:
+                break
+            fr = dec.decode_temporal_unit(pkt.payload)
+            assert (fr.y == pkt.recon.y).all()
+            assert (fr.u == pkt.recon.u).all()
+            assert (fr.v == pkt.recon.v).all()
+            payloads.append(pkt.payload)
+            n += 1
+    finally:
+        TL.TileWriter.encode_inter = orig
+    assert n == len(frames)
+    assert seen, "no frame coded rect leaves (test content too easy?)"
+    # independent spec-derived checker accepts the rect streams
+    from svt_av1_tpu.conformance import check_stream
+    check_stream(b"".join(payloads))
+
+
+def test_rect_hier_b_compound_bitexact():
+    w, h = 192, 128
+    frames = _band_clip(w, h, 5)
+    enc = Encoder(EncoderConfig(width=w, height=h, qp=40, intra_period=-1,
+                                pred_structure=2, hierarchical_levels=2,
+                                compound_mode=1, enc_mode=5,
+                                scene_change_detection=False))
+    dec = Decoder()
+    for f in frames:
+        enc.send_picture(f)
+    enc.flush()
+    shown = 0
+    while True:
+        pkt = enc.get_packet()
+        if pkt is None:
+            break
+        fr = dec.decode_temporal_unit(pkt.payload)
+        if fr is not None and pkt.recon is not None:
+            assert (fr.y == pkt.recon.y).all()
+            assert (fr.u == pkt.recon.u).all()
+            assert (fr.v == pkt.recon.v).all()
+            shown += 1
+    assert shown >= len(frames) - 1
