@@ -138,12 +138,6 @@ class EncoderConfig:
             raise ValueError("enable_film_grain must be -1 (auto) or 0..50")
         # round-1 capability gates — explicit, not silent
         unimplemented = {
-            "film grain at bit_depth=10":
-                bool(self.enable_film_grain) and self.bit_depth == 10,
-            "restoration with tiles":
-                self.enable_restoration
-                and (self.tile_columns_log2 or self.tile_rows_log2),
-
             "super_block_size=128": self.super_block_size == 128,
             "enable_warped_motion": self.enable_warped_motion,
             "screen_content_mode": bool(self.screen_content_mode),

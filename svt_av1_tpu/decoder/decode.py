@@ -80,11 +80,11 @@ class Decoder:
         ch, cw = (sp.height + 1) // 2, (sp.width + 1) // 2
         u = planes[1][:ch, :cw].astype(px)
         v = planes[2][:ch, :cw].astype(px)
-        if grain is not None and grain.apply_grain and sp.bit_depth == 8:
+        if grain is not None and grain.apply_grain:
             # film grain is output-only (spec 7.18.3): references and
             # coding recon stay grain-free
             from svt_av1_tpu.ops.film_grain import apply_grain
-            y, u, v = apply_grain(grain, y, u, v)
+            y, u, v = apply_grain(grain, y, u, v, bit_depth=sp.bit_depth)
         return Frame(y, u, v)
 
     # -- frame ------------------------------------------------------------------

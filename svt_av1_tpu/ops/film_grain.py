@@ -262,14 +262,29 @@ def _noise_planes(params: FilmGrainParams, h: int, w: int,
     return ny, ncb, ncr
 
 
+def _scale_lut_vals(lut: np.ndarray, idx: np.ndarray, bit_depth: int):
+    """spec 7.18.3.5 scale_lut: direct lookup at 8-bit; at 10-bit the
+    256-entry LUT is indexed at idx>>2 with Round2 interpolation on the
+    2-bit remainder (x == 255 pins to the last entry)."""
+    if bit_depth == 8:
+        return lut[idx]
+    shift = bit_depth - 8
+    x = idx >> shift
+    rem = idx - (x << shift)
+    base = lut[x]
+    nxt = lut[np.minimum(x + 1, 255)]
+    interp = base + (((nxt - base) * rem + (1 << (shift - 1))) >> shift)
+    return np.where(x == 255, base, interp)
+
+
 def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
-                v: np.ndarray):
-    """Add grain to an 8-bit 4:2:0 output picture (spec 7.18.3, incl.
-    overlap blending).  Returns new (y, u, v) uint8 arrays."""
+                v: np.ndarray, bit_depth: int = 8):
+    """Add grain to an 8/10-bit 4:2:0 output picture (spec 7.18.3, incl.
+    overlap blending).  Returns new (y, u, v) uint8/uint16 arrays."""
     if not params.apply_grain:
         return y, u, v
     h, w = y.shape
-    ny, ncb, ncr = _noise_planes(params, h, w)
+    ny, ncb, ncr = _noise_planes(params, h, w, bit_depth)
     lut_y = _scaling_lut(params.scaling_points_y, params.num_y_points)
     if params.chroma_scaling_from_luma:
         lut_cb = lut_cr = lut_y
@@ -292,11 +307,13 @@ def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
         cb_mult, cb_lmult, cb_off = 0, 64, 0
         cr_mult, cr_lmult, cr_off = 0, 64, 0
     r_off = 1 << (params.scaling_shift - 1)
+    up = bit_depth - 8
     if params.clip_to_restricted_range:
-        lmin, lmax, cmin, cmax = 16, 235, 16, 240
+        lmin, lmax = 16 << up, 235 << up
+        cmin, cmax = 16 << up, 240 << up
     else:
         lmin = cmin = 0
-        lmax = cmax = 255
+        lmax = cmax = (1 << bit_depth) - 1
 
     # chroma scaling indexes the UN-grained luma (spec add_noise block
     # order; advisor round-1 fix) — the two-pass structure reads the
@@ -314,14 +331,16 @@ def apply_grain(params: FilmGrainParams, y: np.ndarray, u: np.ndarray,
                 continue
             hc, wc = avg.shape
             pc = pl[:hc, :wc]
-            idx = np.clip(((avg * lm + m * pc) >> 6) + o, 0, 255)
+            idx = np.clip(((avg * lm + m * pc) >> 6) + (o << up),
+                          0, (256 << up) - 1)
             pl[:hc, :wc] = np.clip(
-                pc + ((lut[idx] * nz[:hc, :wc] + r_off)
-                      >> params.scaling_shift), cmin, cmax)
+                pc + ((_scale_lut_vals(lut, idx, bit_depth) * nz[:hc, :wc]
+                       + r_off) >> params.scaling_shift), cmin, cmax)
     if params.num_y_points:
-        yy = np.clip(yy + ((lut_y[yy] * ny + r_off)
-                           >> params.scaling_shift), lmin, lmax)
-    return (yy.astype(np.uint8), uu.astype(np.uint8), vv.astype(np.uint8))
+        yy = np.clip(yy + ((_scale_lut_vals(lut_y, yy, bit_depth) * ny
+                            + r_off) >> params.scaling_shift), lmin, lmax)
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    return (yy.astype(dt), uu.astype(dt), vv.astype(dt))
 
 
 def preset_params(level: int, seed: int = 7391) -> FilmGrainParams:

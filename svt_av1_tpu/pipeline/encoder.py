@@ -239,7 +239,11 @@ class Encoder:
     def _send_inner(self, frame: Frame) -> None:
         if self.cfg.enable_film_grain == -1 and self._grain is None:
             from svt_av1_tpu.ops.film_grain import estimate_params
-            self._grain = estimate_params(frame.y)
+            # scaling points live in the 8-bit domain (spec 5.9.30):
+            # normalize 10-bit sources before the flat-block noise fit
+            ey = frame.y if self.cfg.bit_depth == 8 else (
+                (frame.y.astype(np.int32) + 2) >> 2).astype(np.uint8)
+            self._grain = estimate_params(ey)
         if self.cfg.intra_only:
             self._inbox.append(frame)
             if len(self._inbox) >= max(1, self.cfg.device_batch):
@@ -1031,7 +1035,8 @@ class Encoder:
                         comp_pair=comp_pair or (1, 7), txty=t_tt, gm=gm)
                 if cfg.entropy_backend == "cpp":
                     raise RuntimeError("C++ entropy backend unavailable")
-            tw = TileWriter(fc, hm, wm, qindex, lr=lr)
+            tw = TileWriter(fc, hm, wm, qindex, lr=lr, lr_off=(r0, c0),
+                            frame_mi=(self.seq.mi_rows, self.seq.mi_cols))
             return tw.encode_inter(t_sizes, t_mv, t_lv, cdef_idx=t_ci,
                                    refs=t_refs, sign_bias=sign_bias,
                                    comp_pair=comp_pair, mvs2=t_mv2,

@@ -104,9 +104,14 @@ class TileWriter:
 
     def __init__(self, fc: FrameContext, mi_rows: int, mi_cols: int,
                  qindex: int, reduced_tx_set: bool = True,
-                 lr=None) -> None:
+                 lr=None, lr_off=(0, 0), frame_mi=None) -> None:
         self.fc = fc
         self.tc = S.TileContexts(mi_rows, mi_cols)
+        # tile origin + frame mi dims for frame-absolute RU mapping in
+        # _write_lr (spec read_lr uses MiRow/MiCol, which are
+        # frame-absolute; per-tile ref resets stay per-instance)
+        self.lr_off = lr_off
+        self.frame_mi = frame_mi or (mi_rows, mi_cols)
         self.enc = RangeEncoder()
         self.qindex = qindex
         self.reduced_tx_set = reduced_tx_set
@@ -129,6 +134,9 @@ class TileWriter:
         range starts in this SB (WIENER or SGRPROJ frame type)."""
         if self.lr is None:
             return
+        r4 += self.lr_off[0]
+        c4 += self.lr_off[1]
+        fmr, fmc = self.frame_mi
         for p in range(3):
             pl = self.lr[p]
             if pl is None:
@@ -138,9 +146,9 @@ class TileWriter:
             use = pl["use"]
             sgr = pl.get("type", 2) == 3
             py0 = (r4 * 4) >> ss
-            py1 = min((r4 + SB_MI) * 4, self.tc.mi_rows * 4) >> ss
+            py1 = min((r4 + SB_MI) * 4, fmr * 4) >> ss
             px0 = (c4 * 4) >> ss
-            px1 = min((c4 + SB_MI) * 4, self.tc.mi_cols * 4) >> ss
+            px1 = min((c4 + SB_MI) * 4, fmc * 4) >> ss
             nr, nc = use.shape
             for ur in range(-(-py0 // unit), min(nr, -(-py1 // unit))):
                 for uc in range(-(-px0 // unit), min(nc, -(-px1 // unit))):

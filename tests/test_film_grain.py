@@ -114,3 +114,34 @@ def test_noise_overlap_blend_bands():
         band[b : b + 2, :] = True
     assert not diff[~band].any(), "overlap changed non-boundary noise"
     assert diff.any(), "overlap had no effect at seams"
+
+
+def test_film_grain_10bit_e2e():
+    """Grain synthesis at bit_depth=10: widened grain range
+    (gss = 12 - bd), scale_lut 2-bit Round2 interpolation (spec
+    7.18.3.5), <<2 chroma offsets, 10-bit clips; decoder output equals
+    apply_grain over the coded recon (ref grainSynthesis.c highbd
+    paths)."""
+    W, H = 192, 128
+    cfg = EncoderConfig(width=W, height=H, qp=45, intra_period=63,
+                        pred_structure=0, enable_film_grain=8,
+                        bit_depth=10, scene_change_detection=False)
+    enc, dec = Encoder(cfg), Decoder()
+    base = synthetic_frame(W, H, seed=0, bit_depth=10)
+    for i in range(2):
+        f = synthetic_frame(W, H, seed=0, bit_depth=10)
+        f.y[:] = np.roll(base.y, (i, 2 * i), (0, 1))
+        f.u[:] = np.roll(base.u, (0, i), (0, 1))
+        f.v[:] = np.roll(base.v, (0, i), (0, 1))
+        enc.send_picture(f)
+        pkt = enc.get_packet()
+        d = dec.decode_temporal_unit(pkt.payload)
+        gy, gu, gv = apply_grain(enc._grain_for(i), pkt.recon.y,
+                                 pkt.recon.u, pkt.recon.v, bit_depth=10)
+        assert d.y.dtype == np.uint16
+        assert d.y.max() > 255   # genuinely 10-bit samples
+        np.testing.assert_array_equal(d.y, gy)
+        np.testing.assert_array_equal(d.u, gu)
+        np.testing.assert_array_equal(d.v, gv)
+        assert np.abs(d.y.astype(int)
+                      - pkt.recon.y.astype(int)).mean() > 0.1

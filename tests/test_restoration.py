@@ -262,3 +262,36 @@ def test_restoration_10bit_e2e():
     np.testing.assert_array_equal(d.u, pkt.recon.u)
     np.testing.assert_array_equal(d.v, pkt.recon.v)
     assert _lr_on_count(dec) > 0, "LR never engaged on noisy 10-bit"
+
+
+def test_restoration_with_tiles():
+    """LR with 2x1 tile columns on inter frames: RU syntax is coded by
+    the tile whose SB contains the RU start with FRAME-absolute RU
+    mapping (spec read_lr MiRow/MiCol are frame coordinates) and
+    per-tile tap references (spec decode_tile resets RefLrWiener /
+    RefSgrXqd).  ref: tile-parallel EC over LR syntax,
+    EbEntropyCoding.c + EbRestorationPick.c."""
+    rng = np.random.default_rng(11)
+    W, H = 384, 160   # 2 tile columns x 1 row -> 3 luma RUs per tile
+    cfg = EncoderConfig(width=W, height=H, qp=50, intra_period=63,
+                        pred_structure=0, enable_restoration=True,
+                        enable_cdef=False, tile_columns_log2=1,
+                        scene_change_detection=False)
+    enc, dec = Encoder(cfg), Decoder()
+    base = synthetic_frame(W, H, seed=0, kind="noise")
+    n_on = 0
+    for i in range(3):
+        f = synthetic_frame(W, H, seed=0, kind="noise")
+        f.y[:] = np.clip(np.roll(base.y, (i, 2 * i), (0, 1)).astype(np.int32)
+                         + rng.normal(0, 6, f.y.shape), 0, 255).astype(
+                             np.uint8)
+        f.u[:] = np.roll(base.u, (0, i), (0, 1))
+        f.v[:] = np.roll(base.v, (0, i), (0, 1))
+        enc.send_picture(f)
+        pkt = enc.get_packet()
+        d = dec.decode_temporal_unit(pkt.payload)
+        np.testing.assert_array_equal(d.y, pkt.recon.y)
+        np.testing.assert_array_equal(d.u, pkt.recon.u)
+        np.testing.assert_array_equal(d.v, pkt.recon.v)
+        n_on += _lr_on_count(dec)
+    assert n_on > 0, "LR never engaged with tiles"
