@@ -153,15 +153,22 @@ def estimate_global_translation(prev_y: np.ndarray, cur_y: np.ndarray,
     if h < 64 or w < 64:
         return None
 
-    def sad_at(a, b, dy, dx, margin):
-        # overlap windows of b shifted by (dy, dx) against a
+    def sad_at(a, b, dy, dx, margin, step=1):
+        # overlap windows of b shifted by (dy, dx) against a; step
+        # subsamples the window (full-pel precision is unaffected and
+        # the decision is a coarse hypothesis test — keeps the per-frame
+        # host cost ~8 ms instead of ~120 ms at 720p)
         y0, y1 = margin + dy, a.shape[0] - margin + dy
         x0, x1 = margin + dx, a.shape[1] - margin + dx
-        return np.abs(a[y0:y1, x0:x1]
-                      - b[margin:-margin, margin:-margin]).mean()
+        return np.abs(a[y0:y1:step, x0:x1:step]
+                      - b[margin:-margin:step,
+                          margin:-margin:step]).mean()
 
-    # 1/8-decimated exhaustive +-2 (covers +-16 full-pel), then refine
-    p8, c8 = decimate(np, p, 8), decimate(np, c, 8)
+    # 1/8-subsampled exhaustive +-2 (covers +-16 full-pel), then refine
+    # (plain subsampling like the reference's decimation mode 0 —
+    # strided views are free, and the full-res refine below fixes any
+    # aliasing in the coarse winner)
+    p8, c8 = p[::8, ::8], c[::8, ::8]
     m = 3
     best, bdy, bdx = None, 0, 0
     for dy in range(-2, 3):
@@ -180,14 +187,14 @@ def estimate_global_translation(prev_y: np.ndarray, cur_y: np.ndarray,
                 continue
             if abs(ty) >= m or abs(tx) >= m:
                 continue
-            s = sad_at(p, c, ty, tx, m)
+            s = sad_at(p, c, ty, tx, m, step=4)
             if best is None or s < best:
                 best, bdy, bdx = s, ty, tx
     if best is None or (bdy, bdx) == (0, 0):
         return None
     # require the translation to explain the frame: clearly better than
     # the zero-motion hypothesis
-    zero = sad_at(p, c, 0, 0, 20)
+    zero = sad_at(p, c, 0, 0, 20, step=4)
     if best > 0.8 * zero:
         return None
     return (bdy * 8, bdx * 8)
