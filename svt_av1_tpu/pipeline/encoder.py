@@ -96,9 +96,16 @@ class Encoder:
         self._send_idx = 0
         self._packets: list[Packet] = []
         self._pending: list = []   # dispatched device batches
-        # next-frame fetch prefetch (overlaps transfer with host entropy)
-        self._prefetched: dict = {}
-        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+        # inter-frame entropy pipeline: frames are entropy-independent
+        # (each carries a fresh FrameContext), so fetch + tile coding of
+        # MANY in-flight frames run concurrently on host threads while
+        # the device encodes ahead — the TPU analog of the reference's
+        # pooled EntropyCoding processes (EbEncHandle.c:561-585 spawns
+        # up to 3 EC threads; here the C coder releases the GIL so the
+        # pool truly overlaps fetch, coding and device compute).
+        # get_packet() preserves decode order by waiting on the head
+        # future only.
+        self._ec_pool = ThreadPoolExecutor(max_workers=6)
         self._inbox: list[Frame] = []  # frames awaiting dispatch
         self._ref_dev = None       # device recon planes of the last frame
         if self._hier:
@@ -241,8 +248,9 @@ class Encoder:
             from svt_av1_tpu.ops.film_grain import estimate_params
             # scaling points live in the 8-bit domain (spec 5.9.30):
             # normalize 10-bit sources before the flat-block noise fit
-            ey = frame.y if self.cfg.bit_depth == 8 else (
-                (frame.y.astype(np.int32) + 2) >> 2).astype(np.uint8)
+            ey = frame.y if self.cfg.bit_depth == 8 else np.clip(
+                (frame.y.astype(np.int32) + 2) >> 2, 0, 255).astype(
+                    np.uint8)
             self._grain = estimate_params(ey)
         if self.cfg.intra_only:
             self._inbox.append(frame)
@@ -309,7 +317,8 @@ class Encoder:
         self._free_slots = list(range(1, 8))
         self._anchor = disp
         self._pending.append(("key", [frame], out, nbh, nbw, qindex, deb,
-                              meta))
+                              meta, self._frame_idx))
+        self._frame_idx += 1
 
     def _dispatch_span(self) -> None:
         """Code the buffered span (lo, hi] in dyadic decode order and
@@ -370,7 +379,8 @@ class Encoder:
             self._ldb_golden = (planes, 0)      # (dev planes, slot)
             self._ldb_last = (planes, 0)
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
-                                  deb, kmeta))
+                                  deb, kmeta, self._frame_idx))
+            self._frame_idx += 1
             return
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
@@ -410,8 +420,7 @@ class Encoder:
                 "ref_hints": (0,) * 7, **meta_lr}
         lay = PE.inter_layout(2, False, self._txs, lv8=True, lr=False,
                               rect=self._rect)
-        self._pending.append(("p", [frame], out, lay, None, qindex, None,
-                              meta))
+        self._enqueue_p(frame, out, lay, qindex, meta)
 
     def _pick_interp(self, frame: Frame, qindex: int) -> int:
         """Resolve the stream's interpolation filter (spec
@@ -484,8 +493,7 @@ class Encoder:
                 "ref_hints": (fh, fh, fh, fh, bh, bh, bh), **meta_lr}
         lay = PE.inter_layout(nrefs, compound, self._txs, lv8=True,
                               lr=False, rect=self._rect)
-        self._pending.append(("p", [frame], out, lay, None, qindex, None,
-                              meta))
+        self._enqueue_p(frame, out, lay, qindex, meta)
 
     def _dispatch_inbox(self) -> None:
         if not self._inbox:
@@ -533,7 +541,9 @@ class Encoder:
                 y, u, v, sy, su, sv, sk,
                 jnp.int32(lvls[0]), jnp.int32(lvls[2]), jnp.int32(lvls[3]),
                 jnp.int32(CDEF.pick_damping(qindex)))
-        self._pending.append(("batch", frames, out, nbh, nbw, qindex, deb))
+        self._pending.append(("batch", frames, out, nbh, nbw, qindex, deb,
+                              None, self._frame_idx))
+        self._frame_idx += len(frames)
 
     @property
     def _px(self):
@@ -707,7 +717,8 @@ class Encoder:
             if self._gm_enab:
                 self._gm_prev_src = frame.y
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
-                                  deb, meta))
+                                  deb, meta, self._frame_idx))
+            self._frame_idx += 1
         else:
             sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px),
                                           ph32, pw32))
@@ -767,11 +778,25 @@ class Encoder:
             dyn_q = not (self._rc is None and self._la is None)
             lay = PE.inter_layout(1, False, self._txs, lv8=dyn_q,
                                   lr=False, rect=self._rect)
-            self._pending.append(("p", [frame], out, lay, None, qindex,
-                                  None, meta))
+            self._enqueue_p(frame, out, lay, qindex, meta)
+
+    def _enqueue_p(self, frame: Frame, out, lay, qindex: int,
+                   meta) -> None:
+        """Submit an inter frame's fetch + entropy to the host pool and
+        queue its future in decode order (see _ec_pool in __init__)."""
+        idx = self._frame_idx
+        self._frame_idx += 1
+        fut = self._ec_pool.submit(self._inter_packet_job, frame, out,
+                                   qindex, meta, idx, lay)
+        self._pending.append(("pf", fut, meta, idx))
+
+    def _inter_packet_job(self, frame, out, qindex, meta, idx, lay):
+        with self._tracer.span("entropy+packetize", idx):
+            return self._make_inter_packet(frame, out, qindex, meta, idx,
+                                           lay=lay)
 
     def _finish_one(self) -> None:
-        with self._tracer.span("entropy+packetize", self._frame_idx):
+        with self._tracer.span("collect", None):
             self._finish_one_inner()
 
     def _finish_one_inner(self) -> None:
@@ -783,13 +808,24 @@ class Encoder:
             if self._rc is not None:
                 self._rc.update(len(pkt.payload) * 8, False)
             return
+        if entry[0] == "pf":
+            _, fut, meta, idx = entry
+            pkt = fut.result()
+            if meta is not None:
+                pkt.show = meta["show"]
+                pkt.display_idx = meta["display"]
+                pkt.pts = meta["display"] if pkt.show else -1
+            else:
+                pkt.pts = idx
+            self._packets.append(pkt)
+            if self._rc is not None:
+                self._rc.update(len(pkt.payload) * 8, pkt.is_keyframe)
+            return
         kind, frames, out, nbh, nbw, qindex = entry[:6]
         deb = entry[6] if len(entry) > 6 else None
         meta = entry[7] if len(entry) > 7 else None
-        if kind == "p":
-            pkts = [self._make_inter_packet(frames[0], out, qindex, meta,
-                                            self._frame_idx, lay=nbh)]
-        else:
+        base_idx = entry[8]
+        with self._tracer.span("entropy+packetize", base_idx):
             if kind == "key":
                 devs = [IE.materialize_frame(out, nbh, nbw)]
             else:
@@ -831,23 +867,21 @@ class Encoder:
                 # threads (the C coder releases the GIL) — the TPU analog of
                 # the reference's pooled EntropyCoding processes
                 with ThreadPoolExecutor(max_workers=min(8, len(frames))) as ex:
-                    base = self._frame_idx
                     pkts = list(ex.map(
                         lambda ifd: self._make_packet(ifd[1][0], ifd[1][1],
                                                       qindex, meta,
-                                                      base + ifd[0]),
+                                                      base_idx + ifd[0]),
                         enumerate(zip(frames, devs))))
             else:
                 pkts = [self._make_packet(frames[0], devs[0], qindex, meta,
-                                          self._frame_idx)]
-        for p in pkts:
+                                          base_idx)]
+        for i, p in enumerate(pkts):
             if meta is not None:
                 p.show = meta["show"]
                 p.display_idx = meta["display"]
                 p.pts = meta["display"] if p.show else -1
             else:
-                p.pts = self._frame_idx
-            self._frame_idx += 1
+                p.pts = base_idx + i
             self._packets.append(p)
             if self._rc is not None:
                 self._rc.update(len(p.payload) * 8, p.is_keyframe)
@@ -899,21 +933,6 @@ class Encoder:
                     arrs[lay[n]] = np.asarray(v)
         return arrs
 
-    def _prefetch_next_inter(self) -> None:
-        """Overlap the NEXT pending inter frame's device->host fetch
-        with this frame's host entropy stage (device_get releases the
-        GIL; the C entropy coder does too, so transfer and coding truly
-        pipeline — the TPU analog of the reference's copy/EC process
-        overlap)."""
-        for entry in self._pending:
-            if entry[0] == "p" and entry[3] is not None:
-                out = entry[2]
-                if id(out) not in self._prefetched:
-                    self._prefetched[id(out)] = \
-                        self._fetch_pool.submit(self._fetch_inter_arrs,
-                                                out, entry[3])
-                return
-
     def _make_inter_packet(self, frame: Frame, out, qindex: int,
                            meta=None, coded_idx: int = 0,
                            lay=None) -> Packet:
@@ -923,11 +942,8 @@ class Encoder:
                                   bool((meta or {}).get("compound")),
                                   self._txs, lv8=True, lr=False,
                                   rect=self._rect)
-        fut = self._prefetched.pop(id(out), None)
         with self._tracer.span("fetch"):
-            arrs = fut.result() if fut is not None \
-                else self._fetch_inter_arrs(out, lay)
-        self._prefetch_next_inter()
+            arrs = self._fetch_inter_arrs(out, lay)
         sizes = arrs[lay["sizes"]]
         mv = arrs[lay["mv"]].astype(np.int32)
         levels = {bs: tuple(_unpack_levels(arrs[lay[n]], bs)

@@ -205,6 +205,7 @@ def parse_cdf_table(text: str, name: str, shape, nsym: int) -> np.ndarray:
 
 def parse_int_table(text: str, name: str, length: int) -> np.ndarray:
     block = _table_block(text, name)
+    block = re.sub(r"//[^\n]*", "", block)   # strip line comments
     vals = [int(v) for v in re.findall(r"-?\d+", block)]
     if len(vals) != length:
         raise ValueError(f"{name}: parsed {len(vals)} ints, expected {length}")
@@ -252,6 +253,21 @@ def main() -> int:
     out["gaussian_sequence"] = parse_int_table(grain, "gaussian_sequence",
                                                2048)
     print(f"  gaussian_sequence: {out['gaussian_sequence'].shape}")
+    # warped-motion tables (spec 7.11.3.7 Warp_Filter — 193 phases x 8
+    # taps — and the spec Division table div_lut, 257 entries).  The
+    # initializer holds a PREC_BITS==6 and a PREC_BITS==5 branch under
+    # #if/#else (the build uses 6) and writes negatives as "- 1".
+    warp = (ref / "Source/Lib/Common/Codec/EbWarpedMotion.c").read_text()
+    wblk = _table_block(warp, "warped_filter")
+    wblk = wblk[: wblk.index("#elif")]
+    wblk = re.sub(r"//[^\n]*", "", wblk)
+    wvals = [int(v.replace(" ", ""))
+             for v in re.findall(r"-?\s*\d+", wblk)]
+    assert len(wvals) == 193 * 8 + 1, len(wvals)   # +1: the "#if ... 6"
+    out["warped_filter"] = np.array(wvals[1:], np.int32).reshape(193, 8)
+    print(f"  warped_filter: {out['warped_filter'].shape}")
+    out["warp_div_lut"] = parse_int_table(warp, "div_lut", 257)
+    print(f"  warp_div_lut: {out['warp_div_lut'].shape}")
 
     outp = Path(args.out)
     outp.parent.mkdir(parents=True, exist_ok=True)
