@@ -741,6 +741,11 @@ struct TileWriter {
   int comp_fwd = 1, comp_bwd = 7;    // frame-level BIDIR pair
   const uint8_t* size_map = nullptr; // [nb8h][nb8w] leaf size 8..64
   const int32_t* lv_inter[4][3];     // [size8/16/32/64][plane] level grids
+  // packed per-8x8-cell level tiles (the device step's native layout:
+  // [nb8h][nb8w][8x8] luma / [4x4] chroma int16) — when set, leaves
+  // materialize their level grids from cell tiles and lv_inter stays
+  // null, sparing the host the 12 per-size full-frame unpacks
+  const int16_t* lv_pack[3] = {nullptr, nullptr, nullptr};
   int nb8w = 0;
   // per-mi inter grids (twin of MiInter)
   std::vector<uint8_t> mi_inter, mi_mode, mi_w4, mi_h4;
@@ -1252,16 +1257,44 @@ struct TileWriter {
 
   void write_inter_block(int r4, int c4, int n4) {
     const int bs = n4 * 4;                  // luma pixels
-    const int size_idx = n4 == 2 ? 0 : (n4 == 4 ? 1 : (n4 == 8 ? 2 : 3));
     const int ny = bs * bs, nc = (bs / 2) * (bs / 2);
-    const int gb_w = (nb8w * 8) / bs;       // per-size grid width
-    int br = (r4 * 4) / bs, bc = (c4 * 4) / bs;
-    const int32_t* l0 = lv_inter[size_idx][0] +
-                        (static_cast<long>(br) * gb_w + bc) * ny;
-    const int32_t* l1 = lv_inter[size_idx][1] +
-                        (static_cast<long>(br) * gb_w + bc) * nc;
-    const int32_t* l2 = lv_inter[size_idx][2] +
-                        (static_cast<long>(br) * gb_w + bc) * nc;
+    int32_t buf_y[64 * 64], buf_u[32 * 32], buf_v[32 * 32];
+    const int32_t *l0, *l1, *l2;
+    if (lv_pack[0]) {
+      // stitch the leaf's level grids from its packed cell tiles
+      const int r8 = r4 >> 1, c8 = c4 >> 1, k = n4 >> 1;
+      const int cbs = bs / 2;
+      for (int cy = 0; cy < k; ++cy)
+        for (int cx = 0; cx < k; ++cx) {
+          const long cell = static_cast<long>(r8 + cy) * nb8w + c8 + cx;
+          const int16_t* tp = lv_pack[0] + cell * 64;
+          for (int yy = 0; yy < 8; ++yy) {
+            int32_t* dst = buf_y + (cy * 8 + yy) * bs + cx * 8;
+            for (int xx = 0; xx < 8; ++xx) dst[xx] = tp[yy * 8 + xx];
+          }
+          const int16_t* up = lv_pack[1] + cell * 16;
+          const int16_t* vp = lv_pack[2] + cell * 16;
+          for (int yy = 0; yy < 4; ++yy) {
+            int32_t* du = buf_u + (cy * 4 + yy) * cbs + cx * 4;
+            int32_t* dv = buf_v + (cy * 4 + yy) * cbs + cx * 4;
+            for (int xx = 0; xx < 4; ++xx) {
+              du[xx] = up[yy * 4 + xx];
+              dv[xx] = vp[yy * 4 + xx];
+            }
+          }
+        }
+      l0 = buf_y;
+      l1 = buf_u;
+      l2 = buf_v;
+    } else {
+      const int size_idx =
+          n4 == 2 ? 0 : (n4 == 4 ? 1 : (n4 == 8 ? 2 : 3));
+      const int gb_w = (nb8w * 8) / bs;     // per-size grid width
+      int br = (r4 * 4) / bs, bc = (c4 * 4) / bs;
+      l0 = lv_inter[size_idx][0] + (static_cast<long>(br) * gb_w + bc) * ny;
+      l1 = lv_inter[size_idx][1] + (static_cast<long>(br) * gb_w + bc) * nc;
+      l2 = lv_inter[size_idx][2] + (static_cast<long>(br) * gb_w + bc) * nc;
+    }
     bool skip = true;
     for (int i = 0; i < ny && skip; ++i) skip = l0[i] == 0;
     for (int i = 0; i < nc && skip; ++i) skip = l1[i] == 0 && l2[i] == 0;
@@ -1595,7 +1628,9 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            const uint8_t* refs, const uint8_t* sign_bias,
                            const int32_t* mvs2, int comp_fwd,
                            int comp_bwd, const uint8_t* txty,
-                           const uint8_t* gm_type, const int32_t* gm_vec) {
+                           const uint8_t* gm_type, const int32_t* gm_vec,
+                           const int16_t* pack_y, const int16_t* pack_u,
+                           const int16_t* pack_v) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
@@ -1611,8 +1646,14 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
   tw.comp_bwd = comp_bwd;
   if (sign_bias)
     for (int i = 0; i < 8; ++i) tw.sign_bias[i] = sign_bias[i];
-  for (int s = 0; s < 4; ++s)
-    for (int p = 0; p < 3; ++p) tw.lv_inter[s][p] = levels9[s * 3 + p];
+  if (pack_y) {
+    tw.lv_pack[0] = pack_y;
+    tw.lv_pack[1] = pack_u;
+    tw.lv_pack[2] = pack_v;
+  } else {
+    for (int s = 0; s < 4; ++s)
+      for (int p = 0; p < 3; ++p) tw.lv_inter[s][p] = levels9[s * 3 + p];
+  }
   tw.nb8w = nb8w;
   tw.cdef_idx = cdef_idx;
   tw.cdef_bits = cdef_bits;

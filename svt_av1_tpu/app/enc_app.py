@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="encode N GOPs in lockstep over a device mesh "
                         "(needs --intra-period >= 1 and flat pred "
                         "structure; ref multi-channel instances)")
+    p.add_argument("--inj", dest="injector", type=float, default=0,
+                   help="injector: pace input at N fps (live-input "
+                        "simulation, ref EbInjector / "
+                        "EbAppProcessCmd.c:987)")
     return p
 
 
@@ -238,9 +242,17 @@ def main(argv=None) -> int:
             qp_overrides.append(int(line) if line and line != "-1" else None)
 
     n_in = 0
+    inj_t0 = time.perf_counter()
     for frame in frames:
         if args.frames and n_in >= args.frames:
             break
+        if args.injector > 0:
+            # pace sends to the injector rate (ref EbInjector: live
+            # capture simulation — the encoder sees real-time arrival)
+            due = inj_t0 + n_in / args.injector
+            delay = due - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
         if qp_overrides is not None and hasattr(enc, "push_qp"):
             enc.push_qp(qp_overrides[n_in] if n_in < len(qp_overrides)
                         else None)

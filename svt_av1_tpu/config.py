@@ -136,10 +136,24 @@ class EncoderConfig:
                 "/ 2 sharp")
         if not (-1 <= int(self.enable_film_grain) <= 50):
             raise ValueError("enable_film_grain must be -1 (auto) or 0..50")
+        if self.enable_warped_motion:
+            # WARPED_CAUSAL is a host post-pass over the P-step outputs
+            # (pipeline/warp_pass.py); current scope: IPPP chains,
+            # frame-wide tiles, no LR in the same stream
+            if self.pred_structure != PRED_STRUCT_LOW_DELAY_P \
+                    or self.intra_only:
+                raise NotImplementedError(
+                    "enable_warped_motion requires pred_structure=0 (IPPP)")
+            if self.tile_columns_log2 or self.tile_rows_log2:
+                raise NotImplementedError(
+                    "enable_warped_motion with tiles not yet supported")
+            if self.enable_restoration:
+                raise NotImplementedError(
+                    "enable_warped_motion with restoration not yet "
+                    "supported")
         # round-1 capability gates — explicit, not silent
         unimplemented = {
             "super_block_size=128": self.super_block_size == 128,
-            "enable_warped_motion": self.enable_warped_motion,
             "screen_content_mode": bool(self.screen_content_mode),
         }
         enabled = [k for k, v in unimplemented.items() if v]

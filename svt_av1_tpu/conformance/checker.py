@@ -98,7 +98,8 @@ class SeqInfo:
     """Decoded sequence-header fields the frame header depends on."""
     __slots__ = ("mi_cols", "mi_rows", "order_hint_bits",
                  "enable_order_hint", "enable_cdef", "enable_restoration",
-                 "film_grain", "bit_depth", "width", "height")
+                 "film_grain", "bit_depth", "width", "height",
+                 "enable_warped_motion")
 
 
 def _check_sequence_header(payload: bytes) -> SeqInfo:
@@ -133,10 +134,14 @@ def _check_sequence_header(payload: bytes) -> SeqInfo:
         raise ConformanceError("frame_id_numbers unsupported")
     b.f(1)                                   # use_128x128_superblock
     for name in ("filter_intra", "intra_edge_filter", "interintra",
-                 "masked_compound", "warped_motion", "dual_filter"):
+                 "masked_compound"):
         if b.f(1):
             raise ConformanceError(f"enable_{name} set but not produced "
                                    "by this encoder")
+    s.enable_warped_motion = bool(b.f(1))    # enable_warped_motion
+    if b.f(1):
+        raise ConformanceError("enable_dual_filter set but not produced "
+                               "by this encoder")
     s.enable_order_hint = bool(b.f(1))
     if s.enable_order_hint:
         b.f(1)                               # enable_jnt_comp
@@ -304,6 +309,8 @@ def _check_frame_header(payload: bytes, s: SeqInfo,
     if not is_intra and ref_select and _skip_allowed(s, decoder_state):
         if b.f(1):
             raise ConformanceError("skip_mode not produced")
+    if not is_intra and getattr(s, "enable_warped_motion", False):
+        b.f(1)                               # allow_warped_motion (5.9.2)
     b.f(1)                                   # reduced_tx_set
     if not is_intra:
         for _ in range(7):

@@ -113,6 +113,16 @@ class Decoder:
             self.mi = MVP.MiInter(mi_rows, mi_cols)
             self.sign_bias = O.ref_sign_biases(sp, fp.order_hint,
                                                fp.ref_order_hints)
+            # warped motion: references cropped to true frame dims (the
+            # warp filter clamps at RefWidth-1/RefHeight-1, spec 7.11.3.5)
+            self.warp_on = bool(fp.switchable_motion_mode)
+            ch, cw = (sp.height + 1) // 2, (sp.width + 1) // 2
+            self.warp_refs = {
+                slot: (self.ref_slots[slot][0][: sp.height, : sp.width],
+                       self.ref_slots[slot][1][:ch, :cw],
+                       self.ref_slots[slot][2][:ch, :cw])
+                for slot in set(fp.ref_frame_idx)
+                if self.ref_slots[slot] is not None}
             # subpel phase banks per distinct referenced slot (must mirror
             # the encoder's MC exactly: pipeline.inter_encoder
             # _mc_luma/_mc_chroma).  The encoder runs on 32-padded planes;
@@ -449,6 +459,32 @@ class Decoder:
                 mv8 = res.global_mv
         bank_y, bank_u, bank_v = self.banks[self.fp.ref_frame_idx[ref - 1]]
 
+        # motion_mode (spec read_motion_mode) — parsed BEFORE this
+        # block enters the mi grid; warp params are derived from the
+        # causal neighbors' motion field (ops.warp + warp_samples,
+        # shared verbatim with the tile writer / encoder warp pass)
+        warp_model = None
+        if (not is_comp and getattr(self, "warp_on", False)):
+            from svt_av1_tpu.entropy import warp_samples as WS
+            from svt_av1_tpu.ops import warp as WP
+            kind, _ns = WS.motion_mode_gate(mi, tc.mi_rows, tc.mi_cols,
+                                            r4, c4, w4, h4, ref, False)
+            if kind:
+                mm = S.code_motion_mode(None, dec, fc,
+                                        S.block_size_of(w4, h4), kind)
+                assert mm != WS.OBMC_CAUSAL, "OBMC not produced"
+                if mm == WS.WARPED_CAUSAL:
+                    pts1, pts2 = WS.find_samples(mi, tc.mi_rows,
+                                                 tc.mi_cols, r4, c4,
+                                                 w4, h4, ref)
+                    pts1, pts2 = WS.select_samples(mv8, pts1, pts2,
+                                                   bw, bh)
+                    warp_model = WP.derive_warp(
+                        pts1, pts2, bw, bh, mv8,
+                        r4 + self.toff[0], c4 + self.toff[1])
+                    assert warp_model is not None, \
+                        "WARPED_CAUSAL with invalid projection"
+
         tc.set_block(r4, c4, w4, h4, S.block_size_of(w4, h4), S.DC_PRED,
                      skip)
         mi.set_block(r4, c4, w4, h4, is_inter=True, ref_frame=ref,
@@ -494,7 +530,17 @@ class Decoder:
             py = (pr + (self.toff[0] >> (plane > 0))) * 4
             px = (pc + (self.toff[1] >> (plane > 0))) * 4
             cpad = PAD // 2 + 1
-            if is_comp:
+            if warp_model is not None and pbw >= 8 and pbh >= 8:
+                # warped prediction (spec predict_inter useWarp: needs
+                # an 8x8 plane block; sub-8 chroma of an 8x8 luma warp
+                # block falls through to translational MC below)
+                from svt_av1_tpu.ops import warp as WP
+                wref = self.warp_refs[self.fp.ref_frame_idx[ref - 1]]
+                ssp = int(plane > 0)
+                pred = WP.warp_block(wref[plane], warp_model[0],
+                                     warp_model[1], px, py, pbw, pbh,
+                                     ssp, ssp, self.seq.bit_depth)
+            elif is_comp:
                 pp0 = self.planes_pad[self.fp.ref_frame_idx[ref - 1]]
                 pp1 = self.planes_pad[self.fp.ref_frame_idx[ref2 - 1]]
                 ppad = PAD if plane == 0 else cpad

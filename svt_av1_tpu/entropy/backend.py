@@ -81,6 +81,8 @@ def _lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16),
     ]
     return lib
 
@@ -144,11 +146,15 @@ def encode_tile_cpp(fc: FrameContext, mi_rows: int, mi_cols: int, qindex: int,
 
 def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                           qindex: int, sizes: np.ndarray, mvs: np.ndarray,
-                          levels: dict, reduced_tx_set: bool = True,
+                          levels: dict = None, reduced_tx_set: bool = True,
                           cdef_idx=None, cdef_bits: int = 2,
                           refs=None, sign_bias=None, mvs2=None,
-                          comp_pair=(1, 7), txty=None, gm=None) -> bytes:
-    """levels: {8: (ly,lu,lv), ..., 64: (...)} per-size level grids."""
+                          comp_pair=(1, 7), txty=None, gm=None,
+                          packs=None) -> bytes:
+    """levels: {8: (ly,lu,lv), ..., 64: (...)} per-size level grids; OR
+    packs = (py, pu, pv) per-8x8-cell level tiles ([nb8h, nb8w, 8, 8]
+    luma / [.., 4, 4] chroma int16 — the device step's native layout,
+    saving the host the 12 per-size unpacks)."""
     lib = _lib()
     blob = build_blob(fc)
     assert blob.size == lib.svt_tile_blob_size(), \
@@ -156,18 +162,23 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
     nb8h, nb8w = sizes.shape
     sz = np.ascontiguousarray(sizes, np.uint8)
     mv = np.ascontiguousarray(mvs, np.int32)
-    if 64 not in levels:
-        # callers without 64x64 leaves (sizes never reaches 64): zeros
-        g64h, g64w = -(-nb8h // 8), -(-nb8w // 8)
-        levels = dict(levels)
-        levels[64] = (np.zeros((g64h, g64w, 64, 64), np.int32),
-                      np.zeros((g64h, g64w, 32, 32), np.int32),
-                      np.zeros((g64h, g64w, 32, 32), np.int32))
-    lvl_arrs = [np.ascontiguousarray(levels[bs][pl], np.int32)
-                for bs in (8, 16, 32, 64) for pl in range(3)]
-    ptrs = (ctypes.POINTER(ctypes.c_int32) * 12)(
-        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-          for a in lvl_arrs])
+    pk = None
+    ptrs = None
+    if packs is not None:
+        pk = [np.ascontiguousarray(a, np.int16) for a in packs]
+    else:
+        if 64 not in levels:
+            # callers without 64x64 leaves (sizes never reaches 64): zeros
+            g64h, g64w = -(-nb8h // 8), -(-nb8w // 8)
+            levels = dict(levels)
+            levels[64] = (np.zeros((g64h, g64w, 64, 64), np.int32),
+                          np.zeros((g64h, g64w, 32, 32), np.int32),
+                          np.zeros((g64h, g64w, 32, 32), np.int32))
+        lvl_arrs = [np.ascontiguousarray(levels[bs][pl], np.int32)
+                    for bs in (8, 16, 32, 64) for pl in range(3)]
+        ptrs = (ctypes.POINTER(ctypes.c_int32) * 12)(
+            *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+              for a in lvl_arrs])
     cap = mi_rows * mi_cols * 256 + (1 << 16)
     out = np.empty(cap, np.uint8)
 
@@ -201,7 +212,10 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
         comp_pair[0], comp_pair[1],
         None if tt is None else p(tt, ctypes.c_uint8),
         None if gt is None else p(gt, ctypes.c_uint8),
-        None if gv is None else p(gv, ctypes.c_int32))
+        None if gv is None else p(gv, ctypes.c_int32),
+        None if pk is None else p(pk[0], ctypes.c_int16),
+        None if pk is None else p(pk[1], ctypes.c_int16),
+        None if pk is None else p(pk[2], ctypes.c_int16))
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

@@ -107,6 +107,8 @@ class FrameContext:
         self.switchable_restore = conv(
             t["default_switchable_restore_cdf"])[0]
         self.inter_ext_tx = conv(t["default_inter_ext_tx_cdf"])    # [4][4][17]
+        self.motion_mode = conv(t["default_motion_mode_cdf"])      # [22][4]
+        self.obmc = conv(t["default_obmc_cdf"])                    # [22][3]
         # MV coding (nmv_context; ref EbCabacContextModel.c:899)
         self.nmv_joints = conv(t["nmv_joints"][None])[0]           # [5]
         self.nmv_classes = conv(t["nmv_classes"])                  # [2][12]

@@ -56,6 +56,7 @@ class SequenceParams:
     order_hint_bits: int = 8
     film_grain_present: bool = False
     enable_restoration: bool = False
+    enable_warped_motion: bool = False
 
     @property
     def mi_cols(self) -> int:
@@ -89,7 +90,7 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
     w.f(0, 1)      # enable_intra_edge_filter
     w.f(0, 1)      # enable_interintra_compound
     w.f(0, 1)      # enable_masked_compound
-    w.f(0, 1)      # enable_warped_motion
+    w.f(int(sp.enable_warped_motion), 1)
     w.f(0, 1)      # enable_dual_filter
     w.f(int(sp.enable_order_hint), 1)
     if sp.enable_order_hint:
@@ -133,6 +134,8 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     # enable_intra_edge_filter, enable_interintra_compound,
     # enable_masked_compound, enable_warped_motion, enable_dual_filter
     flags = [r.f(1) for _ in range(8)]
+    enable_warped = bool(flags[6])
+    flags[6] = 0
     assert not any(flags), f"unsupported seq flags {flags}"
     enable_order_hint = bool(r.f(1))
     order_hint_bits = 8
@@ -158,7 +161,8 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
                           enable_order_hint=enable_order_hint,
                           order_hint_bits=order_hint_bits,
                           film_grain_present=film_grain,
-                          enable_restoration=enable_restoration)
+                          enable_restoration=enable_restoration,
+                          enable_warped_motion=enable_warped)
 
 
 KEY_FRAME, INTER_FRAME = 0, 1
@@ -259,6 +263,10 @@ class FrameParams:
     # (even values -- allow_high_precision_mv=0), (row, col) like MVs
     gm_types: tuple = (0,) * 7
     gm_trans: tuple = ((0, 0),) * 7
+    # warped motion (spec is_motion_mode_switchable + allow_warped_
+    # motion; params are decoder-derived per block, never coded)
+    switchable_motion_mode: bool = False
+    allow_warped_motion: bool = False
 
     @property
     def is_intra(self) -> bool:
@@ -465,7 +473,7 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
         w.f(0, 1)                # allow_high_precision_mv
         w.f(0, 1)                # is_filter_switchable
         w.f(fp.interp_filter, 2)  # interpolation_filter
-        w.f(0, 1)                # is_motion_mode_switchable
+        w.f(int(fp.switchable_motion_mode), 1)  # is_motion_mode_switchable
         # use_ref_frame_mvs: seq enable_ref_frame_mvs = 0 -> no bit
     else:
         w.f(0, 1)                # render_and_frame_size_different
@@ -518,7 +526,8 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     if (not fp.is_intra and fp.reference_select
             and skip_mode_allowed(sp, fp.order_hint, fp.ref_order_hints)):
         w.f(0, 1)                # skip_mode_present = 0
-    # allow_warped_motion: seq disabled -> no bit
+    if not fp.is_intra and sp.enable_warped_motion:
+        w.f(int(fp.allow_warped_motion), 1)
     w.f(int(fp.reduced_tx_set), 1)
     if not fp.is_intra:
         # global_motion_params (spec 5.9.24; TRANSLATION only)
@@ -668,9 +677,10 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
         assert r.f(1) == 0  # allow_high_precision_mv
         assert r.f(1) == 0  # is_filter_switchable
         interp_filter = r.f(2)
-        assert r.f(1) == 0  # is_motion_mode_switchable
+        switchable_mm = bool(r.f(1))   # is_motion_mode_switchable
     else:
         interp_filter = 0
+        switchable_mm = False
         assert r.f(1) == 0  # render size
     if not disable_cdf_update:
         assert r.f(1) == 0  # disable_frame_end_update_cdf
@@ -714,6 +724,9 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
     if (not is_intra and reference_select
             and skip_mode_allowed(sp, order_hint, ref_hints)):
         assert r.f(1) == 0, "skip_mode_present"
+    allow_warped = False
+    if not is_intra and sp.enable_warped_motion:
+        allow_warped = bool(r.f(1))
     reduced_tx_set = bool(r.f(1))
     gm_types = [0] * 7
     gm_trans = [(0, 0)] * 7
@@ -738,7 +751,9 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
                        reference_select, (l0, l1, lu, lv_),
                        cdef_damping, cdef_bits, tuple(y_str), tuple(uv_str),
                        grain, lr_types, lr_unit_shift, lr_uv_shift,
-                       interp_filter, tuple(gm_types), tuple(gm_trans))
+                       interp_filter, tuple(gm_types), tuple(gm_trans),
+                       switchable_motion_mode=switchable_mm,
+                       allow_warped_motion=allow_warped)
 
 
 def tile_starts(sp: SequenceParams, cols_log2: int, rows_log2: int):

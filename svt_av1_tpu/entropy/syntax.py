@@ -711,6 +711,18 @@ def _code_sym(enc, dec, cdf, nsym, val=None) -> int:
     return v
 
 
+def code_motion_mode(enc, dec, fc, bsize: int, kind: int, val=None) -> int:
+    """Motion-mode symbol (spec read_motion_mode tail; ref
+    write_motion_mode, EbEntropyCoding.c:1337).  kind 1: warp not
+    derivable here -> 2-symbol obmc cdf (0 SIMPLE / 1 OBMC); kind 2:
+    3-symbol motion_mode cdf (0 SIMPLE / 1 OBMC / 2 WARPED).  val is
+    the motion-mode enum on encode."""
+    if kind == 1:
+        return _code_bin(enc, dec, fc.obmc[bsize],
+                         None if enc is None else int(val != 0))
+    return _code_sym(enc, dec, fc.motion_mode[bsize], 3, val)
+
+
 def intra_inter_ctx(mi: "_mvp.MiInter", tc: TileContexts, r: int, c: int) -> int:
     """ref EncodePredModeAv1 context (EbEntropyCoding.c:1247-1263)."""
     has_above = r > 0 and tc.mi_sizes[r - 1, c] >= 0

@@ -65,9 +65,13 @@ def gather_tiles(plane, base_r, base_c, *, nbh: int, nbw: int, stride: int,
         # XLA fallback (CPU mesh: tests, multichip dryrun)
         one = lambda r, c: jax.lax.dynamic_slice(plane, (r, c), (th, tw))
         return jax.vmap(one)(base_r, base_c)
-    return _gather_tiles_mm(plane, base_r, base_c, nbh=nbh, nbw=nbw,
-                            stride=stride, band_off=band_off,
-                            band_h=band_h, th=th, tw=tw)
+    import os
+    impl = (_gather_tiles_pallas
+            if os.environ.get("SVT_GATHER") == "pallas"
+            else _gather_tiles_mm)
+    return impl(plane, base_r, base_c, nbh=nbh, nbw=nbw,
+                stride=stride, band_off=band_off,
+                band_h=band_h, th=th, tw=tw)
 
 
 @functools.partial(
@@ -131,6 +135,23 @@ def _gather_tiles_mm(plane, base_r, base_c, *, nbh: int, nbw: int,
     T = jnp.einsum("nrc,ncm->nrm", R, C,
                    preferred_element_type=jnp.float32)
     return T.astype(plane.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbh", "nbw", "stride", "band_off", "band_h", "th",
+                     "tw"))
+def _gather_tiles_pallas(plane, base_r, base_c, *, nbh: int, nbw: int,
+                         stride: int, band_off: int, band_h: int, th: int,
+                         tw: int):
+    """Mosaic (Pallas) tile gather — the DMA-banded alternative to the
+    one-hot-matmul path: grid over block rows; each program DMAs its
+    row band HBM->VMEM once, then every tile is one ALIGNED vector load
+    of a covering chunk plus two rotates (no per-tile DMA).  Select
+    with SVT_GATHER=pallas; the matmul path stays default (measured
+    faster for the MC shapes, where the one-hot contractions ride the
+    MXU while this kernel is VPU/rotate-bound)."""
+    Hp, Wp = plane.shape
     # alignment geometry: the band DMA starts at the enclosing 8-aligned
     # row; each tile loads an (8, 128)-aligned covering chunk and
     # rotates the remainder into place

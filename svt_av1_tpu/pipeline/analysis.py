@@ -192,9 +192,10 @@ def estimate_global_translation(prev_y: np.ndarray, cur_y: np.ndarray,
                 best, bdy, bdx = s, ty, tx
     if best is None:
         return None
-    # +-1 polish at step=2: the step=4 strided SAD can alias one pel off
-    # on textured content (a wrong-by-one global vector never wins a
-    # GLOBALMV block, silently disabling the tool)
+    # +-1 polish at an ODD stride: the step=4 strided SAD can alias one
+    # pel off on textured content (a wrong-by-one global vector never
+    # wins a GLOBALMV block, silently disabling the tool); stride 3
+    # breaks the even-shift aliasing pattern at 1/9 pixel cost
     dy, dx = bdy, bdx
     best = None
     for ddy in (-1, 0, 1):
@@ -202,14 +203,14 @@ def estimate_global_translation(prev_y: np.ndarray, cur_y: np.ndarray,
             ty, tx = dy + ddy, dx + ddx
             if max(abs(ty), abs(tx)) > min(max_fullpel, 19):
                 continue
-            s = sad_at(p, c, ty, tx, m, step=2)
+            s = sad_at(p, c, ty, tx, m, step=3)
             if best is None or s < best:
                 best, bdy, bdx = s, ty, tx
     if best is None or (bdy, bdx) == (0, 0):
         return None
     # require the translation to explain the frame: clearly better than
     # the zero-motion hypothesis
-    zero = sad_at(p, c, 0, 0, 20, step=2)
+    zero = sad_at(p, c, 0, 0, 20, step=3)
     if best > 0.8 * zero:
         return None
     return (bdy * 8, bdx * 8)

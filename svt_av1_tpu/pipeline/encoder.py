@@ -61,7 +61,13 @@ class Encoder:
             config.width, config.height, config.bit_depth, config.sb_size,
             enable_cdef=config.enable_cdef, enable_order_hint=self._hier,
             film_grain_present=bool(config.enable_film_grain),
-            enable_restoration=config.enable_restoration)
+            enable_restoration=config.enable_restoration,
+            enable_warped_motion=config.enable_warped_motion)
+        # warped motion (WARPED_CAUSAL): host post-pass over the P-step
+        # outputs (pipeline/warp_pass.py) — derives per-block affine
+        # models from the final motion field exactly like the decoder
+        self._warp = config.enable_warped_motion
+        self._ref_host = None     # true-dim host recon (warp reference)
         # preset signal derivation (ref signal_derivation_enc_dec_kernel_oq,
         # EbEncDecProcess.c:1229): presets 0-7 run the full-RD partition
         # merge; preset 8 keeps the fast SAD merge
@@ -104,8 +110,14 @@ class Encoder:
         # up to 3 EC threads; here the C coder releases the GIL so the
         # pool truly overlaps fetch, coding and device compute).
         # get_packet() preserves decode order by waiting on the head
-        # future only.
-        self._ec_pool = ThreadPoolExecutor(max_workers=6)
+        # future only.  Worker count scales with host cores but keeps a
+        # floor of 2 even on 1-core hosts: one worker blocks in
+        # device_get (pure I/O wait on the link) while the other runs
+        # the C coder — more would only thrash the GIL on the
+        # Python-side stitching.
+        import os
+        self._ec_pool = ThreadPoolExecutor(
+            max_workers=max(2, min(6, (os.cpu_count() or 1))))
         self._inbox: list[Frame] = []  # frames awaiting dispatch
         self._ref_dev = None       # device recon planes of the last frame
         if self._hier:
@@ -714,6 +726,8 @@ class Encoder:
                         "show": True, "display": self._send_idx - 1,
                         "order_hint": 0}
             self._ref_dev = ref_planes
+            if self._warp:
+                self._set_ref_host(ref_planes)
             if self._gm_enab:
                 self._gm_prev_src = frame.y
             self._pending.append(("key", [frame], out, nbh, nbw, qindex,
@@ -738,6 +752,10 @@ class Encoder:
                     self._gm_by_idx[self._send_idx - 1] = {1: gmv}
             gm_args = (() if gmv is None
                        else (jnp.asarray(np.asarray(gmv, np.int32)),))
+            if self._warp:
+                self._warp_dispatch(frame, sy, su, sv, qindex, gmv,
+                                    gm_args)
+                return
             if self._rc is None and self._la is None:
                 fn = PE.build_p_frame_encoder(
                     ph32, pw32, self.seq.mi_rows, self.seq.mi_cols, qindex,
@@ -781,19 +799,124 @@ class Encoder:
             self._enqueue_p(frame, out, lay, qindex, meta)
 
     def _enqueue_p(self, frame: Frame, out, lay, qindex: int,
-                   meta) -> None:
+                   meta, arrs=None) -> None:
         """Submit an inter frame's fetch + entropy to the host pool and
-        queue its future in decode order (see _ec_pool in __init__)."""
+        queue its future in decode order (see _ec_pool in __init__).
+        arrs: pre-fetched step outputs (warp path fetches eagerly)."""
         idx = self._frame_idx
         self._frame_idx += 1
         fut = self._ec_pool.submit(self._inter_packet_job, frame, out,
-                                   qindex, meta, idx, lay)
+                                   qindex, meta, idx, lay, arrs)
         self._pending.append(("pf", fut, meta, idx))
 
-    def _inter_packet_job(self, frame, out, qindex, meta, idx, lay):
+    def _inter_packet_job(self, frame, out, qindex, meta, idx, lay,
+                          arrs=None):
         with self._tracer.span("entropy+packetize", idx):
             return self._make_inter_packet(frame, out, qindex, meta, idx,
-                                           lay=lay)
+                                           lay=lay, arrs=arrs)
+
+    def _set_ref_host(self, ref_planes) -> None:
+        """Host copy of the reference cropped to true frame dims — the
+        warp filter clamps against these (spec 7.11.3.5)."""
+        import jax
+        h, w = self.seq.height, self.seq.width
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        y, u, v = jax.device_get(list(ref_planes))
+        self._ref_host = [np.asarray(y[:h, :w], np.int32),
+                          np.asarray(u[:ch, :cw], np.int32),
+                          np.asarray(v[:ch, :cw], np.int32)]
+
+    def _warp_dispatch(self, frame: Frame, sy, su, sv, qindex: int,
+                       gmv, gm_args) -> None:
+        """Warped-motion P frame: filterless device step -> host warp
+        pass (pipeline/warp_pass) -> device deblock/CDEF postproc.
+        One synchronous round trip per frame, like the LR path —
+        WARPED_CAUSAL params are derived from the FINAL motion field
+        (what the decoder does), so the flip must land before the
+        in-loop filters and before the recon becomes a reference."""
+        import jax
+        import jax.numpy as jnp
+        from svt_av1_tpu.ops import cdef as CDEF
+        from svt_av1_tpu.pipeline import warp_pass as WPASS
+        cfg = self.cfg
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
+        fn = PE.build_p_frame_encoder_dyn(
+            ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
+            cdef=False, bd=cfg.bit_depth, rdo=self._rdo, txs=self._txs,
+            filt=self._pick_interp(frame, qindex), gm=gmv is not None,
+            lr=False, rect=self._rect, filters=False)
+        z = jnp.int32(0)
+        out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex), z, z, z,
+                 *gm_args)
+        lay = PE.inter_layout(1, False, self._txs, lv8=True, lr=False,
+                              rect=self._rect)
+        arrs = self._fetch_inter_arrs(out, lay, force_recon=True)
+        # the warp pass patches level packs / tx types in place; arrays
+        # from device_get are read-only views
+        for n in ("ly", "lu", "lv", "txty"):
+            if n in lay:
+                arrs[lay[n]] = np.array(arrs[lay[n]])
+        sizes = arrs[lay["sizes"]]
+        mv = arrs[lay["mv"]].astype(np.int32)
+        shapes = arrs.get(lay.get("shape8"))
+        txty = arrs.get(lay.get("txty"))
+        rec = [np.ascontiguousarray(arrs[lay["rec_y"]][:ph, :pw]
+                                    .astype(np.int32)),
+               np.ascontiguousarray(arrs[lay["rec_u"]][: ph // 2,
+                                                       : pw // 2]
+                                    .astype(np.int32)),
+               np.ascontiguousarray(arrs[lay["rec_v"]][: ph // 2,
+                                                       : pw // 2]
+                                    .astype(np.int32))]
+        srcp = [IE.pad_plane(frame.y.astype(np.int32), ph, pw),
+                IE.pad_plane(frame.u.astype(np.int32), ph // 2, pw // 2),
+                IE.pad_plane(frame.v.astype(np.int32), ph // 2, pw // 2)]
+        warp8 = None
+        if self._ref_host is not None:
+            with self._tracer.span("warp-pass"):
+                warp8, _n = WPASS.warp_pass(
+                    srcp, rec, self._ref_host, arrs, lay, sizes, mv,
+                    shapes, qindex, self.seq.mi_rows, self.seq.mi_cols,
+                    cfg.bit_depth, txty=txty)
+        # per-direction tx extents + leaf skip for the filter postproc
+        nb8h, nb8w = ph // 8, pw // 8
+        sz = sizes[:nb8h, :nb8w].astype(np.int32)
+        shp = (None if shapes is None
+               else shapes[:nb8h, :nb8w].astype(np.int32))
+        szw = sz if shp is None else np.where(shp == 2, sz // 2, sz)
+        szh = sz if shp is None else np.where(shp == 1, sz // 2, sz)
+        sk8 = WPASS.leaf_skip_cells(
+            sizes, shapes, arrs[lay["ly"]], arrs[lay["lu"]],
+            arrs[lay["lv"]])[:nb8h, :nb8w]
+        lvls = self._lf_levels(qindex, False)
+        px = self._px
+        f = _inter_postproc_fn(ph, pw, cfg.enable_cdef, cfg.bit_depth)
+        y, u, v, idx_sb = f(
+            jnp.asarray(rec[0].astype(px)), jnp.asarray(rec[1].astype(px)),
+            jnp.asarray(rec[2].astype(px)),
+            jnp.asarray(srcp[0]), jnp.asarray(srcp[1]),
+            jnp.asarray(srcp[2]), jnp.asarray(sk8),
+            jnp.asarray(szw), jnp.asarray(szh),
+            jnp.int32(lvls[0]), jnp.int32(lvls[2]), jnp.int32(lvls[3]),
+            jnp.int32(CDEF.pick_damping(qindex)))
+        self._ref_dev = self._as_ref_planes(y, u, v)
+        hy, hu, hv, hidx = jax.device_get([y, u, v, idx_sb])
+        h, w = self.seq.height, self.seq.width
+        self._ref_host = [np.asarray(hy[:h, :w], np.int32),
+                          np.asarray(hu[: (h + 1) // 2, : (w + 1) // 2],
+                                     np.int32),
+                          np.asarray(hv[: (h + 1) // 2, : (w + 1) // 2],
+                                     np.int32)]
+        meta = {"warp8": warp8, "show": True,
+                "display": self._send_idx - 1, "order_hint": 0,
+                "refresh": 0x01, "ref_idx": (0,) * 7,
+                "ref_hints": (0,) * 7,
+                "cdef_idx": (np.asarray(hidx) if cfg.enable_cdef
+                             else None),
+                "lr_planes": (np.asarray(hy), np.asarray(hu),
+                              np.asarray(hv))}
+        self._enqueue_p(frame, None, lay, qindex, meta, arrs=arrs)
 
     def _finish_one(self) -> None:
         with self._tracer.span("collect", None):
@@ -886,40 +1009,86 @@ class Encoder:
             if self._rc is not None:
                 self._rc.update(len(p.payload) * 8, p.is_keyframe)
 
-    def _fetch_inter_arrs(self, out, lay) -> dict:
-        """ONE batched device->host fetch of an inter step's outputs
-        (the tunneled link pays ~30 ms RTT per transfer — serial
-        np.asarray per array was ~10 RTTs), keyed by the build's
-        inter_layout.  Recon planes are skipped unless needed; when the
-        step carries int8 level shadows and every level fits, the int8
-        trio replaces the int16 packs (halves the dominant transfer)."""
+    def _fetch_inter_arrs(self, out, lay, force_recon: bool = False
+                          ) -> dict:
+        """ONE coalesced device->host fetch of an inter step's outputs.
+
+        The tunneled link costs ~18 ms PER ARRAY (round-trip bound, not
+        bytes — measured: 95 gets of any size ~ uniform 18 ms), so all
+        non-plane outputs are bitcast + concatenated into a single
+        uint8 buffer by a tiny jitted packer and pulled with one get;
+        the host slices fields back out of the byte buffer.  Recon
+        planes (only when needed) join the same packed get."""
         import jax
-        need_rec = self._need_recon()
+        import jax.numpy as jnp
+        need_rec = self._need_recon() or force_recon
         skip = set()
         if not need_rec:
             skip |= {lay["rec_y"], lay["rec_u"], lay["rec_v"]}
         lv8 = "small" in lay
+        sparse_rows = 0
         if lv8:
             skip |= {lay[n] for n in ("ly", "lu", "lv",
                                       "ly8", "lu8", "lv8")}
+            # sparse rows included in the packed fetch: a quarter of
+            # capacity covers typical mostly-skip inter frames; denser
+            # frames fall back to a second fetch below
+            cap = PE.sparse_capacity(
+                int(np.prod(out[lay["lflags"]].shape)))
+            sparse_rows = max(256, cap // 4)
         for n in ("deb_y", "deb_u", "deb_v"):   # consumed at dispatch
             skip.add(lay.get(n))
-        idxs = [i for i in range(len(out)) if i not in skip]
-        vals = jax.device_get([out[i] for i in idxs])
-        arrs = {i: np.asarray(v) for i, v in zip(idxs, vals)}
+        idxs = tuple(i for i in range(len(out)) if i not in skip)
+        sparse_idx = (tuple(lay[n] for n in ("ply", "plu", "plv"))
+                      if lv8 else ())
+        mv_idx = {lay["mv"], lay.get("mv2")} - {None}
+        bit_idx = {lay["lflags"]} if lv8 else set()
+        entries = []
+        for i in idxs:
+            shp = ((sparse_rows,) + tuple(out[i].shape[1:])
+                   if i in sparse_idx else tuple(out[i].shape))
+            # byte shrinkers: MVs are quarter-pel (even 1/8-pel values,
+            # |mv| <= SEARCH_RANGE*8+6) -> lossless int8 at 1/4-pel;
+            # boolean cell flags ride as packed bits
+            tag = ("mvq" if i in mv_idx
+                   else "bits" if i in bit_idx else "")
+            entries.append((i, shp, np.dtype(out[i].dtype).name, tag))
+        packer = _fetch_packer(tuple(entries))
+        buf = np.asarray(jax.device_get(packer(*[out[i] for i in idxs])))
+        arrs = {}
+        off = 0
+        for i, shp, dt, tag in entries:
+            cnt_ = int(np.prod(shp))
+            if tag == "mvq":
+                arrs[i] = (np.frombuffer(buf, np.int8, cnt_, off)
+                           .astype(np.int16) * 2).reshape(shp)
+                off += cnt_
+            elif tag == "bits":
+                nb = -(-cnt_ // 8)
+                bits = np.unpackbits(
+                    np.frombuffer(buf, np.uint8, nb, off))[:cnt_]
+                arrs[i] = bits.astype(bool).reshape(shp)
+                off += nb
+            else:
+                arrs[i] = np.frombuffer(buf, np.dtype(dt), cnt_,
+                                        off).reshape(shp)
+                off += cnt_ * np.dtype(dt).itemsize
         if lv8:
             flags = arrs[lay["lflags"]]
             cnt = int(arrs[lay["lcount"]])
             small = bool(arrs[lay["small"]])
             cap = PE.sparse_capacity(flags.size)
             if small and cnt <= cap:
-                # scatter the sparse pack back into dense cell grids
-                # (stable-argsort order == raster order of set flags)
+                packs = [arrs[lay[n]] for n in ("ply", "plu", "plv")]
+                if cnt > sparse_rows:   # dense frame: refetch full packs
+                    packs = [np.asarray(v) for v in jax.device_get(
+                        [out[lay[n]] for n in ("ply", "plu", "plv")])]
                 nbh8, nbw8 = flags.shape
                 idx = np.flatnonzero(flags.reshape(-1))
-                for n, t in (("ly", 8), ("lu", 4), ("lv", 4)):
+                for (n, t), v in zip((("ly", 8), ("lu", 4), ("lv", 4)),
+                                     packs):
                     dense = np.zeros((nbh8 * nbw8, t * t), np.int16)
-                    dense[idx] = arrs[lay["p" + n]][:cnt]
+                    dense[idx] = v[:cnt]
                     arrs[lay[n]] = dense.reshape(nbh8, nbw8, t, t)
             elif small:
                 vals = jax.device_get([out[lay[n + "8"]]
@@ -935,33 +1104,33 @@ class Encoder:
 
     def _make_inter_packet(self, frame: Frame, out, qindex: int,
                            meta=None, coded_idx: int = 0,
-                           lay=None) -> Packet:
+                           lay=None, arrs=None) -> Packet:
         cfg = self.cfg
         if lay is None:
             lay = PE.inter_layout((meta or {}).get("nrefs", 1),
                                   bool((meta or {}).get("compound")),
                                   self._txs, lv8=True, lr=False,
                                   rect=self._rect)
-        with self._tracer.span("fetch"):
-            arrs = self._fetch_inter_arrs(out, lay)
+        if arrs is None:
+            with self._tracer.span("fetch"):
+                arrs = self._fetch_inter_arrs(out, lay)
         sizes = arrs[lay["sizes"]]
         mv = arrs[lay["mv"]].astype(np.int32)
-        levels = {bs: tuple(_unpack_levels(arrs[lay[n]], bs)
-                            for n in ("ly", "lu", "lv"))
-                  for bs in (8, 16, 32, 64)}
+        # per-8x8-cell level tiles (the device's native pack); the C++
+        # coder consumes them directly — per-size grids are stitched
+        # only for the Python fallback paths, per tile, below
+        packs = (arrs[lay["ly"]], arrs[lay["lu"]], arrs[lay["lv"]])
         shapes = arrs[lay["shape8"]] if "shape8" in lay else None
         if shapes is not None and not shapes.any():
             shapes = None       # square-only frame: keep the C++ path
-        if shapes is not None:
-            # rect leaf grids re-stitched from the same per-cell tiles
-            for bh, bw in ((8, 16), (16, 8), (16, 32), (32, 16)):
-                levels[(bh, bw)] = tuple(
-                    _unpack_levels_rect(arrs[lay[n]], bh // 8, bw // 8)
-                    for n in ("ly", "lu", "lv"))
         ry = arrs.get(lay["rec_y"])
         ru = arrs.get(lay["rec_u"])
         rv = arrs.get(lay["rec_v"])
         cdef_idx = arrs[lay["cdef"]] if cfg.enable_cdef else None
+        warp8 = meta.get("warp8") if meta else None
+        if meta is not None and meta.get("cdef_idx") is not None:
+            # warp path: CDEF ran in the separate postproc step
+            cdef_idx = meta["cdef_idx"]
         txty = arrs[lay["txty"]] if "txty" in lay else None
         # per-cell ref types from the device refsel map (0 -> ref0,
         # 1 -> ref1); hier-B pairs (LAST, ALTREF), low-delay B (LAST,
@@ -1023,40 +1192,40 @@ class Encoder:
             t_tt = sl(txty, r0, c0, hm, wm, 2, align=8)
             t_sh = sl(shapes, r0, c0, hm, wm, 2, align=8)
             t_ci = sl(cdef_idx, r0, c0, hm, wm, 16)
-            n8h, n8w = t_sizes.shape
-
-            def slv(a, bs2, bw2=None):
-                bw2 = bs2 if bw2 is None else bw2
-                rr, cc = r0 // (bs2 // 4), c0 // (bw2 // 4)
-                nr, nc = n8h * 8 // bs2, n8w * 8 // bw2
-                return np.ascontiguousarray(a[rr : rr + nr, cc : cc + nc])
-
-            t_lv = {bs: tuple(slv(levels[bs][p], bs) for p in range(3))
-                    for bs in (8, 16, 32, 64)}
+            t_pk = tuple(sl(a, r0, c0, hm, wm, 2, align=8) for a in packs)
             if t_sh is not None and not t_sh.any():
                 t_sh = None
-            if t_sh is not None:
-                for key in ((8, 16), (16, 8), (16, 32), (32, 16)):
-                    t_lv[key] = tuple(slv(levels[key][p], *key)
-                                      for p in range(3))
+            t_wp = sl(warp8, r0, c0, hm, wm, 2, align=8)
             fc = FrameContext(qindex)
-            if (lr is None and t_sh is None
+            if (lr is None and t_sh is None and t_wp is None
                     and cfg.entropy_backend in ("auto", "cpp")):
                 from svt_av1_tpu.entropy import backend as native
                 if native.available():
                     return native.encode_tile_inter_cpp(
-                        fc, hm, wm, qindex, t_sizes, t_mv, t_lv,
+                        fc, hm, wm, qindex, t_sizes, t_mv, packs=t_pk,
                         cdef_idx=t_ci, refs=t_refs, sign_bias=sign_bias,
                         mvs2=t_mv2 if ref_select else None,
                         comp_pair=comp_pair or (1, 7), txty=t_tt, gm=gm)
                 if cfg.entropy_backend == "cpp":
                     raise RuntimeError("C++ entropy backend unavailable")
+            # Python writer (LR / rect / warp frames): stitch the
+            # per-size leaf grids for THIS tile from the cell packs
+            t_lv = {bs: tuple(_unpack_levels(t_pk[p], bs)
+                              for p in range(3))
+                    for bs in (8, 16, 32, 64)}
+            if t_sh is not None:
+                for key in ((8, 16), (16, 8), (16, 32), (32, 16)):
+                    t_lv[key] = tuple(
+                        _unpack_levels_rect(t_pk[p], key[0] // 8,
+                                            key[1] // 8)
+                        for p in range(3))
             tw = TileWriter(fc, hm, wm, qindex, lr=lr, lr_off=(r0, c0),
                             frame_mi=(self.seq.mi_rows, self.seq.mi_cols))
             return tw.encode_inter(t_sizes, t_mv, t_lv, cdef_idx=t_ci,
                                    refs=t_refs, sign_bias=sign_bias,
                                    comp_pair=comp_pair, mvs2=t_mv2,
-                                   txty=t_tt, gm=gm, shapes=t_sh)
+                                   txty=t_tt, gm=gm, shapes=t_sh,
+                                   warp8=t_wp)
 
         jobs = [(r01, c01) for r01 in trows for c01 in tcols]
         if len(jobs) > 1:
@@ -1085,6 +1254,7 @@ class Encoder:
                 gm_trans[rt - 1] = tuple(int(x) for x in mv8g)
             hdr["gm_types"] = tuple(gm_types)
             hdr["gm_trans"] = tuple(gm_trans)
+        mm_on = warp8 is not None
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,
@@ -1093,6 +1263,8 @@ class Encoder:
                            filter_levels=self._lf_levels(qindex, False),
                            film_grain=self._grain_for(coded_idx),
                            lr_types=_lr_types(lr), lr_uv_shift=1,
+                           switchable_motion_mode=mm_on,
+                           allow_warped_motion=mm_on,
                            **hdr, **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_frame_obu(self.seq, fp, tile))
@@ -1288,6 +1460,84 @@ def _unblock_dev(blocks):
 
 
 import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _fetch_packer(entries: tuple):
+    """Jitted device-side byte packer for _fetch_inter_arrs: bitcast
+    every output to uint8 (with per-field shrinkers: quarter-pel int8
+    MVs, bit-packed bool maps) and concatenate — one array to fetch
+    instead of ~10 (the tunnel costs ~18 ms per round trip AND runs at
+    ~10 MB/s, so both count and bytes matter)."""
+    import jax
+    import jax.numpy as jnp
+
+    def pack(*arrs):
+        flat = []
+        for a, (_i, shp, _dt, tag) in zip(arrs, entries):
+            if a.shape[:1] != tuple(shp[:1]) and a.ndim >= 1:
+                a = a[: shp[0]]              # sparse-row cap
+            if tag == "mvq":
+                a = (a.astype(jnp.int32) // 2).astype(jnp.int8)
+                a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+            elif tag == "bits":
+                v = a.reshape(-1).astype(jnp.uint8)
+                pad = (-v.size) % 8
+                if pad:
+                    v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint8)])
+                w = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+                a = (v.reshape(-1, 8) * w).sum(1).astype(jnp.uint8)
+            elif a.dtype == jnp.bool_:
+                a = a.astype(jnp.uint8)
+            if a.dtype != jnp.uint8:
+                a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+            flat.append(a.reshape(-1))
+        return jnp.concatenate(flat)
+
+    return jax.jit(pack)
+
+
+@functools.lru_cache(maxsize=4)
+def _inter_postproc_fn(ph: int, pw: int, cdef: bool, bd: int = 8):
+    """Jitted inter in-loop postproc for the warped-motion path: the
+    host patches WARPED_CAUSAL blocks into the pre-filter recon, then
+    this step deblocks (per-direction tx extents from the leaf maps)
+    and runs the CDEF search+apply — the same filter code the normal
+    P step fuses in-line (p_frame_step filters section).
+
+    f(y, u, v, src_y, src_u, src_v, sk8, szw8, szh8, lf_y, lf_u, lf_v,
+      damping) -> (y, u, v, cdef_idx_sb); planes at mi-grid dims.
+    """
+    import jax
+    import jax.numpy as jnp
+    from svt_av1_tpu.ops import cdef as CDEF
+    from svt_av1_tpu.ops import deblock as DB
+
+    px = jnp.uint8 if bd == 8 else jnp.uint16
+
+    def f(y, u, v, sy, su, sv, sk8, szw8, szh8, ly, lu, lv, damping):
+        y = y.astype(jnp.int32)
+        u = u.astype(jnp.int32)
+        v = v.astype(jnp.int32)
+        upy = lambda a: jnp.repeat(jnp.repeat(a, 8, 0), 8, 1)
+        upc = lambda a: jnp.repeat(jnp.repeat(a >> 1, 4, 0), 4, 1)
+        y = DB.deblock_plane(jnp, y, upy(szw8), ly, ly, True, bd=bd,
+                             sizes_px_h=upy(szh8))
+        u = DB.deblock_plane(jnp, u, upc(szw8), lu, lu, False, bd=bd,
+                             sizes_px_h=upc(szh8))
+        v = DB.deblock_plane(jnp, v, upc(szw8), lv, lv, False, bd=bd,
+                             sizes_px_h=upc(szh8))
+        idx_sb = jnp.zeros((-(-ph // 64), -(-pw // 64)), jnp.uint8)
+        if cdef:
+            (y, u, v), idx_sb = CDEF.cdef_search_and_apply(
+                jnp, (y, u, v),
+                (sy.astype(jnp.int32), su.astype(jnp.int32),
+                 sv.astype(jnp.int32)), sk8, damping,
+                coeff_shift=bd - 8)
+            idx_sb = idx_sb.astype(jnp.uint8)
+        return y.astype(px), u.astype(px), v.astype(px), idx_sb
+
+    return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=8)

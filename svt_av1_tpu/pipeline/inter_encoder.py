@@ -354,7 +354,8 @@ def _tiles8(x, t: int):
 def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                  nrefs: int = 1, compound: bool = False, bd: int = 8,
                  rdo: bool = True, txs: bool = False, filt: int = 0,
-                 gm: bool = False, lr: bool = False, rect: bool = False):
+                 gm: bool = False, lr: bool = False, rect: bool = False,
+                 filters: bool = True):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *64-padded* plane dims (multiples of 64,
@@ -416,9 +417,13 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
 
         def me_one_ref(ry_i, py_pad_i):
             # hierarchical full-pel ME: quarter-res center search, then a
-            # +-4 multi-size sweep on a center-warped reference (10x fewer
-            # offsets than exhaustive; ref HME levels 0-2)
-            r2 = 4
+            # +-r2 multi-size sweep on a center-warped reference (10x
+            # fewer offsets than exhaustive; ref HME levels 0-2).  The
+            # speed preset narrows the sweep to +-3 (49 offsets): the
+            # quarter-res HME center plus the quarter-pel refinement's
+            # +-0.75 reach keeps the effective range (ref preset-gated
+            # search areas, signal_derivation_me_kernel_oq)
+            r2 = 4 if rdo else 3
             ref_pad = jnp.pad(ry_i, search, mode="edge")
             centers = ME.hme_centers(sy, ry_i, search_reach=search - r2)
             warped = ME.warp_by_centers(ref_pad, centers, 32, search)
@@ -932,7 +937,8 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         sz8 = size8[: ph_mi // 8, : pw_mi // 8].astype(jnp.int32)
         idx_sb = jnp.zeros((-(-ph_mi // 64), -(-pw_mi // 64)), jnp.uint8)
 
-        if dynamic_q or lf_levels[0] or lf_levels[2] or lf_levels[3]:
+        if filters and (dynamic_q or lf_levels[0] or lf_levels[2]
+                        or lf_levels[3]):
             # per-direction tx extents (they differ at rect leaves:
             # vertical edges follow the tx WIDTH, horizontal the HEIGHT)
             if rect:
@@ -1109,11 +1115,15 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               cdef: bool = False, bd: int = 8,
                               rdo: bool = True, txs: bool = False,
                               filt: int = 0, gm: bool = False,
-                              lr: bool = False, rect: bool = False):
+                              lr: bool = False, rect: bool = False,
+                              filters: bool = True):
     """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v[, gmv]); one
-    compile serves every qindex (rate control)."""
+    compile serves every qindex (rate control).  filters=False skips
+    the in-loop filters (warped-motion mode: the host flips blocks to
+    WARPED_CAUSAL on the pre-filter recon, then a separate postproc
+    step deblocks/CDEFs — pipeline.warp_pass)."""
     fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo, txs=txs,
-                      filt=filt, gm=gm, lr=lr, rect=rect)
+                      filt=filt, gm=gm, lr=lr, rect=rect, filters=filters)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)
 

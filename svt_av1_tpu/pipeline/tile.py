@@ -128,6 +128,7 @@ class TileWriter:
                         if lr else None)
         self._sgr_ref = ([list(S.SGR_XQD_MID) for _ in range(3)]
                          if lr else None)
+        self.warp8 = None
 
     def _write_lr(self, r4: int, c4: int) -> None:
         """spec read_lr mirror: for each plane, code RUs whose index
@@ -200,7 +201,8 @@ class TileWriter:
     def encode_inter(self, sizes: np.ndarray, mvs: np.ndarray,
                      levels: dict, cdef_idx=None, refs=None,
                      sign_bias=None, comp_pair=None, mvs2=None,
-                     txty=None, gm=None, shapes=None) -> bytes:
+                     txty=None, gm=None, shapes=None,
+                     warp8=None) -> bytes:
         """P/B-frame tile: variable-partition single-ref NEWMV blocks.
 
         sizes:  [nb8h, nb8w] leaf size (8/16/32/64) covering each 8x8
@@ -230,6 +232,11 @@ class TileWriter:
         # global motion: {ref_type: (row8, col8)} TRANSLATION per ref
         # (spec 5.9.24; blocks whose MV equals it code GLOBALMV)
         self.gm = gm or {}
+        # warped motion: warp8 = per-8x8-cell motion_mode map (0 SIMPLE /
+        # 2 WARPED_CAUSAL), not-None only when the frame header signals
+        # is_motion_mode_switchable + allow_warped_motion (spec
+        # read_motion_mode; params are decoder-derived, never coded)
+        self.warp8 = warp8
         self.ref_select = comp_pair is not None
         self.inter = True
         self.cdef_idx = cdef_idx
@@ -383,6 +390,21 @@ class TileWriter:
                 S.code_inter_mode(enc, None, fc, res, mode)
                 S.code_drl_idx(enc, None, fc, res, mode, 0)
                 S.code_mv(enc, None, fc, pred_mv, mv8)
+
+            if self.warp8 is not None:
+                # motion_mode (spec read_motion_mode; coded after the
+                # MVs, ref EbEntropyCoding.c:5219) — presence + cdf
+                # depend on the causal neighborhood (warp_samples)
+                from svt_av1_tpu.entropy import warp_samples as WS
+                kind, _ns = WS.motion_mode_gate(mi, tc.mi_rows,
+                                                tc.mi_cols, r4, c4, w4,
+                                                h4, ref, False)
+                if kind:
+                    mm = int(self.warp8[r4 // 2, c4 // 2])
+                    assert kind == 2 or mm == 0, \
+                        "warp flagged where samples say none"
+                    S.code_motion_mode(enc, None, fc,
+                                       S.block_size_of(w4, h4), kind, mm)
 
             tc.set_block(r4, c4, w4, h4, S.block_size_of(w4, h4),
                          S.DC_PRED, skip)

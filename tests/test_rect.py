@@ -21,14 +21,17 @@ def _band_clip(w, h, n, axis=1):
     node interiors makes rect leaves pay."""
     base = synthetic_frame(w, h, seed=3)
     frames = []
+    # band boundary OFF the 16/32 node grid (8-aligned only) so square
+    # leaves cannot straddle it cleanly and rect shapes pay
+    hcut, wcut = h // 2 + 8, w // 2 + 24
     for i in range(n):
         f = synthetic_frame(w, h, seed=3)
         if axis == 1:
-            f.y[: h // 2] = np.roll(base.y[: h // 2], 3 * i, 1)
-            f.y[h // 2:] = base.y[h // 2:]
+            f.y[:hcut] = np.roll(base.y[:hcut], 3 * i, 1)
+            f.y[hcut:] = base.y[hcut:]
         else:
-            f.y[:, : w // 2] = np.roll(base.y[:, : w // 2], 3 * i, 0)
-            f.y[:, w // 2:] = base.y[:, w // 2:]
+            f.y[:, :wcut] = np.roll(base.y[:, :wcut], 3 * i, 0)
+            f.y[:, wcut:] = base.y[:, wcut:]
         f.u[:] = base.u
         f.v[:] = base.v
         frames.append(f)
@@ -61,7 +64,8 @@ def test_rect_ippp_bitexact(axis):
     frames = _band_clip(w, h, 4, axis=axis)
     enc = Encoder(EncoderConfig(width=w, height=h, qp=40, intra_period=-1,
                                 pred_structure=0, enc_mode=5,
-                                scene_change_detection=False))
+                                scene_change_detection=False,
+                                enable_global_motion=False))
     dec = Decoder()
     # record whether any tile actually coded rect leaves (the Python
     # writer only runs when shapes are present; C++ handles square-only)
@@ -97,7 +101,7 @@ def test_rect_ippp_bitexact(axis):
     assert seen, "no frame coded rect leaves (test content too easy?)"
     # independent spec-derived checker accepts the rect streams
     from svt_av1_tpu.conformance import check_stream
-    check_stream(b"".join(payloads))
+    check_stream(payloads)
 
 
 def test_rect_hier_b_compound_bitexact():
@@ -112,14 +116,20 @@ def test_rect_hier_b_compound_bitexact():
         enc.send_picture(f)
     enc.flush()
     shown = 0
+    rec = {}           # display_idx -> coded recon (no-show TUs)
     while True:
         pkt = enc.get_packet()
         if pkt is None:
             break
         fr = dec.decode_temporal_unit(pkt.payload)
-        if fr is not None and pkt.recon is not None:
-            assert (fr.y == pkt.recon.y).all()
-            assert (fr.u == pkt.recon.u).all()
-            assert (fr.v == pkt.recon.v).all()
-            shown += 1
+        if pkt.show is False and pkt.recon is not None:
+            rec[pkt.display_idx] = pkt.recon
+        if fr is not None:
+            want = (pkt.recon if pkt.recon is not None
+                    else rec.get(pkt.display_idx))
+            if want is not None:
+                assert (fr.y == want.y).all()
+                assert (fr.u == want.u).all()
+                assert (fr.v == want.v).all()
+                shown += 1
     assert shown >= len(frames) - 1
