@@ -28,7 +28,9 @@ import numpy as np
 # steps costs minutes; cache across runs/processes
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/svt_av1_tpu_jax_cache")
+from svt_av1_tpu.utils.cache import jax_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="encode N GOPs in lockstep over a device mesh "
                         "(needs --intra-period >= 1 and flat pred "
                         "structure; ref multi-channel instances)")
+    p.add_argument("--scm", dest="scm", type=int, default=0,
+                   help="screen content mode: 0 off, 1 on, 2 auto "
+                        "(intra block copy via hash ME; ref "
+                        "EbAppConfig scene_content_mode)")
     p.add_argument("--inj", dest="injector", type=float, default=0,
                    help="injector: pace input at N fps (live-input "
                         "simulation, ref EbInjector / "
@@ -168,6 +172,7 @@ def main(argv=None) -> int:
                         look_ahead_distance=args.lookahead,
                         frame_rate_num=args.fps,
                         recon_output=bool(args.recon) or args.stat_report,
+                        screen_content_mode=args.scm,
                         num_gop_shards=args.gop_shards)
     if args.gop_shards > 1:
         if args.pred_struct != 0 or args.intra_period < 1:

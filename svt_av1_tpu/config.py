@@ -69,6 +69,9 @@ class EncoderConfig:
                                       # film_grain_denoise_strength);
                                       # -1 = estimate from source (ref
                                       # noise_model.c flat-block AR fit)
+    # screen content (ref scene_content_mode 0/1/2: off/on/auto-detect,
+    # sc detection EbPictureDecisionProcess.c:650): intra frames code
+    # intra-block-copy blocks found by hash ME (pipeline/ibc.py)
     screen_content_mode: int = 0
     enable_warped_motion: bool = False
     # frame-level interpolation filter: -1 auto (open-loop content
@@ -151,10 +154,21 @@ class EncoderConfig:
                 raise NotImplementedError(
                     "enable_warped_motion with restoration not yet "
                     "supported")
+        if self.screen_content_mode:
+            if self.screen_content_mode not in (1, 2):
+                raise ValueError("screen_content_mode must be 0/1/2")
+            # v1 scope: 8-bit, single tile (the hash-ME DV validity is
+            # computed against a frame-wide tile), no LR on intra frames
+            # (allow_intrabc turns in-loop filters off there anyway)
+            if self.bit_depth != 8:
+                raise NotImplementedError(
+                    "screen_content_mode requires bit_depth=8")
+            if self.tile_columns_log2 or self.tile_rows_log2:
+                raise NotImplementedError(
+                    "screen_content_mode with tiles not yet supported")
         # round-1 capability gates — explicit, not silent
         unimplemented = {
             "super_block_size=128": self.super_block_size == 128,
-            "screen_content_mode": bool(self.screen_content_mode),
         }
         enabled = [k for k, v in unimplemented.items() if v]
         if enabled:

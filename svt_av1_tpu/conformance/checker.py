@@ -99,7 +99,7 @@ class SeqInfo:
     __slots__ = ("mi_cols", "mi_rows", "order_hint_bits",
                  "enable_order_hint", "enable_cdef", "enable_restoration",
                  "film_grain", "bit_depth", "width", "height",
-                 "enable_warped_motion")
+                 "enable_warped_motion", "screen_content")
 
 
 def _check_sequence_header(payload: bytes) -> SeqInfo:
@@ -148,7 +148,18 @@ def _check_sequence_header(payload: bytes) -> SeqInfo:
         b.f(1)                               # enable_ref_frame_mvs
     if b.f(1) == 0:                          # seq_choose_screen_content
         if b.f(1):
-            raise ConformanceError("screen content tools not produced")
+            raise ConformanceError(
+                "seq_force_screen_content_tools=1 not produced "
+                "(frames choose via SELECT)")
+        s.screen_content = False
+    else:                                    # force = SELECT(2)
+        s.screen_content = True
+        # spec 5.5.2: seq_force_screen_content_tools > 0 ->
+        # seq_choose_integer_mv follows
+        if b.f(1) == 0:
+            raise ConformanceError(
+                "seq_force_integer_mv fixed value not produced "
+                "(SELECT expected)")
     s.order_hint_bits = (b.f(3) + 1) if s.enable_order_hint else 0
     if b.f(1):
         raise ConformanceError("enable_superres not produced")
@@ -229,6 +240,14 @@ def _check_frame_header(payload: bytes, s: SeqInfo,
         if b.f(1):
             raise ConformanceError("error_resilient_mode not produced")
     b.f(1)                                   # disable_cdf_update
+    allow_sc = False
+    if getattr(s, "screen_content", False):  # seq_force == SELECT
+        allow_sc = bool(b.f(1))              # allow_screen_content_tools
+        if allow_sc:
+            fim = b.f(1)                     # force_integer_mv (SELECT)
+            if is_intra and not fim:
+                raise ConformanceError(
+                    "intra frames must set force_integer_mv (5.9.2)")
     if b.f(1):
         raise ConformanceError("frame_size_override not produced")
     order_hint = 0
@@ -268,8 +287,14 @@ def _check_frame_header(payload: bytes, s: SeqInfo,
     else:
         if b.f(1):
             raise ConformanceError("render size mismatch not produced")
+    allow_intrabc = False
+    if is_intra and allow_sc:                # UpscaledWidth == FrameWidth
+        allow_intrabc = bool(b.f(1))
     b.f(1)                                   # disable_frame_end_update_cdf
     cols, rows, tsb = _check_tile_info(b, s)
+    if allow_intrabc and (cols or rows):
+        raise ConformanceError("intrabc frames are single-tile here "
+                               "(hash-ME DV validity is frame-wide)")
     base_q = b.f(8)                          # quantization_params
     for _ in range(3):                       # DeltaQ Y/U dc+ac flags
         if b.f(1):
@@ -281,20 +306,23 @@ def _check_frame_header(payload: bytes, s: SeqInfo,
     if base_q > 0:
         if b.f(1):
             raise ConformanceError("delta_q_present not produced")
-    l0, l1 = b.f(6), b.f(6)                  # loop_filter_params
-    if l0 or l1:
-        b.f(6)
-        b.f(6)
-    b.f(3)                                   # sharpness
-    if b.f(1):
-        raise ConformanceError("loop_filter_delta not produced")
-    if s.enable_cdef:                        # 5.9.19
+    # spec 5.9.11/5.9.19/5.9.20: no loop filter / cdef / lr syntax when
+    # allow_intrabc (filters are forced off)
+    if not allow_intrabc:
+        l0, l1 = b.f(6), b.f(6)              # loop_filter_params
+        if l0 or l1:
+            b.f(6)
+            b.f(6)
+        b.f(3)                               # sharpness
+        if b.f(1):
+            raise ConformanceError("loop_filter_delta not produced")
+    if s.enable_cdef and not allow_intrabc:  # 5.9.19
         b.f(2)                               # damping - 3
         bits = b.f(2)
         for _ in range(1 << bits):
             b.f(4), b.f(2), b.f(4), b.f(2)
     uses_lr = False
-    if s.enable_restoration:                 # 5.9.20
+    if s.enable_restoration and not allow_intrabc:   # 5.9.20
         types = [b.f(2) for _ in range(3)]
         uses_lr = any(types)
         if uses_lr:

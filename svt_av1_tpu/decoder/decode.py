@@ -225,7 +225,7 @@ class Decoder:
         deb = ([pl.copy() for pl in self.rec]
                if self.lr is not None else None)
 
-        if sp.enable_cdef:
+        if sp.enable_cdef and not fp.allow_intrabc:
             skip8 = self.skip_map[::2, ::2].astype(bool)
             planes = CD.cdef_frame(
                 np, tuple(self.rec), skip8, self.cdef_idx_map,
@@ -276,7 +276,7 @@ class Decoder:
         self.toff = (r0, c0)
         self.fc = FrameContext(self.fp.base_q_idx)
         self.tc = S.TileContexts(hm, wm)
-        if self.is_inter_frame:
+        if self.is_inter_frame or self.fp.allow_intrabc:
             self.mi = MVP.MiInter(hm, wm)
         self.dec = RangeDecoder(td)
         # per-tile per-plane wiener/sgrproj tap references (spec
@@ -336,7 +336,8 @@ class Decoder:
 
     def _read_cdef(self, r4: int, c4: int, skip: int) -> None:
         """Mirror of TileWriter._write_cdef (spec read_cdef)."""
-        if not self.seq.enable_cdef or self._cdef_done or skip:
+        if not self.seq.enable_cdef or self._cdef_done or skip \
+                or self.fp.allow_intrabc:
             return
         idx = 0
         for _ in range(self.fp.cdef_bits):
@@ -580,6 +581,68 @@ class Decoder:
         skip = dec.decode_symbol(cdf, 2)
         update_icdf(cdf, skip, 2)
         self._read_cdef(r4, c4, skip)
+
+        if self.fp.allow_intrabc:
+            # intra block copy (spec use_intrabc; the encoder's
+            # pipeline/ibc.py only emits staircase-causal DVs, so the
+            # z-order copy below always reads finished recon)
+            cdf = fc.intrabc
+            use = dec.decode_symbol(cdf, 2)
+            update_icdf(cdf, use, 2)
+            if use:
+                dv_ref = MVP.dv_ref_for_block(self.mi, r4, c4, n4, n4)
+                mv8 = S.code_mv(None, dec, fc.dv, dv_ref,
+                                force_integer=True)
+                assert mv8[0] % 8 == 0 and mv8[1] % 8 == 0
+                tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4),
+                             S.DC_PRED, skip)
+                self.mi.set_block(r4, c4, n4, n4, is_inter=True,
+                                  ref_frame=MVP.INTRA_FRAME, mode=0,
+                                  mv=mv8)
+                self.w4_map[r4 + self.toff[0] : r4 + self.toff[0] + n4,
+                            c4 + self.toff[1] : c4 + self.toff[1] + n4] \
+                    = n4
+                self.h4_map[r4 + self.toff[0] : r4 + self.toff[0] + n4,
+                            c4 + self.toff[1] : c4 + self.toff[1] + n4] \
+                    = n4
+                ltx = 0
+                bd = self.seq.bit_depth
+                for plane, tx_size in enumerate(
+                        (self._TX_OF[lbs], self._TX_OF_C[lbs],
+                         self._TX_OF_C[lbs])):
+                    pr = r4 >> (plane > 0)
+                    pc = c4 >> (plane > 0)
+                    w4 = n4 >> (plane > 0)
+                    bs = lbs if plane == 0 else lbs // 2
+                    if skip:
+                        levels = np.zeros((bs, bs), np.int32)
+                        tc.set_txb(plane, pr, pc, w4, w4, 0)
+                    else:
+                        txb_ctx, dc_ctx = tc.txb_ctx(
+                            plane, pr, pc, w4, w4, full_block_tx=True,
+                            larger_block=False)
+                        levels, cul, ptx = S.read_coeffs_txb(
+                            dec, fc, tx_size, int(plane > 0), txb_ctx,
+                            dc_ctx, read_tx_type=True,
+                            reduced_tx_set=self.fp.reduced_tx_set,
+                            allow_tx_type=self.fp.base_q_idx > 0,
+                            is_inter=True)
+                        tc.set_txb(plane, pr, pc, w4, w4, cul)
+                        if plane == 0:
+                            ltx = ptx
+                    rec = self.rec[plane]
+                    py = (pr + (self.toff[0] >> (plane > 0))) * 4
+                    px = (pc + (self.toff[1] >> (plane > 0))) * 4
+                    dvr = (mv8[0] >> 3) >> (plane > 0)
+                    dvc = (mv8[1] >> 3) >> (plane > 0)
+                    pred = rec[py + dvr : py + dvr + bs,
+                               px + dvc : px + dvc + bs]
+                    dq = Q.dequantize_np(levels, self.fp.base_q_idx,
+                                         tx_size, bd)
+                    resid = T.inv_txfm2d_np(dq, tx_size, ltx, bd)
+                    rec[py : py + bs, px : px + bs] = np.clip(
+                        pred + resid, 0, (1 << bd) - 1)
+                return
 
         actx, lctx = tc.kf_y_ctx(r4, c4)
         cdf = fc.kf_y_mode[actx][lctx]

@@ -55,6 +55,10 @@ def update_icdf(icdf: np.ndarray, val: int, nsyms: int) -> None:
     icdf[nsyms] = count + (count < 32)
 
 
+class _DvContext:
+    """nmv_context twin for intra-block-copy DVs (libaom ndvc)."""
+
+
 class FrameContext:
     """All adaptive symbol CDFs for one frame/tile.
 
@@ -119,6 +123,16 @@ class FrameContext:
         self.nmv_hp = conv(t["nmv_hp"])                            # [2][3]
         self.nmv_class0 = conv(t["nmv_class0"])                    # [2][3]
         self.nmv_bits = conv(t["nmv_bits"])                        # [2][10][3]
+
+        # intra block copy: use flag + a SEPARATE nmv instance for DVs
+        # (ref FRAME_CONTEXT intrabc_cdf / ndvc,
+        # EbCabacContextModel.c:821,1016 — same defaults, adapted apart)
+        self.intrabc = conv(t["default_intrabc_cdf"])[0]           # [3]
+        self.dv = _DvContext()
+        for n in ("nmv_joints", "nmv_classes", "nmv_class0_fp", "nmv_fp",
+                  "nmv_sign", "nmv_class0_hp", "nmv_hp", "nmv_class0",
+                  "nmv_bits"):
+            setattr(self.dv, n, getattr(self, n).copy())
 
         # coefficient coding (q-dependent defaults)
         self.txb_skip = conv(t["av1_default_txb_skip_cdfs"][qctx])       # [5][13][3]

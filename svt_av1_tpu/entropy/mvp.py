@@ -511,3 +511,35 @@ def lower_mv_precision(mv, allow_hp: bool = False,
         if col & 1:
             col += -1 if col > 0 else 1
     return (row, col)
+
+
+# --- intra block copy DV prediction (screen content) -------------------------
+
+def find_ref_dv(mi_row: int, mi_col: int, mib_size: int = 16,
+                tile_row_start: int = 0) -> tuple:
+    """Fallback DV predictor when the INTRA_FRAME stack is empty (spec
+    intra-bc ref DV; ref av1_find_ref_dv,
+    EbAdaptiveMotionVectorPrediction.c:2047): the superblock above, or
+    one SB + the 256-px hardware delay to the left on the first SB row.
+    Returns 1/8-pel (row, col)."""
+    if mi_row - mib_size < tile_row_start:
+        return (0, (-4 * mib_size - 256) * 8)
+    return (-4 * mib_size * 8, 0)
+
+
+def dv_ref_for_block(mi: MiInter, mi_row: int, mi_col: int, w4: int,
+                     h4: int, mib_size: int = 16) -> tuple:
+    """DV predictor for an intra-bc block: nearest/near from the
+    INTRA_FRAME ref-MV stack (neighbors that used intra-bc), falling
+    back to find_ref_dv when both are zero (ref EbModeDecision.c dv_ref
+    selection: nearestmv if nonzero else nearmv else av1_find_ref_dv).
+    Shared by the tile writer, the mirror decoder and the conformance
+    checker — DVs are full-pel so precision lowering is a no-op."""
+    res = find_mv_stack(mi, mi_row, mi_col, w4, h4, INTRA_FRAME,
+                        sb_mi=mib_size)
+    nearest = lower_mv_precision(res.stack[0][0])
+    near = lower_mv_precision(res.stack[1][0])
+    dv = nearest if nearest != (0, 0) else near
+    if dv == (0, 0):
+        dv = find_ref_dv(mi_row, mi_col, mib_size)
+    return dv

@@ -57,6 +57,9 @@ class SequenceParams:
     film_grain_present: bool = False
     enable_restoration: bool = False
     enable_warped_motion: bool = False
+    # screen content: seq_choose_screen_content_tools=1 (SELECT) so each
+    # frame codes allow_screen_content_tools; integer-mv also SELECT
+    screen_content: bool = False
 
     @property
     def mi_cols(self) -> int:
@@ -96,8 +99,12 @@ def write_sequence_header(sp: SequenceParams) -> bytes:
     if sp.enable_order_hint:
         w.f(0, 1)  # enable_jnt_comp
         w.f(0, 1)  # enable_ref_frame_mvs
-    w.f(0, 1)      # seq_choose_screen_content_tools
-    w.f(0, 1)      # seq_force_screen_content_tools = OFF
+    if sp.screen_content:
+        w.f(1, 1)  # seq_choose_screen_content_tools -> SELECT(2)
+        w.f(1, 1)  # seq_choose_integer_mv -> SELECT(2)
+    else:
+        w.f(0, 1)  # seq_choose_screen_content_tools
+        w.f(0, 1)  # seq_force_screen_content_tools = OFF
     if sp.enable_order_hint:
         w.f(sp.order_hint_bits - 1, 3)  # order_hint_bits_minus_1
     w.f(0, 1)      # enable_superres
@@ -142,8 +149,11 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
     if enable_order_hint:
         assert r.f(1) == 0  # enable_jnt_comp
         assert r.f(1) == 0  # enable_ref_frame_mvs
-    assert r.f(1) == 0  # seq_choose_screen_content_tools
-    assert r.f(1) == 0  # seq_force_screen_content_tools value
+    screen_content = bool(r.f(1))   # seq_choose_screen_content_tools
+    if screen_content:
+        assert r.f(1) == 1          # seq_choose_integer_mv = SELECT
+    else:
+        assert r.f(1) == 0          # seq_force_screen_content_tools
     if enable_order_hint:
         order_hint_bits = r.f(3) + 1
     assert r.f(1) == 0  # enable_superres
@@ -162,7 +172,8 @@ def parse_sequence_header(payload: bytes) -> SequenceParams:
                           order_hint_bits=order_hint_bits,
                           film_grain_present=film_grain,
                           enable_restoration=enable_restoration,
-                          enable_warped_motion=enable_warped)
+                          enable_warped_motion=enable_warped,
+                          screen_content=screen_content)
 
 
 KEY_FRAME, INTER_FRAME = 0, 1
@@ -267,6 +278,12 @@ class FrameParams:
     # motion; params are decoder-derived per block, never coded)
     switchable_motion_mode: bool = False
     allow_warped_motion: bool = False
+    # screen content (spec 5.9.2: allow_screen_content_tools coded when
+    # seq_force == SELECT; allow_intrabc coded on intra frames — when
+    # set, the loop filter / cdef / lr params are NOT coded and the
+    # in-loop filters are off, spec 5.9.11/5.9.19/5.9.20)
+    allow_screen_content: bool = False
+    allow_intrabc: bool = False
 
     @property
     def is_intra(self) -> bool:
@@ -457,6 +474,12 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     if not (fp.is_intra and fp.show_frame):
         w.f(0, 1)                # error_resilient_mode
     w.f(int(fp.disable_cdf_update), 1)
+    if sp.screen_content:        # seq_force == SELECT
+        w.f(int(fp.allow_screen_content), 1)
+        if fp.allow_screen_content:
+            # force_integer_mv (seq SELECT); intra frames force it to 1
+            # after the read anyway (spec 5.9.2)
+            w.f(int(fp.is_intra), 1)
     w.f(0, 1)                    # frame_size_override_flag
     if sp.enable_order_hint:
         w.f(fp.order_hint, sp.order_hint_bits)
@@ -477,6 +500,8 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
         # use_ref_frame_mvs: seq enable_ref_frame_mvs = 0 -> no bit
     else:
         w.f(0, 1)                # render_and_frame_size_different
+        if fp.allow_screen_content:   # UpscaledWidth == FrameWidth
+            w.f(int(fp.allow_intrabc), 1)
     if not fp.disable_cdf_update:
         w.f(0, 1)                # disable_frame_end_update_cdf
     _tile_info_bits(w, sp, fp)
@@ -489,16 +514,18 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     w.f(0, 1)                    # segmentation_enabled
     if fp.base_q_idx > 0:
         w.f(0, 1)                # delta_q_present
-    # loop_filter_params (not lossless, no intrabc)
-    lv = fp.filter_levels
-    w.f(lv[0], 6)                # loop_filter_level[0]
-    w.f(lv[1], 6)                # loop_filter_level[1]
-    if lv[0] or lv[1]:
-        w.f(lv[2], 6)            # loop_filter_level[2] (u)
-        w.f(lv[3], 6)            # loop_filter_level[3] (v)
-    w.f(0, 3)                    # loop_filter_sharpness
-    w.f(0, 1)                    # loop_filter_delta_enabled
-    if sp.enable_cdef:           # cdef_params (spec 5.9.19)
+    # loop_filter_params / cdef_params / lr_params are NOT coded when
+    # allow_intrabc (spec 5.9.11/5.9.19/5.9.20: defaults, filters off)
+    if not fp.allow_intrabc:
+        lv = fp.filter_levels
+        w.f(lv[0], 6)            # loop_filter_level[0]
+        w.f(lv[1], 6)            # loop_filter_level[1]
+        if lv[0] or lv[1]:
+            w.f(lv[2], 6)        # loop_filter_level[2] (u)
+            w.f(lv[3], 6)        # loop_filter_level[3] (v)
+        w.f(0, 3)                # loop_filter_sharpness
+        w.f(0, 1)                # loop_filter_delta_enabled
+    if sp.enable_cdef and not fp.allow_intrabc:  # cdef_params (5.9.19)
         w.f(fp.cdef_damping - 3, 2)
         w.f(fp.cdef_bits, 2)
         for i in range(1 << fp.cdef_bits):
@@ -506,7 +533,7 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
             up_, us = fp.cdef_uv_strengths[i]
             w.f(yp, 4).f(ys, 2)
             w.f(up_, 4).f(us, 2)
-    if sp.enable_restoration:    # lr_params (spec 5.9.20)
+    if sp.enable_restoration and not fp.allow_intrabc:  # lr (5.9.20)
         for p in range(3):
             w.f(fp.lr_types[p], 2)
         uses_lr = any(fp.lr_types)
@@ -658,6 +685,12 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
     if not (is_intra and show_frame):
         assert r.f(1) == 0, "error_resilient_mode"
     disable_cdf_update = bool(r.f(1))
+    allow_sc = False
+    if sp.screen_content:         # seq_force == SELECT
+        allow_sc = bool(r.f(1))
+        if allow_sc:
+            fim = bool(r.f(1))    # force_integer_mv (SELECT)
+            assert fim or not is_intra
     assert r.f(1) == 0  # frame_size_override
     order_hint = r.f(sp.order_hint_bits) if sp.enable_order_hint else 0
     refresh = 0xFF
@@ -682,6 +715,9 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
         interp_filter = 0
         switchable_mm = False
         assert r.f(1) == 0  # render size
+    allow_intrabc = False
+    if is_intra and allow_sc:
+        allow_intrabc = bool(r.f(1))
     if not disable_cdf_update:
         assert r.f(1) == 0  # disable_frame_end_update_cdf
     cols_log2, rows_log2 = _parse_tile_info(r, sp)
@@ -691,16 +727,17 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
     assert r.f(1) == 0  # segmentation
     if base_q_idx > 0:
         assert r.f(1) == 0  # delta_q_present
-    l0, l1 = r.f(6), r.f(6)
-    lu = lv_ = 0
-    if l0 or l1:
-        lu, lv_ = r.f(6), r.f(6)
-    assert r.f(3) == 0  # sharpness
-    assert r.f(1) == 0  # lf delta enabled
+    l0 = l1 = lu = lv_ = 0
+    if not allow_intrabc:
+        l0, l1 = r.f(6), r.f(6)
+        if l0 or l1:
+            lu, lv_ = r.f(6), r.f(6)
+        assert r.f(3) == 0  # sharpness
+        assert r.f(1) == 0  # lf delta enabled
     cdef_damping, cdef_bits = 3, 2
     y_str = [(0, 0)] * 4
     uv_str = [(0, 0)] * 4
-    if sp.enable_cdef:
+    if sp.enable_cdef and not allow_intrabc:
         cdef_damping = r.f(2) + 3
         cdef_bits = r.f(2)
         y_str, uv_str = [], []
@@ -710,7 +747,7 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
     lr_types = (0, 0, 0)
     lr_unit_shift = 0
     lr_uv_shift = 0
-    if sp.enable_restoration:
+    if sp.enable_restoration and not allow_intrabc:
         lr_types = tuple(r.f(2) for _ in range(3))
         if any(lr_types):
             if r.f(1):
@@ -753,7 +790,9 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
                        grain, lr_types, lr_unit_shift, lr_uv_shift,
                        interp_filter, tuple(gm_types), tuple(gm_trans),
                        switchable_motion_mode=switchable_mm,
-                       allow_warped_motion=allow_warped)
+                       allow_warped_motion=allow_warped,
+                       allow_screen_content=allow_sc,
+                       allow_intrabc=allow_intrabc)
 
 
 def tile_starts(sp: SequenceParams, cols_log2: int, rows_log2: int):

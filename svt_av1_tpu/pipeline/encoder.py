@@ -62,7 +62,15 @@ class Encoder:
             enable_cdef=config.enable_cdef, enable_order_hint=self._hier,
             film_grain_present=bool(config.enable_film_grain),
             enable_restoration=config.enable_restoration,
-            enable_warped_motion=config.enable_warped_motion)
+            enable_warped_motion=config.enable_warped_motion,
+            screen_content=bool(config.screen_content_mode))
+        # screen content (intra block copy): hash-ME DV maps are decided
+        # per keyframe ahead of the wavefront (pipeline/ibc.py); mode 2
+        # auto-detects from the first source frame (ref sc detection,
+        # EbPictureDecisionProcess.c:650)
+        self._sc_mode = config.screen_content_mode
+        self._sc_auto = None
+        self._ibc_by_idx: dict = {}
         # warped motion (WARPED_CAUSAL): host post-pass over the P-step
         # outputs (pipeline/warp_pass.py) — derives per-block affine
         # models from the final motion field exactly like the decoder
@@ -265,6 +273,16 @@ class Encoder:
                     np.uint8)
             self._grain = estimate_params(ey)
         if self.cfg.intra_only:
+            if self._sc_active(frame):
+                # screen content: per-frame dispatch (hash-ME DV maps
+                # differ per frame; the batch path has no IBC lane)
+                qindex = self._frame_qindex(True)
+                out, deb, _pl, nbh, nbw = self._intra_dispatch(frame,
+                                                               qindex)
+                self._pending.append(("key", [frame], out, nbh, nbw,
+                                      qindex, deb, None, self._frame_idx))
+                self._frame_idx += 1
+                return
             self._inbox.append(frame)
             if len(self._inbox) >= max(1, self.cfg.device_batch):
                 self._dispatch_inbox()
@@ -322,7 +340,7 @@ class Encoder:
         out, deb, planes, nbh, nbw = self._intra_dispatch(frame, qindex)
         meta = {"display": disp, "show": True,
                 "order_hint": self._hint(disp)}
-        if self.cfg.enable_restoration:
+        if self.cfg.enable_restoration and deb is not None:
             lr, pl, planes = self._lr_from_dev(frame, deb[:3], deb[4:7])
             meta.update(lr=lr, lr_planes=tuple(pl))
         self._store = {disp: {"dev": planes, "slot": 0, "pins": 1}}
@@ -384,7 +402,7 @@ class Encoder:
         if key or getattr(self, "_ldb_last", None) is None:
             out, deb, planes, nbh, nbw = self._intra_dispatch(frame, qindex)
             kmeta = {"display": d, "show": True, "order_hint": 0}
-            if self.cfg.enable_restoration:
+            if self.cfg.enable_restoration and deb is not None:
                 lr, pl, planes = self._lr_from_dev(frame, deb[:3],
                                                    deb[4:7])
                 kmeta.update(lr=lr, lr_planes=tuple(pl))
@@ -618,17 +636,41 @@ class Encoder:
                 out.append(None)
         return out if any(p is not None for p in out) else None
 
+    def _sc_active(self, frame: Frame) -> bool:
+        """Screen-content gate for this stream (mode 1 on; mode 2
+        auto-detected once from the first keyframe's luma)."""
+        if self._sc_mode == 0:
+            return False
+        if self._sc_mode == 1:
+            return True
+        if self._sc_auto is None:
+            from svt_av1_tpu.pipeline import ibc as IBC
+            self._sc_auto = IBC.detect_screen_content(frame.y)
+        return self._sc_auto
+
     def _intra_dispatch(self, frame: Frame, qindex: int):
         """Keyframe device dispatch; returns (out, deb, as-ref planes,
-        nbh, nbw)."""
+        nbh, nbw).  Screen-content keyframes with hash-ME hits become
+        allow_intrabc frames: the IBC maps join the device step, the
+        in-loop filter postproc is skipped (spec: allow_intrabc turns
+        DLF/CDEF/LR off), and the maps are remembered for the packet."""
         import jax.numpy as jnp
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
-        part16 = self._rdo
+        ibc_maps = None
+        if self._sc_active(frame):
+            from svt_av1_tpu.pipeline import ibc as IBC
+            use, dv = IBC.hash_dv_map(frame.y, self.seq.mi_rows,
+                                      self.seq.mi_cols)
+            if use.any():
+                ibc_maps = (use, dv.astype(np.int32))
+                self._ibc_by_idx[self._frame_idx] = ibc_maps
+        part16 = self._rdo and ibc_maps is None
         if self._rc is None:
             out, nbh, nbw = IE.dispatch_frame_device(
                 frame.y, frame.u, frame.v, qindex,
                 self.seq.mi_rows, self.seq.mi_cols,
-                self.cfg.bit_depth, rich=self._txs, part16=part16)
+                self.cfg.bit_depth, rich=self._txs, part16=part16,
+                ibc=ibc_maps)
         else:
             nbh, nbw = ph // 8, pw // 8
             sy = jnp.asarray(IE.block_planes(
@@ -639,13 +681,22 @@ class Encoder:
             sv = jnp.asarray(IE.block_planes(
                 IE.pad_plane(frame.v.astype(self._px), ph // 2, pw // 2),
                 4))
+            extra = ()
+            if ibc_maps is not None:
+                extra = (jnp.asarray(ibc_maps[0]),
+                         jnp.asarray(ibc_maps[1][..., 0]),
+                         jnp.asarray(ibc_maps[1][..., 1]))
             out = IE.build_frame_encoder_dyn(nbh, nbw,
                                              self.cfg.bit_depth,
                                              rich=self._txs,
-                                             part16=part16)(
-                sy, su, sv, jnp.int32(qindex))
+                                             part16=part16,
+                                             ibc=ibc_maps is not None)(
+                sy, su, sv, jnp.int32(qindex), *extra)
         planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
         deb = None
+        if ibc_maps is not None:
+            # allow_intrabc: no in-loop filters; raw recon is the ref
+            return out, None, self._as_ref_planes(*planes), nbh, nbw
         if (self.cfg.enable_deblocking or self.cfg.enable_cdef
                 or self.cfg.enable_restoration):
             from svt_av1_tpu.ops import cdef as CDEF
@@ -719,7 +770,7 @@ class Encoder:
             out, deb, ref_planes, nbh, nbw = self._intra_dispatch(frame,
                                                                   qindex)
             meta = None
-            if self.cfg.enable_restoration:
+            if self.cfg.enable_restoration and deb is not None:
                 lr, pl, ref_planes = self._lr_from_dev(
                     frame, deb[:3], deb[4:7])
                 meta = {"lr": lr, "lr_planes": tuple(pl),
@@ -1283,9 +1334,11 @@ class Encoder:
                      meta=None, coded_idx: int = 0) -> Packet:
         cfg = self.cfg
         fc = FrameContext(qindex)
-        cdef_idx = dev.get("cdef_idx") if cfg.enable_cdef else None
+        ibc = self._ibc_by_idx.pop(coded_idx, None)
+        cdef_idx = (dev.get("cdef_idx")
+                    if cfg.enable_cdef and ibc is None else None)
         lr = None
-        if cfg.enable_restoration:
+        if cfg.enable_restoration and ibc is None:
             if meta is not None and "lr" in meta:
                 lr = meta["lr"]
                 dev = dict(dev)
@@ -1306,7 +1359,8 @@ class Encoder:
         lv16 = (None if dev.get("levels16_y") is None else
                 (dev["levels16_y"], dev["levels16_u"], dev["levels16_v"]))
         tile = None
-        if lr is None and cfg.entropy_backend in ("auto", "cpp"):
+        if lr is None and ibc is None \
+                and cfg.entropy_backend in ("auto", "cpp"):
             from svt_av1_tpu.entropy import backend as native
             if native.available():
                 tile = native.encode_tile_cpp(
@@ -1326,17 +1380,21 @@ class Encoder:
                              angles=dev.get("angles"),
                              uv_modes=dev.get("uv_modes"),
                              cfl=dev.get("cfl"), sizes=sizes,
-                             levels16=lv16)
+                             levels16=lv16, ibc=ibc)
         # intra frames stay single-tile: the wavefront predicts across
         # tile boundaries (tile info is per-frame, so inter frames of the
         # same stream may still tile)
         fp = O.FrameParams(base_q_idx=qindex,
                            tile_cols_log2=0, tile_rows_log2=0,
-                           filter_levels=self._lf_levels(qindex, True),
+                           filter_levels=((0, 0, 0, 0) if ibc is not None
+                                          else self._lf_levels(qindex,
+                                                               True)),
                            order_hint=(0 if meta is None
                                        else meta["order_hint"]),
                            film_grain=self._grain_for(coded_idx),
                            lr_types=_lr_types(lr), lr_uv_shift=1,
+                           allow_screen_content=ibc is not None,
+                           allow_intrabc=ibc is not None,
                            **self._cdef_params(qindex))
         payload = (O.temporal_delimiter()
                    + O.write_sequence_header(self.seq)

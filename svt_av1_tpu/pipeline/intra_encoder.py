@@ -76,7 +76,7 @@ def _encode_plane_batch(src, pred, qindex: int, tx_size: int, bd: int = 8,
 
 
 def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
-               rich: bool = False):
+               rich: bool = False, ibc: bool = False):
     """The (unjitted) full-frame intra encode step for a block grid.
 
     fn(src_y [nbh,nbw,8,8], src_u [nbh,nbw,4,4], src_v)
@@ -89,6 +89,14 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
     (13 base + 48 angle-delta variants) and a 4-way chroma mode pick.
     Exposed unjitted so parallel/ can vmap it over GOP-sharded frame
     batches; use build_frame_encoder for the single-frame jitted form.
+
+    ibc=True (screen content): fn takes three extra args
+    (use8 [nbh,nbw] bool, dv_r, dv_c [nbh,nbw] i32 pixel offsets) —
+    blocks flagged use8 are predicted by COPYING from the evolving
+    recon state at the (host-validated, staircase-causal) displacement
+    instead of the intra mode sweep (spec intra block copy; the
+    reference searches DVs per block in MD, EbModeDecision.c:2301 —
+    here pipeline/ibc.py hash-matches ahead of the device step).
     """
     cands = RICH_MODES if rich else tuple(intra.ALL_MODES)
     mode_ids_np, deltas_np, d203_np = _cand_tables(cands)
@@ -106,7 +114,25 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
     bl_pad = np.zeros((nbh + 1, nbw + 1), bool)
     bl_pad[:nbh, :nbw] = bl_avail_np
 
-    def step(sy, su, sv):
+    def _gather_win(state, pr, pc, n, nrow, ncol):
+        """[B, n, n] windows at per-block pixel positions (pr, pc) from a
+        blocked [nrow+1, ncol+1, n, n] plane state (arbitrary alignment:
+        a window spans up to 4 cells; one advanced-index gather)."""
+        rows = pr[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+        cols = pc[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+        cr = jnp.clip(rows // n, 0, nrow)
+        cc_ = jnp.clip(cols // n, 0, ncol)
+        return state[cr[:, :, None], cc_[:, None, :],
+                     (rows % n)[:, :, None], (cols % n)[:, None, :]]
+
+    def step(sy, su, sv, *ibc_args):
+        if ibc:
+            use8, dv_r, dv_c = ibc_args
+            pad2 = lambda a, fill: jnp.pad(a, ((0, 1), (0, 1)),
+                                           constant_values=fill)
+            use_pad = pad2(use8.astype(bool), False)
+            dvr_pad = pad2(dv_r.astype(jnp.int32), 0)
+            dvc_pad = pad2(dv_c.astype(jnp.int32), 0)
         sy = sy.astype(jnp.int32)
         su = su.astype(jnp.int32)
         sv = sv.astype(jnp.int32)
@@ -160,12 +186,28 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
             best = jnp.argmin(sse, axis=1)
             pred = jnp.take_along_axis(
                 preds, best[:, None, None, None], axis=1)[:, 0]
+            if ibc:
+                # IBC lane: copy the prediction from the evolving recon
+                # at the host-chosen displacement (staircase-causal by
+                # construction, pipeline/ibc.py)
+                use_b = use_pad[rs, cs] & valid
+                pyr = rs * LUMA_BS + dvr_pad[rs, cs]
+                pxc = cs * LUMA_BS + dvc_pad[rs, cs]
+                pyr = jnp.where(use_b, pyr, 0)
+                pxc = jnp.where(use_b, pxc, 0)
+                pred_ibc = _gather_win(ry, pyr, pxc, LUMA_BS, nbh, nbw)
+                pred = jnp.where(use_b[:, None, None], pred_ibc, pred)
             lvls, recon = _encode_plane_batch(src, pred, qindex, T.TX_8X8,
                                               bd)
             ry = ry.at[rs, cs].set(recon)
             ly = ly.at[rs, cs].set(lvls)
-            modes = modes.at[rs, cs].set(jnp.asarray(mode_ids_np)[best])
-            angles = angles.at[rs, cs].set(jnp.asarray(deltas_np)[best])
+            sel_mode = jnp.asarray(mode_ids_np)[best]
+            sel_ang = jnp.asarray(deltas_np)[best]
+            if ibc:
+                sel_mode = jnp.where(use_b, 0, sel_mode)   # DC_PRED
+                sel_ang = jnp.where(use_b, 0, sel_ang)
+            modes = modes.at[rs, cs].set(sel_mode)
+            angles = angles.at[rs, cs].set(sel_ang)
 
             # ---- chroma: joint U+V mode pick over uv_cands (each
             # candidate coded with its DERIVED tx type, UV_TX) ----
@@ -234,19 +276,43 @@ def frame_step(nbh: int, nbw: int, qindex, bd: int = 8,
                 bc = jnp.zeros(rs.shape, jnp.int32)
             uv_ids = (tuple(uv_cands) + (UV_CFL_ID,)) if rich \
                 else tuple(uv_cands)
-            uvm = uvm.at[rs, cs].set(
-                jnp.asarray(np.array(uv_ids, np.int32))[bc])
+            sel_uv = jnp.asarray(np.array(uv_ids, np.int32))[bc]
+            if ibc:
+                sel_uv = jnp.where(use_b, 0, sel_uv)       # UV_DC_PRED
+            uvm = uvm.at[rs, cs].set(sel_uv)
             if rich:
                 is_cfl = bc == len(uv_cands)
+                if ibc:
+                    is_cfl = is_cfl & ~use_b
                 cfl = cfl.at[rs, cs, 0].set(jnp.where(is_cfl, cfl_a[0], 0))
                 cfl = cfl.at[rs, cs, 1].set(jnp.where(is_cfl, cfl_a[1], 0))
             pick = lambda lst: jnp.take_along_axis(
                 jnp.stack(lst, axis=1), bc[:, None, None, None],
                 axis=1)[:, 0]
-            ru = ru.at[rs, cs].set(pick(rec_u))
-            lu = lu.at[rs, cs].set(pick(lvl_u))
-            rv = rv.at[rs, cs].set(pick(rec_v))
-            lv = lv.at[rs, cs].set(pick(lvl_v))
+            ru_sel, lu_sel = pick(rec_u), pick(lvl_u)
+            rv_sel, lv_sel = pick(rec_v), pick(lvl_v)
+            if ibc:
+                # chroma copies at dv/2 (dv even -> integer chroma pel;
+                # never the spec's forced-bilinear subpel path)
+                cyr = rs * CHROMA_BS + dvr_pad[rs, cs] // 2
+                cxc = cs * CHROMA_BS + dvc_pad[rs, cs] // 2
+                cyr = jnp.where(use_b, cyr, 0)
+                cxc = jnp.where(use_b, cxc, 0)
+                pu_ibc = _gather_win(ru, cyr, cxc, CHROMA_BS, nbh, nbw)
+                pv_ibc = _gather_win(rv, cyr, cxc, CHROMA_BS, nbh, nbw)
+                lui, rui = _encode_plane_batch(su[rc, cc], pu_ibc, qindex,
+                                               T.TX_4X4, bd, T.DCT_DCT)
+                lvi, rvi = _encode_plane_batch(sv[rc, cc], pv_ibc, qindex,
+                                               T.TX_4X4, bd, T.DCT_DCT)
+                m3 = use_b[:, None, None]
+                ru_sel = jnp.where(m3, rui, ru_sel)
+                lu_sel = jnp.where(m3, lui, lu_sel)
+                rv_sel = jnp.where(m3, rvi, rv_sel)
+                lv_sel = jnp.where(m3, lvi, lv_sel)
+            ru = ru.at[rs, cs].set(ru_sel)
+            lu = lu.at[rs, cs].set(lu_sel)
+            rv = rv.at[rs, cs].set(rv_sel)
+            lv = lv.at[rs, cs].set(lv_sel)
 
             return ry, ru, rv, modes, angles, uvm, ly, lu, lv, cfl
 
@@ -662,22 +728,30 @@ def frame_step16(nbh: int, nbw: int, qindex, bd: int = 8,
 
 
 @functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=8)
 def build_frame_encoder(nbh: int, nbw: int, qindex: int, bd: int = 8,
-                        rich: bool = False, part16: bool = False):
+                        rich: bool = False, part16: bool = False,
+                        ibc: bool = False):
     """Jit-compiled single-frame encode step (see frame_step)."""
+    if ibc:
+        return jax.jit(frame_step(nbh, nbw, qindex, bd, rich, ibc=True))
     mk = frame_step16 if part16 else frame_step
     return jax.jit(mk(nbh, nbw, qindex, bd, rich))
 
 
 @functools.lru_cache(maxsize=4)
 def build_frame_encoder_dyn(nbh: int, nbw: int, bd: int = 8,
-                            rich: bool = False, part16: bool = False):
-    """Dynamic-q variant: fn(sy, su, sv, qindex) — one compile serves
-    every qindex (rate control changes q per frame)."""
-    mk = frame_step16 if part16 else frame_step
+                            rich: bool = False, part16: bool = False,
+                            ibc: bool = False):
+    """Dynamic-q variant: fn(sy, su, sv, qindex[, use8, dv_r, dv_c]) —
+    one compile serves every qindex (rate control changes q per frame)."""
+    mk = frame_step16 if (part16 and not ibc) else frame_step
 
-    def wrapper(sy, su, sv, qindex):
+    def wrapper(sy, su, sv, qindex, *ibc_args):
         # frame_step closes over qindex; the traced scalar flows through
+        if ibc:
+            return frame_step(nbh, nbw, qindex, bd, rich,
+                              ibc=True)(sy, su, sv, *ibc_args)
         return mk(nbh, nbw, qindex, bd, rich)(sy, su, sv)
 
     return jax.jit(wrapper)
@@ -768,11 +842,12 @@ def pad_plane(plane: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
 def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                           qindex: int, mi_rows: int, mi_cols: int,
                           bd: int = 8, rich: bool = False,
-                          part16: bool = False):
+                          part16: bool = False, ibc=None):
     """Asynchronously dispatch the device encode; returns (jax outputs,
     nbh, nbw).  JAX's async dispatch keeps the device busy while the host
     runs the entropy stage of earlier frames — the TPU equivalent of the
-    reference's pipelined process stages."""
+    reference's pipelined process stages.  ibc: optional (use8, dv) maps
+    from pipeline.ibc.hash_dv_map (screen content)."""
     import jax.numpy as jnp
 
     pw, ph = mi_cols * 4, mi_rows * 4
@@ -780,8 +855,15 @@ def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     sy = block_planes(pad_plane(y, ph, pw), LUMA_BS)
     su = block_planes(pad_plane(u, ph // 2, pw // 2), CHROMA_BS)
     sv = block_planes(pad_plane(v, ph // 2, pw // 2), CHROMA_BS)
-    fn = build_frame_encoder(nbh, nbw, qindex, bd, rich, part16)
-    out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
+    if ibc is not None:
+        use8, dv = ibc
+        fn = build_frame_encoder(nbh, nbw, qindex, bd, rich, ibc=True)
+        out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv),
+                 jnp.asarray(use8), jnp.asarray(dv[..., 0]),
+                 jnp.asarray(dv[..., 1]))
+    else:
+        fn = build_frame_encoder(nbh, nbw, qindex, bd, rich, part16)
+        out = fn(jnp.asarray(sy), jnp.asarray(su), jnp.asarray(sv))
     return out, nbh, nbw
 
 

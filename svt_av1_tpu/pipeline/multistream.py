@@ -38,6 +38,15 @@ class MultiStreamEncoder:
         assert config.pred_structure == 0 and not config.intra_only, \
             "multi-stream batching targets flat low-delay P"
         assert not config.enable_restoration
+        # lockstep constraint: per-frame open-loop host decisions that
+        # would diverge across slots are pinned — no per-frame global
+        # motion, and the interpolation filter is the configured one
+        # (auto resolves to REGULAR) instead of the first-frame content
+        # decision.  Encoder (sequential) makes the same choices when
+        # given this normalized config.
+        config = config.replace(
+            enable_global_motion=False,
+            interp_filter=max(0, config.interp_filter))
         self.n = n_streams
         self.cfg = config
         # optional device mesh: the stream axis shards over 'gop' — jit
@@ -152,7 +161,9 @@ class MultiStreamEncoder:
         step = _batched_p_step(ph32, pw32, seq.mi_rows, seq.mi_cols,
                                cfg.enable_deblocking, cfg.enable_cdef,
                                cfg.bit_depth, rdo=cfg.enc_mode <= 7,
-                               txs=cfg.enc_mode <= 5)
+                               txs=cfg.enc_mode <= 5,
+                               rect=cfg.enc_mode <= 5,
+                               filt=max(0, cfg.interp_filter))
         sy = self._put(np.stack([IE.pad_plane(f.y.astype(px), ph32, pw32)
                                  for f in frames]))
         su = self._put(np.stack([IE.pad_plane(
@@ -193,13 +204,15 @@ import functools
 @functools.lru_cache(maxsize=4)
 def _batched_p_step(ph32: int, pw32: int, mi_rows: int, mi_cols: int,
                     deblock: bool, cdef: bool, bd: int, rdo: bool = True,
-                    txs: bool = False):
+                    txs: bool = False, rect: bool = False,
+                    filt: int = 0):
     """vmapped dynamic-q P step over the stream axis (shared q)."""
     import jax
     import jax.numpy as jnp
     from svt_av1_tpu.ops import deblock as DB
 
-    fn = PE.p_frame_step(ph32, pw32, None, bd=bd, rdo=rdo, txs=txs)
+    fn = PE.p_frame_step(ph32, pw32, None, bd=bd, rdo=rdo, txs=txs,
+                         rect=rect, filt=filt)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
 
     def one(sy, su, sv, ry, ru, rv, q):

@@ -177,11 +177,15 @@ class TileWriter:
     def encode(self, modes: np.ndarray, levels_y: np.ndarray,
                levels_u: np.ndarray, levels_v: np.ndarray,
                cdef_idx=None, angles=None, uv_modes=None,
-               cfl=None, sizes=None, levels16=None) -> bytes:
+               cfl=None, sizes=None, levels16=None, ibc=None) -> bytes:
         """sizes: optional [nbh, nbw] per-8px-cell leaf size (8/16) from
         the multi-size wavefront; levels16: (ly, lu, lv) 16-leaf grids.
         Maps (modes/angles/uv/cfl) are per-cell, replicated across a
-        16 leaf's four cells."""
+        16 leaf's four cells.  ibc: (use8 [nbh,nbw] bool, dv [nbh,nbw,2]
+        int32 pixel offsets) for an allow_intrabc frame — every block
+        then codes use_intrabc, and flagged blocks code a DV instead of
+        mode info (spec intra block copy; ref write_intrabc_info,
+        EbEntropyCoding.c:4827)."""
         tc = self.tc
         self.data = (modes, levels_y, levels_u, levels_v)
         self.angles = angles        # per-block angle delta (None = 0)
@@ -189,6 +193,9 @@ class TileWriter:
         self.cfl = cfl              # [nbh,nbw,2] alphaQ3 (u, v); CFL blocks
         self.sizes = sizes
         self.levels16 = levels16
+        self.ibc = ibc
+        if ibc is not None:
+            self.mi = MVP.MiInter(tc.mi_rows, tc.mi_cols)
         self.inter = False
         self.cdef_idx = cdef_idx
         for r4 in range(0, tc.mi_rows, SB_MI):
@@ -457,6 +464,49 @@ class TileWriter:
         enc.encode_symbol(skip, cdf, 2)
         update_icdf(cdf, skip, 2)
         self._write_cdef(r4, c4, skip)
+
+        if getattr(self, "ibc", None) is not None:
+            # use_intrabc + DV (spec intra block copy; ref
+            # write_intrabc_info EbEntropyCoding.c:4827) — flagged
+            # blocks code a DV against the INTRA_FRAME stack predictor
+            # and skip all intra mode syntax; YMode counts as DC_PRED
+            # for neighbor contexts
+            use8, dv8 = self.ibc
+            use = int(use8[br, bc])
+            cdf = fc.intrabc
+            enc.encode_symbol(use, cdf, 2)
+            update_icdf(cdf, use, 2)
+            if use:
+                mv8 = (int(dv8[br, bc, 0]) * 8, int(dv8[br, bc, 1]) * 8)
+                dv_ref = MVP.dv_ref_for_block(self.mi, r4, c4, n4, n4)
+                S.code_mv(enc, None, fc.dv, dv_ref, mv8,
+                          force_integer=True)
+                tc.set_block(r4, c4, n4, n4, S.block_size_of(n4, n4),
+                             S.DC_PRED, skip)
+                self.mi.set_block(r4, c4, n4, n4, is_inter=True,
+                                  ref_frame=MVP.INTRA_FRAME, mode=0,
+                                  mv=mv8)
+                # residuals: intra-bc blocks parse with the INTER tx-set
+                # semantics (spec: is_inter_block includes use_intrabc)
+                for plane, (lvl, tx_size) in enumerate(
+                        zip(lvls, (self._TX_OF[bs], self._TX_OF_C[bs],
+                                   self._TX_OF_C[bs]))):
+                    pr = r4 >> (plane > 0)
+                    pc = c4 >> (plane > 0)
+                    w4 = n4 >> (plane > 0)
+                    if skip:
+                        self.tc.set_txb(plane, pr, pc, w4, w4, 0)
+                        continue
+                    txb_ctx, dc_ctx = tc.txb_ctx(plane, pr, pc, w4, w4,
+                                                 full_block_tx=True,
+                                                 larger_block=False)
+                    cul = S.write_coeffs_txb(
+                        enc, fc, lvl, tx_size, int(plane > 0), 0,
+                        txb_ctx, dc_ctx, write_tx_type=True,
+                        reduced_tx_set=self.reduced_tx_set,
+                        allow_tx_type=self.qindex > 0, is_inter=True)
+                    tc.set_txb(plane, pr, pc, w4, w4, cul)
+                return
 
         # y mode (keyframe cdf)
         actx, lctx = tc.kf_y_ctx(r4, c4)

@@ -22,6 +22,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite compiles many (geometry, path)
-# variants; cache them across runs/processes
-jax.config.update("jax_compilation_cache_dir", "/tmp/svt_av1_tpu_jax_cache")
+# variants; cache them across runs/processes.  The dir is keyed by the
+# host CPU's feature set: XLA:CPU AOT results from a DIFFERENT machine
+# load with only a warning and then segfault (observed: zstandard
+# put_executable crash + bit-level result drift from avx512-built
+# executables on a non-avx512 host).
+from svt_av1_tpu.utils.cache import jax_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -32,8 +32,14 @@ def _clip(n):
 
 
 def _cfg(**kw):
+    # lockstep-able settings: GOP sharding pins the per-frame open-loop
+    # host decisions (global motion, first-frame interp-filter pick), so
+    # the sequential baseline must run with the same pins for the
+    # bit-identity contract to be meaningful (see MultiStreamEncoder
+    # __init__ normalization)
     return EncoderConfig(width=W, height=H, qp=40, pred_structure=0,
                          scene_change_detection=False, recon_output=True,
+                         enable_global_motion=False, interp_filter=0,
                          **kw)
 
 

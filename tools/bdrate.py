@@ -108,8 +108,10 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    from svt_av1_tpu.utils.cache import jax_cache_dir
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/svt_av1_tpu_jax_cache")
+                      jax_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     w, h = (int(x) for x in args.size.split("x"))

@@ -17,7 +17,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/svt_av1_tpu_jax_cache")
+from svt_av1_tpu.utils.cache import jax_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from svt_av1_tpu.ops import cdef as CD
