@@ -1,14 +1,24 @@
 #!/usr/bin/env python3
-"""Driver benchmark: BASELINE configs 1-3.
+"""Driver benchmark: BASELINE configs 1-5, headline-first and budgeted.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-headline config (config 3: 1080p 8-bit hierarchical-B, compound
-prediction, CDEF + DLF), plus an "extra" object with configs 1-2:
-  1. all-intra 480p 8-bit CQP -> IVF
-  2. low-delay P 720p 8-bit, single reference, flat GOP
+Prints the driver-contract JSON line {"metric", "value", "unit",
+"vs_baseline"} for the headline config (config 3: 1080p 8-bit
+hierarchical-B, compound prediction, CDEF + DLF) **immediately after it
+is measured** — before any other config runs — then runs configs
+1/2/4/5 under explicit wall-clock budgets and re-prints the same line
+enriched with an "extra" object.  Both lines carry identical
+metric/value, so the driver's parse is correct whether it takes the
+first or the last JSON line, and a kill mid-extras still leaves the
+headline on stdout.  A SIGALRM watchdog prints whatever has been
+measured and exits 0 if the total budget is exceeded (round 3 shipped
+rc=124/parsed:null by printing nothing until all configs finished).
+
 vs_baseline is the ratio to a 30 fps real-time floor (the reference's
 VOD/live positioning, README.md:7; the reference repo publishes no
 absolute fps — BASELINE.md "published: none").
+
+`python bench.py --smoke` proves the JSON contract on a tiny config in
+well under 60 s (guarded by tests/test_bench_contract.py).
 
 Runs on whatever backend the environment provides (real TPU under the
 driver; CPU fallback elsewhere).  Measures the full hybrid pipeline:
@@ -19,6 +29,8 @@ excluded via warmup).
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -32,6 +44,9 @@ from svt_av1_tpu.utils.cache import jax_cache_dir
 
 jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# test harnesses force CPU without fighting sitecustomize's axon env
+if os.environ.get("SVT_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SVT_BENCH_PLATFORM"])
 
 
 def synthetic_clip(w: int, h: int, n: int):
@@ -196,29 +211,87 @@ def run_live_4x1080() -> float:
     return S * N / (time.perf_counter() - t0)
 
 
-def main() -> int:
-    fps1 = run_intra_480p()
-    fps2 = run_ldp_720p()
-    fps3 = run_hierb_1080p()
-    extra = {
-        "480p_allintra_cqp_fps": round(fps1, 3),
-        "720p_lowdelayP_fps": round(fps2, 3),
-    }
-    # configs 4-5: heavyweight; a failure or compile blowup must never
-    # cost the headline metric
-    for name, fn in (("4k10_vod_rdo_lr_fps", run_vod_4k10),
-                     ("4x1080p_live_agg_fps", run_live_4x1080)):
+def run_smoke() -> float:
+    """Tiny all-intra config: proves the end-to-end path + JSON contract
+    in seconds (no separate warmup encoder, minimal frames)."""
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.io.yuv import synthetic_frame
+    from svt_av1_tpu.pipeline.encoder import Encoder
+
+    W, H, N = 320, 192, 4
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=40, device_batch=N,
+                                recon_output=False))
+    frames = [synthetic_frame(W, H, seed=i) for i in range(N)]
+    t0 = time.perf_counter()
+    for f in frames:
+        enc.send_picture(f)
+    for _ in frames:
+        enc.get_packet()
+    return N / (time.perf_counter() - t0)
+
+
+HEADLINE = "1080p_hierB_compound_cdef_fps"
+_result: dict = {"metric": HEADLINE, "value": None, "unit": "frames/s",
+                 "vs_baseline": None, "extra": {}}
+
+
+def _emit() -> None:
+    print(json.dumps(_result), flush=True)
+
+
+def _watchdog(signum, frame):  # pragma: no cover - timing dependent
+    _result["extra"]["watchdog"] = "budget exceeded"
+    _emit()
+    os._exit(0)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if "--smoke" in argv:
+        fps = run_smoke()
+        _result["metric"] = "smoke_allintra_fps"
+        _result["value"] = round(fps, 3)
+        _result["vs_baseline"] = round(fps / 30.0, 4)
+        _emit()
+        return 0
+
+    budget = float(os.environ.get("SVT_BENCH_BUDGET_S", "1260"))
+    t_start = time.monotonic()
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(int(budget))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
+
+    # Headline FIRST; a failure falls back to a shorter run so the
+    # driver always records a number for the graded metric.
+    try:
+        fps3 = run_hierb_1080p()
+    except Exception as e:             # pragma: no cover
+        _result["extra"]["headline_error"] = f"{type(e).__name__}: {e}"
+        fps3 = run_smoke() * 0.0       # keep contract: value present
+    _result["value"] = round(fps3, 3)
+    _result["vs_baseline"] = round(fps3 / 30.0, 4)
+    _emit()                            # land the number NOW
+
+    # configs 1-2, then heavyweight 4-5 — each gated on remaining
+    # budget (estimated cost incl. possible cold compiles) and
+    # individually failure-isolated.
+    for name, fn, est in (
+        ("480p_allintra_cqp_fps", run_intra_480p, 120.0),
+        ("720p_lowdelayP_fps", run_ldp_720p, 150.0),
+        ("4k10_vod_rdo_lr_fps", run_vod_4k10, 420.0),
+        ("4x1080p_live_agg_fps", run_live_4x1080, 240.0),
+    ):
+        if remaining() < est:
+            _result["extra"][name] = "skipped: budget"
+            continue
         try:
-            extra[name] = round(fn(), 3)
-        except Exception as e:             # pragma: no cover
-            extra[name] = f"error: {type(e).__name__}"
-    print(json.dumps({
-        "metric": "1080p_hierB_compound_cdef_fps",
-        "value": round(fps3, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps3 / 30.0, 4),
-        "extra": extra,
-    }))
+            _result["extra"][name] = round(fn(), 3)
+        except Exception as e:         # pragma: no cover
+            _result["extra"][name] = f"error: {type(e).__name__}"
+    signal.alarm(0)
+    _emit()                            # enriched line, same metric/value
     return 0
 
 

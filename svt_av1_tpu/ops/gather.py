@@ -126,13 +126,20 @@ def _gather_tiles_mm(plane, base_r, base_c, *, nbh: int, nbw: int,
              - (jnp.arange(nbw, dtype=jnp.int32) + g0)[None, :] * s
              ).reshape(-1)
     ar = jnp.arange(win, dtype=jnp.int32)
+    # compute dtype: 8-bit planes ride bf16 (integers < 2^8 are exact in
+    # bf16, and one-hot contractions accumulate in f32 on the MXU) —
+    # halves the V window traffic, the dominant HBM cost of the inter
+    # step; wider planes (10-bit pixels, int16 CONV_BUF values) use f32
+    cdt = jnp.bfloat16 if plane.dtype.itemsize == 1 else jnp.float32
     S = (rel_r[:, None, None] + jnp.arange(th, dtype=jnp.int32)[None, :, None]
-         == ar[None, None, :]).astype(jnp.float32)     # [N, th, win]
+         == ar[None, None, :]).astype(cdt)             # [N, th, win]
     C = (rel_c[:, None, None] + jnp.arange(tw, dtype=jnp.int32)[None, None, :]
-         == ar[None, :, None]).astype(jnp.float32)     # [N, win, tw]
-    R = jnp.einsum("nrk,nkc->nrc", S, V.astype(jnp.float32),
+         == ar[None, :, None]).astype(cdt)             # [N, win, tw]
+    R = jnp.einsum("nrk,nkc->nrc", S, V.astype(cdt),
                    preferred_element_type=jnp.float32)
-    T = jnp.einsum("nrc,ncm->nrm", R, C,
+    # row-selected values are exact pixels, so the f32 accumulators can
+    # drop back to the compute dtype for the column contraction
+    T = jnp.einsum("nrc,ncm->nrm", R.astype(cdt), C,
                    preferred_element_type=jnp.float32)
     return T.astype(plane.dtype)
 

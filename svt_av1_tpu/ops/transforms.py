@@ -163,11 +163,19 @@ def compiled_stages(key: str, cos_bit: int):
     return out
 
 
+# spec sin_pi table: round(2^bit * sqrt2 * sin(k*pi/9) * 2/3), hand-
+# adjusted per the spec so that sinpi[1] + sinpi[2] == sinpi[4] (the
+# raw rounding breaks that identity at bits 11 and 13; ref
+# av1_sinpi_arr_data, EbTransforms.c:1301-1308)
+_SINPI = {10 + i: np.array(row, np.int64) for i, row in enumerate((
+    (0, 330, 621, 836, 951), (0, 660, 1241, 1672, 1901),
+    (0, 1321, 2482, 3344, 3803), (0, 2642, 4964, 6689, 7606),
+    (0, 5283, 9929, 13377, 15212), (0, 10566, 19858, 26755, 30424),
+    (0, 21133, 39716, 53510, 60849)))}
+
+
 def sinpi_arr(bit: int) -> np.ndarray:
-    """spec sin_pi table: sinpi[k] = round(2^bit * sqrt2 * sin(k*pi/9) * 2/3)."""
-    k = np.arange(5)
-    return np.round((1 << bit) * np.sqrt(2.0) * np.sin(k * np.pi / 9) * 2 / 3
-                    ).astype(np.int64)
+    return _SINPI[bit]
 
 
 # --- golden numpy 1-D engine (int64, bit-exact) ------------------------------

@@ -279,9 +279,8 @@ class Encoder:
                 qindex = self._frame_qindex(True)
                 out, deb, _pl, nbh, nbw = self._intra_dispatch(frame,
                                                                qindex)
-                self._pending.append(("key", [frame], out, nbh, nbw,
-                                      qindex, deb, None, self._frame_idx))
-                self._frame_idx += 1
+                self._enqueue_key(frame, out, deb, None, qindex, nbh,
+                                  nbw)
                 return
             self._inbox.append(frame)
             if len(self._inbox) >= max(1, self.cfg.device_batch):
@@ -346,9 +345,7 @@ class Encoder:
         self._store = {disp: {"dev": planes, "slot": 0, "pins": 1}}
         self._free_slots = list(range(1, 8))
         self._anchor = disp
-        self._pending.append(("key", [frame], out, nbh, nbw, qindex, deb,
-                              meta, self._frame_idx))
-        self._frame_idx += 1
+        self._enqueue_key(frame, out, deb, meta, qindex, nbh, nbw)
 
     def _dispatch_span(self) -> None:
         """Code the buffered span (lo, hi] in dyadic decode order and
@@ -408,18 +405,12 @@ class Encoder:
                 kmeta.update(lr=lr, lr_planes=tuple(pl))
             self._ldb_golden = (planes, 0)      # (dev planes, slot)
             self._ldb_last = (planes, 0)
-            self._pending.append(("key", [frame], out, nbh, nbw, qindex,
-                                  deb, kmeta, self._frame_idx))
-            self._frame_idx += 1
+            self._enqueue_key(frame, out, deb, kmeta, qindex, nbh, nbw)
             return
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
         ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
-        sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px), ph32, pw32))
-        su = jnp.asarray(IE.pad_plane(frame.u.astype(self._px),
-                                      ph32 // 2, pw32 // 2))
-        sv = jnp.asarray(IE.pad_plane(frame.v.astype(self._px),
-                                      ph32 // 2, pw32 // 2))
+        sy, su, sv = self._upload_src(frame)
         lvls = self._lf_levels(qindex, False)
         fn = PE.build_b_frame_encoder_dyn(
             ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
@@ -470,11 +461,7 @@ class Encoder:
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
         ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
-        sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px), ph32, pw32))
-        su = jnp.asarray(IE.pad_plane(frame.u.astype(self._px),
-                                      ph32 // 2, pw32 // 2))
-        sv = jnp.asarray(IE.pad_plane(frame.v.astype(self._px),
-                                      ph32 // 2, pw32 // 2))
+        sy, su, sv = self._upload_src(frame)
         fwd = self._store[step.fwd]
         lvls = self._lf_levels(qindex, False)
         dyn = (jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
@@ -578,6 +565,24 @@ class Encoder:
     @property
     def _px(self):
         return np.uint8 if self.cfg.bit_depth == 8 else np.uint16
+
+    def _upload_src(self, frame: Frame):
+        """One host->device transfer for a frame's three planes.
+
+        The tunneled link charges per-transfer overhead on top of
+        ~40 MB/s, so the planes ride ONE concatenated byte buffer; a
+        trivial jitted splitter (execute ops are ~1 ms) restores the
+        plane views device-side."""
+        import jax
+        ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
+        ph32, pw32 = -(-ph // 64) * 64, -(-pw // 64) * 64
+        px = self._px
+        y = IE.pad_plane(frame.y.astype(px), ph32, pw32)
+        u = IE.pad_plane(frame.u.astype(px), ph32 // 2, pw32 // 2)
+        v = IE.pad_plane(frame.v.astype(px), ph32 // 2, pw32 // 2)
+        buf = np.concatenate([y.reshape(-1), u.reshape(-1), v.reshape(-1)])
+        return _split_planes(ph32, pw32, np.dtype(px).name)(
+            jax.device_put(buf))
 
     def _as_ref_planes(self, y, u, v):
         """Edge-pad recon planes to the 32-padded inter geometry (the
@@ -781,16 +786,9 @@ class Encoder:
                 self._set_ref_host(ref_planes)
             if self._gm_enab:
                 self._gm_prev_src = frame.y
-            self._pending.append(("key", [frame], out, nbh, nbw, qindex,
-                                  deb, meta, self._frame_idx))
-            self._frame_idx += 1
+            self._enqueue_key(frame, out, deb, meta, qindex, nbh, nbw)
         else:
-            sy = jnp.asarray(IE.pad_plane(frame.y.astype(self._px),
-                                          ph32, pw32))
-            su = jnp.asarray(IE.pad_plane(
-                frame.u.astype(self._px), ph32 // 2, pw32 // 2))
-            sv = jnp.asarray(IE.pad_plane(
-                frame.v.astype(self._px), ph32 // 2, pw32 // 2))
+            sy, su, sv = self._upload_src(frame)
             gmv = None
             if self._gm_enab and self._gm_prev_src is not None:
                 from svt_av1_tpu.pipeline.analysis import (
@@ -969,6 +967,59 @@ class Encoder:
                               np.asarray(hv))}
         self._enqueue_p(frame, None, lay, qindex, meta, arrs=arrs)
 
+    def _enqueue_key(self, frame: Frame, out, deb, meta, qindex: int,
+                     nbh: int, nbw: int) -> None:
+        """Submit a keyframe's fetch + entropy to the host pool (like
+        _enqueue_p): the 1080p keyframe costs ~1.5 s of wavefront device
+        time + a multi-MB fetch + host entropy — on the main thread it
+        stalled the whole decode-order queue behind it."""
+        idx = self._frame_idx
+        self._frame_idx += 1
+        fut = self._ec_pool.submit(self._key_packet_job, frame, out, deb,
+                                   meta, qindex, nbh, nbw, idx)
+        self._pending.append(("pf", fut, meta, idx))
+
+    def _key_packet_job(self, frame, out, deb, meta, qindex, nbh, nbw,
+                        base_idx) -> Packet:
+        with self._tracer.span("entropy+packetize", base_idx):
+            import jax
+            # packed single-transfer fetch; recon planes are skipped
+            # when the in-loop-filter postproc (deb) supersedes them or
+            # nobody wants recon back — on the ~40 MB/s tunnel the 3 MB
+            # planes and the extra RTTs are real time
+            skip = (set(range(4, 7))
+                    if (deb is not None or not self._need_recon())
+                    else set())
+            idxs = tuple(i for i in range(len(out)) if i not in skip)
+            entries = tuple((i, tuple(out[i].shape),
+                             np.dtype(out[i].dtype).name, "")
+                            for i in idxs)
+            buf = np.asarray(jax.device_get(
+                _fetch_packer(entries)(*[out[i] for i in idxs])))
+            arrs, off = {}, 0
+            for i, shp, dt, _tag in entries:
+                cnt_ = int(np.prod(shp))
+                arrs[i] = np.frombuffer(
+                    buf, np.dtype(dt), cnt_, off).reshape(shp)
+                off += cnt_ * np.dtype(dt).itemsize
+            dev = IE.materialize_frame(out, nbh, nbw, arrs=arrs)
+            if deb is not None:
+                lr_here = (self.cfg.enable_restoration
+                           and (meta is None or "lr" not in meta))
+                if self._need_recon() or lr_here:
+                    f = jax.device_get(list(deb))
+                    planes = [np.asarray(a) for a in f[:3]]
+                    idx = np.asarray(f[3]) if len(f) > 3 else None
+                    dev["recon_y"], dev["recon_u"], dev["recon_v"] = planes
+                    if len(f) > 6:
+                        (dev["deb_y"], dev["deb_u"],
+                         dev["deb_v"]) = [np.asarray(a) for a in f[4:7]]
+                else:
+                    idx = (np.asarray(jax.device_get(deb[3]))
+                           if len(deb) > 3 else None)
+                dev["cdef_idx"] = None if idx is None else idx
+            return self._make_packet(frame, dev, qindex, meta, base_idx)
+
     def _finish_one(self) -> None:
         with self._tracer.span("collect", None):
             self._finish_one_inner()
@@ -1000,11 +1051,10 @@ class Encoder:
         meta = entry[7] if len(entry) > 7 else None
         base_idx = entry[8]
         with self._tracer.span("entropy+packetize", base_idx):
-            if kind == "key":
-                devs = [IE.materialize_frame(out, nbh, nbw)]
-            else:
-                devs = IE.materialize_batch(out, nbh, nbw,
-                                            with_recon=self._need_recon())
+            # keyframes go through _enqueue_key/_key_packet_job; only
+            # the intra-only "batch" kind lands here
+            devs = IE.materialize_batch(out, nbh, nbw,
+                                        with_recon=self._need_recon())
             if deb is not None:
                 # recon/output planes are the post-filter frames; only
                 # the (tiny) cdef index map is needed when the caller
@@ -1025,8 +1075,7 @@ class Encoder:
                     idx = (np.asarray(jax.device_get(deb[3]))
                            if len(deb) > 3 else None)
                 for i, d in enumerate(devs):
-                    sel = (lambda a: a) if kind == "key" else \
-                        (lambda a, i=i: a[i])
+                    sel = lambda a, i=i: a[i]
                     if planes is not None:
                         d["recon_y"] = sel(planes[0])
                         d["recon_u"] = sel(planes[1])
@@ -1081,12 +1130,18 @@ class Encoder:
         if lv8:
             skip |= {lay[n] for n in ("ly", "lu", "lv",
                                       "ly8", "lu8", "lv8")}
-            # sparse rows included in the packed fetch: a quarter of
-            # capacity covers typical mostly-skip inter frames; denser
-            # frames fall back to a second fetch below
+            # sparse rows included in the packed fetch: sized from an
+            # EMA of recent nonzero-cell counts (the link is ~40 MB/s,
+            # so every wasted row costs real time); denser frames fall
+            # back to a second fetch below
             cap = PE.sparse_capacity(
                 int(np.prod(out[lay["lflags"]].shape)))
-            sparse_rows = max(256, cap // 4)
+            # ONE size per geometry (n_cells/16, i.e. ~6% nonzero cells
+            # at 1080p): the packer is jitted per shape and a mid-run
+            # shape change would recompile through the slow remote
+            # compiler; the dense fallback below covers overflow
+            n_cells = int(np.prod(out[lay["lflags"]].shape))
+            sparse_rows = min(cap, max(512, n_cells // 16))
         for n in ("deb_y", "deb_u", "deb_v"):   # consumed at dispatch
             skip.add(lay.get(n))
         idxs = tuple(i for i in range(len(out)) if i not in skip)
@@ -1518,6 +1573,22 @@ def _unblock_dev(blocks):
 
 
 import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _split_planes(ph32: int, pw32: int, dtype_name: str):
+    """Jitted splitter for _upload_src's one-buffer frame transfer."""
+    import jax
+    ny = ph32 * pw32
+    nc = ny // 4
+
+    @jax.jit
+    def split(buf):
+        return (buf[:ny].reshape(ph32, pw32),
+                buf[ny : ny + nc].reshape(ph32 // 2, pw32 // 2),
+                buf[ny + nc :].reshape(ph32 // 2, pw32 // 2))
+
+    return split
 
 
 @functools.lru_cache(maxsize=64)

@@ -147,7 +147,8 @@ def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
 
 
 def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
-                         lam, prior8, bd: int = 8, filt: int = 0):
+                         lam, prior8, bd: int = 8, filt: int = 0,
+                         lat_reach: int = 6):
     """Dense quarter-pel refinement around full-pel MVs — ONE patch
     gather per block, then every candidate is a static slice.
 
@@ -177,7 +178,7 @@ def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
     # axis rides the 128-wide vector lanes
     patch = G.gather_blocks_grid(ref_pad, mv_fp[..., 0], mv_fp[..., 1],
                                  bs, pad, pad - 1, halo=8, off=-4)
-    patch = jnp.transpose(patch, (1, 2, 0))          # [ext, ext, N]
+    patch = jnp.transpose(patch, (1, 2, 0)).astype(jnp.int32)  # [ext,ext,N]
 
     def hconv(p, ker):                               # -> [:, bs+1, N]
         out = None
@@ -197,36 +198,41 @@ def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
     offset0 = 1 << (bd + 6)                          # 1 << (bd+FILTER_BITS-1)
     offset_bits = bd + 11                            # bd + 2*7 - 3
     sub = (1 << (bd - 1)) + (1 << (bd - 2))
-    # pixel-domain phase grid P[py][px]: [bs+1, bs+1, N] each
+    # pixel-domain phase grid P[py][px]: [bs+1, bs+1, N] each, stored
+    # int16 (clipped pixels; halves the 16-plane HBM footprint that the
+    # 49-candidate loop re-reads)
+    i16 = lambda x: x.astype(jnp.int16)
     P = [[None] * 4 for _ in range(4)]
-    P[0][0] = patch[3 : 4 + bs, 3 : 4 + bs, :]
+    P[0][0] = i16(patch[3 : 4 + bs, 3 : 4 + bs, :])
     im = {}
     for pxi, px in enumerate((4, 8, 12)):
         # x-only (av1_convolve_x_sr_c rounding)
-        P[0][pxi + 1] = jnp.clip(
-            rs(rs(hconv(patch[3 : 4 + bs, :, :], kern[px]), 3), 4), 0, hi)
+        P[0][pxi + 1] = i16(jnp.clip(
+            rs(rs(hconv(patch[3 : 4 + bs, :, :], kern[px]), 3), 4), 0, hi))
         im[px] = rs(hconv(patch, kern[px]) + offset0, 3)
     for pyi, py in enumerate((4, 8, 12)):
         # y-only (av1_convolve_y_sr_c rounding)
-        P[pyi + 1][0] = jnp.clip(
-            rs(vconv(patch[:, 3 : 4 + bs, :], kern[py]), 7), 0, hi)
+        P[pyi + 1][0] = i16(jnp.clip(
+            rs(vconv(patch[:, 3 : 4 + bs, :], kern[py]), 7), 0, hi))
         for pxi, px in enumerate((4, 8, 12)):
             # 2-D (av1_convolve_2d_sr_c rounding)
-            P[pyi + 1][pxi + 1] = jnp.clip(
+            P[pyi + 1][pxi + 1] = i16(jnp.clip(
                 rs(vconv(im[px], kern[py]) + (1 << offset_bits), 11) - sub,
-                0, hi)
+                0, hi))
 
-    src = jnp.transpose(src_blocks.reshape(-1, bs, bs), (1, 2, 0))
+    src = i16(jnp.transpose(src_blocks.reshape(-1, bs, bs), (1, 2, 0)))
     best_cost = None
     best_mv = None
-    for dy in range(-6, 7, 2):
+    for dy in range(-lat_reach, lat_reach + 1, 2):
         pyi = ((2 * dy) & 15) >> 2
         fy = dy >> 3
-        for dx in range(-6, 7, 2):
+        for dx in range(-lat_reach, lat_reach + 1, 2):
             pxi = ((2 * dx) & 15) >> 2
             fx = dx >> 3
             pred = P[pyi][pxi][fy + 1 : fy + 1 + bs, fx + 1 : fx + 1 + bs, :]
-            sad = jnp.abs(src - pred).sum((0, 1)).reshape(nbh, nbw)
+            # int16 |diff| (<= 2^bd), accumulate int32 (bs=32: 1024 terms)
+            sad = jnp.abs(src - pred).sum((0, 1), dtype=jnp.int32
+                                          ).reshape(nbh, nbw)
             mv8c = mv_fp * 8 + jnp.array([dy, dx], jnp.int32)
             cost = sad + ((lam * ME.mv_rate_bits(mv8c - prior8)) >> 4)
             if best_cost is None:
@@ -239,7 +245,7 @@ def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
 
 
 def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool,
-                  filt: int = 0):
+                  filt: int = 0, both: bool = False):
     """Per-block subpel interpolation on gathered patches.
 
     patch: [N, bs+7, bs+7] int32 full-pel windows (top-left at position
@@ -258,7 +264,7 @@ def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool,
                          == jnp.arange(16)[None]).astype(jnp.int32)
     kx = onehot(ph_c) @ table                            # [N, 8]
     ky = onehot(ph_r) @ table
-    p = jnp.transpose(patch, (1, 2, 0))                  # [bs+7, bs+7, N]
+    p = jnp.transpose(patch, (1, 2, 0)).astype(jnp.int32)  # [bs+7, bs+7, N]
     rs = lambda x, n: (x + (1 << (n - 1))) >> n
     hi = (1 << bd) - 1
     offset0 = 1 << (bd + 6)
@@ -280,12 +286,18 @@ def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool,
 
     hc = hconv(p)                                        # [bs+7, bs, N]
     im = rs(hc + offset0, 3)
-    twod = vconv(im)
-    if jnt:
-        out = rs(twod + (1 << ob), 7)
-        return jnp.transpose(out, (2, 0, 1)).reshape(nbh, nbw, bs, bs)
+    twod_acc = vconv(im)
+    fin = lambda x: jnp.transpose(x, (2, 0, 1)).reshape(nbh, nbw, bs, bs)
+    jnt_out = None
+    if jnt or both:
+        # CONV_BUF-domain output (compound averaging); shares hc/im/twod
+        # with the regular path when both are wanted (one conv, two
+        # finishes — the convs dominate)
+        jnt_out = fin(rs(twod_acc + (1 << ob), 7))
+        if not both:
+            return jnt_out
     sub = (1 << (bd - 1)) + (1 << (bd - 2))
-    twod = jnp.clip(rs(twod + (1 << ob), 11) - sub, 0, hi)
+    twod = jnp.clip(rs(twod_acc + (1 << ob), 11) - sub, 0, hi)
     x_only = jnp.clip(rs(rs(hc[3 : 3 + bs], 3), 4), 0, hi)
     y_only = jnp.clip(rs(vconv(p[:, 3 : 3 + bs, :]), 7), 0, hi)
     copy = p[3 : 3 + bs, 3 : 3 + bs, :]
@@ -294,15 +306,12 @@ def _interp_patch(patch, ph_r, ph_c, bs: int, bd: int, jnt: bool,
     out = jnp.where(phx0 & phy0, copy,
                     jnp.where(phy0, x_only,
                               jnp.where(phx0, y_only, twod)))
-    return jnp.transpose(out, (2, 0, 1)).reshape(nbh, nbw, bs, bs)
+    return (fin(out), jnt_out) if both else fin(out)
 
 
-def _mc_patch(plane_pad, mv8, bs: int, pad: int, chroma: bool, bd: int,
-              jnt: bool = False, filt: int = 0):
-    """Subpel MC via one grid-anchored patch gather + on-patch interp
-    (replaces whole-plane phase banks + per-block bank gathers: XLA's
-    per-slice gather ran at ~3.7 us/slice; ops.gather's one-hot-matmul
-    tile gather is ~35x faster)."""
+def _gather_mc_patch(plane_pad, mv8, bs: int, pad: int, chroma: bool):
+    """One grid-anchored patch gather for subpel MC; returns
+    (patch [N, bs+7, bs+7], ph_r, ph_c)."""
     if chroma:
         f_r, f_c = mv8[..., 0] >> 4, mv8[..., 1] >> 4
         ph_r, ph_c = mv8[..., 0] & 15, mv8[..., 1] & 15
@@ -311,6 +320,16 @@ def _mc_patch(plane_pad, mv8, bs: int, pad: int, chroma: bool, bd: int,
         ph_r, ph_c = (mv8[..., 0] * 2) & 15, (mv8[..., 1] * 2) & 15
     patch = G.gather_blocks_grid(plane_pad, f_r, f_c, bs, pad, pad,
                                  halo=7, off=-3)
+    return patch, ph_r, ph_c
+
+
+def _mc_patch(plane_pad, mv8, bs: int, pad: int, chroma: bool, bd: int,
+              jnt: bool = False, filt: int = 0):
+    """Subpel MC via one grid-anchored patch gather + on-patch interp
+    (replaces whole-plane phase banks + per-block bank gathers: XLA's
+    per-slice gather ran at ~3.7 us/slice; ops.gather's one-hot-matmul
+    tile gather is ~35x faster)."""
+    patch, ph_r, ph_c = _gather_mc_patch(plane_pad, mv8, bs, pad, chroma)
     return _interp_patch(patch, ph_r, ph_c, bs, bd, jnt, filt)
 
 
@@ -406,16 +425,19 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         su = su.astype(jnp.int32)
         sv = sv.astype(jnp.int32)
         cpad = pad // 2 + 1
+        # padded full-pel planes stay in the NATIVE pixel dtype (uint8 /
+        # uint16): every consumer is a patch gather (bf16 one-hot path
+        # for 8-bit) or an int16 SAD sweep — the step is HBM-bound
+        # (~133 GB/frame measured at 1080p before narrowing), so plane
+        # bytes are the scarce resource, not ALU width
         padded = []   # full-pel padded planes (all MC is patch-gathered)
         for i in range(nrefs):
-            py_ = MC.pad_for_filter(jnp, refs[3 * i].astype(jnp.int32), pad)
-            pu_ = MC.pad_for_filter(jnp, refs[3 * i + 1].astype(jnp.int32),
-                                    cpad)
-            pv_ = MC.pad_for_filter(jnp, refs[3 * i + 2].astype(jnp.int32),
-                                    cpad)
+            py_ = MC.pad_for_filter(jnp, refs[3 * i], pad)
+            pu_ = MC.pad_for_filter(jnp, refs[3 * i + 1], cpad)
+            pv_ = MC.pad_for_filter(jnp, refs[3 * i + 2], cpad)
             padded.append((py_, pu_, pv_))
 
-        def me_one_ref(ry_i, py_pad_i):
+        def me_one_ref(ry_i, py_pad_i, centers_hint=None):
             # hierarchical full-pel ME: quarter-res center search, then a
             # +-r2 multi-size sweep on a center-warped reference (10x
             # fewer offsets than exhaustive; ref HME levels 0-2).  The
@@ -425,7 +447,9 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             # search areas, signal_derivation_me_kernel_oq)
             r2 = 4 if rdo else 3
             ref_pad = jnp.pad(ry_i, search, mode="edge")
-            centers = ME.hme_centers(sy, ry_i, search_reach=search - r2)
+            centers = (centers_hint if centers_hint is not None
+                       else ME.hme_centers(sy, ry_i,
+                                           search_reach=search - r2))
             warped = ME.warp_by_centers(ref_pad, centers, 32, search)
             # ONE image-diff sweep; both selections (unbiased winners ->
             # MVP priors, then rate-biased winners) are reductions over
@@ -438,10 +462,15 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             for bs in SIZES:
                 # dense quarter-pel refine against the TRUE reference;
                 # its d=0 candidate re-scores the warped-sweep winner
-                # (the warped cost is approximate near tile seams)
+                # (the warped cost is approximate near tile seams).
+                # Speed preset: +-0.5-pel lattice (25 candidates) — the
+                # full-pel stage pins the integer part, so +-6/8 mostly
+                # re-derives it (ref narrows subpel search by preset the
+                # same way, signal_derivation_me_kernel_oq)
                 mv_i[bs], cost_i[bs] = _subpel_refine_dense(
                     _block(sy, bs), py_pad_i, p2[bs][0], bs, pad, lam,
-                    priors[bs] * 8, bd, filt)
+                    priors[bs] * 8, bd, filt,
+                    lat_reach=6 if rdo else 4)
             priors[64] = priors[32][::2, ::2]
             return mv_i, cost_i, priors
 
@@ -468,8 +497,19 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                         best_cost = jnp.minimum(c, best_cost)
             return best_mv, best_cost
 
-        per_ref = [me_one_ref(refs[3 * i].astype(jnp.int32), padded[i][0])
-                   for i in range(nrefs)]
+        r2_ = 4 if rdo else 3
+        centers0 = ME.hme_centers(sy, refs[0].astype(jnp.int32),
+                                  search_reach=search - r2_)
+        per_ref = [me_one_ref(refs[0], padded[0][0], centers0)]
+        for i in range(1, nrefs):
+            # speed preset: seed the second ref's HME from the mirrored
+            # fwd centers (hier-B refs sit symmetrically around the
+            # source, so the fields are opposite to first order; the
+            # +-r2 lattice + subpel recover the residual) instead of a
+            # second quarter-res full search
+            hint = (jnp.clip(-centers0, -(search - r2_), search - r2_)
+                    if not rdo else None)
+            per_ref.append(me_one_ref(refs[3 * i], padded[i][0], hint))
         mv, cost = per_ref[0][:2]
         if gm and nrefs == 1:
             # GLOBALMV candidate: prediction at the frame's global
@@ -504,9 +544,12 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 mv_sel_single = jnp.where(sel[..., None].astype(bool),
                                           mv1[bs], mv[bs])
                 cost_single = jnp.minimum(cost1[bs], cost[bs])
-                if compound:
+                if compound and (rdo or bs >= 16):
                     # COMPOUND_AVERAGE candidate from the per-ref best
-                    # MVs (ref per-ref ME + BI candidate injection)
+                    # MVs (ref per-ref ME + BI candidate injection).
+                    # Speed preset skips the 8x8 level: smallest blocks
+                    # rarely pick compound and their patch gathers are
+                    # the most expensive of the sweep
                     mid0 = _mc_patch(padded[0][0], mv[bs], bs, pad,
                                      False, bd, jnt=True, filt=filt)
                     mid1 = _mc_patch(padded[1][0], mv1[bs], bs, pad,
@@ -528,19 +571,29 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                     refsel[bs] = sel
                     mv[bs] = mv_sel_single
                     cost[bs] = cost_single
+                    if compound:
+                        # compound skipped at this size (speed preset):
+                        # keep a well-formed second-MV field — no cell
+                        # selects 2 here, so it is never coded
+                        mv_c[bs] = mv1[bs]
 
         # --- per-size MC + residual coding + RD costs (rdo path) ---------
         def mc_one(plane_idx, chroma, bs2, pad2, mvs, mvs_c, sel):
-            p0 = _mc_patch(padded[0][plane_idx], mvs, bs2, pad2, chroma,
-                           bd, filt=filt)
+            # compound reuses ref0's patch gather AND its convolution
+            # core (both=True): regular + CONV_BUF outputs from one pass
+            pt0, r0, c0 = _gather_mc_patch(padded[0][plane_idx], mvs,
+                                           bs2, pad2, chroma)
+            if nrefs == 2 and compound:
+                p0, m0 = _interp_patch(pt0, r0, c0, bs2, bd, False, filt,
+                                       both=True)
+            else:
+                p0 = _interp_patch(pt0, r0, c0, bs2, bd, False, filt)
             if nrefs == 1:
                 return p0
             p1 = _mc_patch(padded[1][plane_idx], mvs, bs2, pad2, chroma,
                            bd, filt=filt)
             out = jnp.where((sel == 1)[..., None, None], p1, p0)
             if compound:
-                m0 = _mc_patch(padded[0][plane_idx], mvs, bs2, pad2,
-                               chroma, bd, jnt=True, filt=filt)
                 m1 = _mc_patch(padded[1][plane_idx], mvs_c, bs2, pad2,
                                chroma, bd, jnt=True, filt=filt)
                 pc = MC.jnt_average(jnp, m0, m1, bd)

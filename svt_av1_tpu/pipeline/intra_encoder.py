@@ -867,21 +867,24 @@ def dispatch_frame_device(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return out, nbh, nbw
 
 
-def materialize_frame(out, nbh: int, nbw: int):
-    # one batched fetch: the tunneled link pays ~30 ms RTT per transfer
-    arrs = [np.asarray(a) for a in jax.device_get(list(out))]
-    modes, ly, lu, lv, ry, ru, rv = arrs[:7]
+def materialize_frame(out, nbh: int, nbw: int, arrs=None):
+    """out tuple -> host dict.  arrs: optional prefetched {index: np
+    array} (the encoder's packed single-transfer fetch); indices absent
+    from it materialize as None (e.g. recon when the in-loop-filtered
+    planes supersede it)."""
+    if arrs is None:
+        # one batched fetch: the tunneled link pays RTT per transfer
+        arrs = {i: np.asarray(a)
+                for i, a in enumerate(jax.device_get(list(out)))}
+    g = arrs.get
+    ub = lambda a: None if a is None else unblock_planes(a)
     return {
-        "modes": modes, "levels_y": ly, "levels_u": lu, "levels_v": lv,
-        "recon_y": unblock_planes(ry), "recon_u": unblock_planes(ru),
-        "recon_v": unblock_planes(rv),
-        "angles": arrs[7] if len(arrs) > 7 else None,
-        "uv_modes": arrs[8] if len(arrs) > 8 else None,
-        "cfl": arrs[9] if len(arrs) > 9 else None,
-        "sizes": arrs[10] if len(arrs) > 10 else None,
-        "levels16_y": arrs[11] if len(arrs) > 11 else None,
-        "levels16_u": arrs[12] if len(arrs) > 12 else None,
-        "levels16_v": arrs[13] if len(arrs) > 13 else None,
+        "modes": g(0), "levels_y": g(1), "levels_u": g(2),
+        "levels_v": g(3),
+        "recon_y": ub(g(4)), "recon_u": ub(g(5)), "recon_v": ub(g(6)),
+        "angles": g(7), "uv_modes": g(8), "cfl": g(9),
+        "sizes": g(10), "levels16_y": g(11), "levels16_u": g(12),
+        "levels16_v": g(13),
         "nbh": nbh, "nbw": nbw,
     }
 

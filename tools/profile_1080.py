@@ -69,7 +69,8 @@ def main():
     # 2. device step chained (B step, compound): feed output recon back
     fnB = PE.build_b_frame_encoder_dyn(
         ph32, pw32, seq.mi_rows, seq.mi_cols, cdef=True, compound=True,
-        bd=8, rdo=True, txs=False, filt=0, lr=False, rect=False)
+        bd=8, rdo=enc._rdo, txs=enc._txs, filt=0, lr=False,
+        rect=enc._rect)
     refs = enc._store[max(enc._store)]["dev"] if enc._store else None
     sy, su, sv = ups[0]
     lvls = enc._lf_levels(100, False)
