@@ -84,6 +84,12 @@ class EncoderConfig:
     enable_global_motion: bool = True
     compound_mode: int = 1            # 0 off, 1 COMPOUND_AVERAGE in
                                       # hier-B (ref compound_level)
+    # multi-reference prediction (hier-B): interior frames add the
+    # mini-GOP base as a third single-prediction ref (LAST + BWDREF +
+    # ALTREF; ref Av1GenerateRpsInfo 4-slot lists,
+    # EbPictureDecisionProcess.c:1094).  -1 auto: on for enc_mode <= 7,
+    # off at preset 8 (one extra ME pipeline per frame); 0/1 force.
+    multi_ref: int = -1
     disable_cdf_update: bool = False  # keep per-symbol CDF adaptation on
 
     # --- TPU build specific ---

@@ -82,6 +82,10 @@ class Encoder:
         from svt_av1_tpu.utils.trace import global_tracer
         self._tracer = global_tracer()   # SVT_TRACE=<path> enables
         self._rdo = config.enc_mode <= 7
+        # multi-reference prediction (3-slot ref lists on hier-B
+        # interior frames; config.multi_ref, -1 = preset auto)
+        self._mrp = (bool(config.multi_ref) if config.multi_ref >= 0
+                     else config.enc_mode <= 7)
         # presets <= 5 additionally search the inter tx-type set
         self._txs = config.enc_mode <= 5
         # presets <= 5 add rectangular partitions (PARTITION_HORZ/VERT
@@ -144,12 +148,20 @@ class Encoder:
         self._rc = None
         if config.rate_control_mode != 0:
             from svt_av1_tpu.pipeline.rate_control import (
-                ModelRateController, RateController)
+                GopRateController, ModelRateController, RateController)
             fps = config.frame_rate_num / max(config.frame_rate_den, 1)
             if config.rate_control_mode == 1:
                 self._rc = ModelRateController(
                     config.target_bit_rate, fps, config.min_qp_allowed,
                     config.max_qp_allowed)
+            elif self._hier:
+                # hier-B VBR/CVBR: whole-mini-GOP planning with
+                # per-layer bit models (RC v2; ref per-GOP parallel RC
+                # state, EbRateControlProcess.c:3895-3901)
+                self._rc = GopRateController(
+                    config.target_bit_rate, fps, config.min_qp_allowed,
+                    config.max_qp_allowed,
+                    constrained=config.rate_control_mode == 3)
             else:
                 self._rc = RateController(
                     config.target_bit_rate, fps, config.min_qp_allowed,
@@ -359,6 +371,29 @@ class Encoder:
         frames = dict(self._buf)
         self._buf = []
         steps = plan_minigop(lo, hi)
+        if self._rc is not None:
+            # absorb feedback from already-finished packets before
+            # planning (burst senders outrun the entropy stage; ref RC
+            # consumes whatever feedback tasks have arrived)
+            while self._pending:
+                e = self._pending[0]
+                if e[0] == "se" or (e[0] == "pf" and e[1].done()):
+                    self._finish_one()
+                else:
+                    break
+        if self._rc is not None and hasattr(self._rc, "plan_span"):
+            # RC v2: hand the span's layers + lookahead complexities
+            # (consecutive-source MADs over the buffered mini-GOP — the
+            # buffer IS the lookahead window) to the GOP planner
+            layers = [s.layer for s in steps if isinstance(s, CodeStep)]
+            mads, prev = [], None
+            for d in sorted(frames):
+                y = frames[d].y
+                if prev is not None:
+                    mads.append(float(np.mean(np.abs(
+                        y.astype(np.int16) - prev.astype(np.int16)))))
+                prev = y
+            self._rc.plan_span(layers, mads)
         pins = plan_pins(steps, lo)
         pins[hi] = pins.get(hi, 0) + 1     # hi becomes the next anchor
         pending_pins = {}
@@ -375,7 +410,8 @@ class Encoder:
                 q = max(1, min(255,
                                q + self._aq_offset(frames[step.disp])))
                 self._dispatch_code(step, frames[step.disp], q,
-                                    pending_pins.pop(step.disp, 0))
+                                    pending_pins.pop(step.disp, 0),
+                                    alt=hi)
                 self._unpin(step.fwd)
                 if step.bwd is not None:
                     self._unpin(step.bwd)
@@ -454,9 +490,14 @@ class Encoder:
         return self._interp_filt
 
     def _dispatch_code(self, step, frame: Frame, qindex: int,
-                       pins: int) -> None:
-        """Device-dispatch one hier frame (P for the base layer, two-ref
-        B otherwise) and enqueue its packet metadata."""
+                       pins: int, alt=None) -> None:
+        """Device-dispatch one hier frame (P for the base layer, multi-
+        ref B otherwise) and enqueue its packet metadata.
+
+        alt: display index of the mini-GOP base (alive for the whole
+        span) — interior frames add it as a THIRD single-prediction
+        reference (ALTREF) when multi-ref is on (ref Av1GenerateRpsInfo
+        4-slot lists, EbPictureDecisionProcess.c:1094)."""
         import jax.numpy as jnp
         cfg = self.cfg
         ph, pw = self.seq.mi_rows * 4, self.seq.mi_cols * 4
@@ -467,6 +508,7 @@ class Encoder:
         dyn = (jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                jnp.int32(lvls[3]))
         compound = False
+        third = None
         if step.bwd is None:
             fn = PE.build_p_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
@@ -478,14 +520,22 @@ class Encoder:
         else:
             bwd = self._store[step.bwd]
             compound = cfg.compound_mode > 0
+            if (self._mrp and alt is not None
+                    and alt not in (step.fwd, step.bwd)
+                    and alt in self._store):
+                third = self._store[alt]
+            nrefs = 3 if third is not None else 2
+            if nrefs == 3:
+                self._nrefs3_frames = getattr(self, "_nrefs3_frames",
+                                              0) + 1
             fn = PE.build_b_frame_encoder_dyn(
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                 cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth,
                 rdo=self._rdo, txs=self._txs,
                 filt=self._pick_interp(frame, qindex),
-                lr=cfg.enable_restoration, rect=self._rect)
-            out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *dyn)
-            nrefs = 2
+                lr=cfg.enable_restoration, rect=self._rect, nrefs=nrefs)
+            extra = third["dev"] if third is not None else ()
+            out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *extra, *dyn)
         slot = self._free_slots.pop(0)
         meta_lr = {}
         if cfg.enable_restoration:
@@ -501,13 +551,25 @@ class Encoder:
         bs = fs if step.bwd is None else self._store[step.bwd]["slot"]
         fh = self._hint(step.fwd)
         bh = fh if step.bwd is None else self._hint(step.bwd)
+        if nrefs == 3:
+            # LAST + BWDREF (near bwd, compound partner) + ALTREF (span
+            # base): 3-slot ref list (ref 4-slot RPS lists)
+            ts = third["slot"]
+            th = self._hint(alt)
+            ref_types = (1, 5, 7)
+            ref_idx = (fs, fs, fs, fs, bs, ts, ts)
+            ref_hints = (fh, fh, fh, fh, bh, th, th)
+        else:
+            ref_types = (1, 7)              # LAST, ALTREF
+            ref_idx = (fs, fs, fs, fs, bs, bs, bs)
+            ref_hints = (fh, fh, fh, fh, bh, bh, bh)
         meta = {"display": step.disp, "show": False, "nrefs": nrefs,
-                "ref_types": (1, 7),            # LAST, ALTREF
+                "ref_types": ref_types, "layer": step.layer,
                 "compound": compound,
                 "order_hint": self._hint(step.disp),
                 "refresh": 1 << slot,
-                "ref_idx": (fs, fs, fs, fs, bs, bs, bs),
-                "ref_hints": (fh, fh, fh, fh, bh, bh, bh), **meta_lr}
+                "ref_idx": ref_idx,
+                "ref_hints": ref_hints, **meta_lr}
         lay = PE.inter_layout(nrefs, compound, self._txs, lv8=True,
                               lr=False, rect=self._rect)
         self._enqueue_p(frame, out, lay, qindex, meta)
@@ -1031,7 +1093,7 @@ class Encoder:
                          display_idx=entry[2])
             self._packets.append(pkt)
             if self._rc is not None:
-                self._rc.update(len(pkt.payload) * 8, False)
+                self._rc.update(len(pkt.payload) * 8, False, layer=-1)
             return
         if entry[0] == "pf":
             _, fut, meta, idx = entry
@@ -1044,7 +1106,8 @@ class Encoder:
                 pkt.pts = idx
             self._packets.append(pkt)
             if self._rc is not None:
-                self._rc.update(len(pkt.payload) * 8, pkt.is_keyframe)
+                self._rc.update(len(pkt.payload) * 8, pkt.is_keyframe,
+                                layer=(meta or {}).get("layer", 0))
             return
         kind, frames, out, nbh, nbw, qindex = entry[:6]
         deb = entry[6] if len(entry) > 6 else None
@@ -1245,23 +1308,23 @@ class Encoder:
         mvs2 = None
         comp_pair = None
         ref_select = False
-        if meta is not None and meta.get("nrefs", 1) == 2:
-            t0, t1 = meta.get("ref_types", (1, 7))
+        nr = (meta or {}).get("nrefs", 1)
+        if meta is not None and nr >= 2:
+            types = meta.get("ref_types", (1, 7))
+            mode8 = arrs[lay["ref8"]]
+            # map the device's per-cell ref-index field to AV1 ref
+            # types; index == nrefs marks a compound cell (0 in refs8,
+            # frame-level pair = the two nearest refs)
+            refs8 = np.zeros_like(mode8, np.uint8)
+            for k in range(nr):
+                refs8[mode8 == k] = types[k]
             if meta.get("compound"):
-                mode8 = arrs[lay["ref8"]]
-                # 0 in refs8 marks a compound cell (frame-level pair)
-                refs8 = np.where(mode8 == 0, t0,
-                                 np.where(mode8 == 1, t1, 0)).astype(
-                                     np.uint8)
                 # reference_select only when compound blocks exist —
                 # single-ref-only frames keep the C++ fast path
-                ref_select = bool((mode8 == 2).any())
+                ref_select = bool((mode8 == nr).any())
                 if ref_select:
                     mvs2 = arrs[lay["mv2"]].astype(np.int32)
-                    comp_pair = (t0, t1)
-            else:
-                refs8 = np.where(arrs[lay["ref8"]] == 0, t0,
-                                 t1).astype(np.uint8)
+                    comp_pair = (types[0], types[1])
         sign_bias = None
         if meta is not None:
             sign_bias = O.ref_sign_biases(self.seq, meta["order_hint"],

@@ -72,7 +72,7 @@ def inter_layout(nrefs: int, compound: bool, txs: bool, lv8: bool,
     dominant per-frame transfer)."""
     names = ["sizes", "mv", "ly", "lu", "lv", "rec_y", "rec_u", "rec_v",
              "cdef"]
-    if nrefs == 2:
+    if nrefs >= 2:
         names.append("ref8")
     if compound:
         names.append("mv2")
@@ -90,8 +90,11 @@ def inter_layout(nrefs: int, compound: bool, txs: bool, lv8: bool,
 
 def sparse_capacity(n_cells: int) -> int:
     """Fixed sparse-pack capacity (cells) — must match between the
-    device pack and the host scatter."""
-    return max(256, n_cells // 2)
+    device pack and the host scatter.  Clamped to n_cells: the device
+    builds the pack as argsort(flags)[:cap], and slicing clamps to the
+    cell count, so a larger nominal capacity would make the fetch claim
+    rows the pack never produced (frombuffer overrun on small frames)."""
+    return min(n_cells, max(256, n_cells // 2))
 
 
 def _block(plane, bs: int):
@@ -502,13 +505,15 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                                   search_reach=search - r2_)
         per_ref = [me_one_ref(refs[0], padded[0][0], centers0)]
         for i in range(1, nrefs):
-            # speed preset: seed the second ref's HME from the mirrored
-            # fwd centers (hier-B refs sit symmetrically around the
-            # source, so the fields are opposite to first order; the
+            # speed preset: seed the NEAR bwd ref's HME from the
+            # mirrored fwd centers (hier-B refs sit symmetrically around
+            # the source, so the fields are opposite to first order; the
             # +-r2 lattice + subpel recover the residual) instead of a
-            # second quarter-res full search
+            # second quarter-res full search.  Farther refs (i >= 2,
+            # e.g. ALTREF at an unknown temporal distance) run their own
+            # quarter-res search.
             hint = (jnp.clip(-centers0, -(search - r2_), search - r2_)
-                    if not rdo else None)
+                    if (not rdo and i == 1) else None)
             per_ref.append(me_one_ref(refs[3 * i], padded[i][0], hint))
         mv, cost = per_ref[0][:2]
         if gm and nrefs == 1:
@@ -535,47 +540,62 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         mv[64], cost[64] = me64(padded[0][0], mv[32], per_ref[0][2][64])
         refsel = {bs: None for bs in SIZES64}
         mv_c = {bs: None for bs in SIZES64}   # compound second (bwd) MV
-        if nrefs == 2:
-            mv1, cost1 = dict(per_ref[1][0]), dict(per_ref[1][1])
-            mv1[64], cost1[64] = me64(padded[1][0], mv1[32],
-                                      per_ref[1][2][64])
+        if nrefs >= 2:
+            # per-ref 64 level + argmin single-ref selection over ALL
+            # refs (ref: candidate injection across the ref lists,
+            # EbModeDecision.c:1120-2364; Av1GenerateRpsInfo builds the
+            # lists, EbPictureDecisionProcess.c:1094).  The compound
+            # pair stays (ref0, ref1) = the temporally nearest fwd/bwd.
+            mvs_all, costs_all = [mv], [cost]
+            for i in range(1, nrefs):
+                mvi, costi = dict(per_ref[i][0]), dict(per_ref[i][1])
+                mvi[64], costi[64] = me64(padded[i][0], mvi[32],
+                                          per_ref[i][2][64])
+                mvs_all.append(mvi)
+                costs_all.append(costi)
             for bs in SIZES64:
-                sel = (cost1[bs] < cost[bs]).astype(jnp.uint8)
-                mv_sel_single = jnp.where(sel[..., None].astype(bool),
-                                          mv1[bs], mv[bs])
-                cost_single = jnp.minimum(cost1[bs], cost[bs])
+                sel = jnp.zeros(costs_all[0][bs].shape, jnp.uint8)
+                best_c = costs_all[0][bs]
+                best_mv = mvs_all[0][bs]
+                for i in range(1, nrefs):
+                    better = costs_all[i][bs] < best_c
+                    sel = jnp.where(better, np.uint8(i), sel)
+                    best_c = jnp.minimum(costs_all[i][bs], best_c)
+                    best_mv = jnp.where(better[..., None],
+                                        mvs_all[i][bs], best_mv)
                 if compound and (rdo or bs >= 16):
                     # COMPOUND_AVERAGE candidate from the per-ref best
                     # MVs (ref per-ref ME + BI candidate injection).
                     # Speed preset skips the 8x8 level: smallest blocks
                     # rarely pick compound and their patch gathers are
                     # the most expensive of the sweep
-                    mid0 = _mc_patch(padded[0][0], mv[bs], bs, pad,
-                                     False, bd, jnt=True, filt=filt)
-                    mid1 = _mc_patch(padded[1][0], mv1[bs], bs, pad,
-                                     False, bd, jnt=True, filt=filt)
+                    mid0 = _mc_patch(padded[0][0], mvs_all[0][bs], bs,
+                                     pad, False, bd, jnt=True, filt=filt)
+                    mid1 = _mc_patch(padded[1][0], mvs_all[1][bs], bs,
+                                     pad, False, bd, jnt=True, filt=filt)
                     pred_c = MC.jnt_average(jnp, mid0, mid1, bd)
-                    rate = (ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
-                            + ME.mv_rate_bits(mv1[bs]
+                    rate = (ME.mv_rate_bits(mvs_all[0][bs]
+                                            - per_ref[0][2][bs] * 8)
+                            + ME.mv_rate_bits(mvs_all[1][bs]
                                               - per_ref[1][2][bs] * 8)
                             + COMP_EXTRA_BITS)
                     cost_c = (jnp.abs(_block(sy, bs) - pred_c).sum((-1, -2))
                               + ((lam * rate) >> 4))
-                    use_c = cost_c < cost_single
-                    refsel[bs] = jnp.where(use_c, 2, sel).astype(jnp.uint8)
-                    mv[bs] = jnp.where(use_c[..., None], mv[bs],
-                                       mv_sel_single)
-                    mv_c[bs] = mv1[bs]
-                    cost[bs] = jnp.minimum(cost_c, cost_single)
+                    use_c = cost_c < best_c
+                    refsel[bs] = jnp.where(use_c, np.uint8(nrefs), sel)
+                    mv[bs] = jnp.where(use_c[..., None], mvs_all[0][bs],
+                                       best_mv)
+                    mv_c[bs] = mvs_all[1][bs]
+                    cost[bs] = jnp.minimum(cost_c, best_c)
                 else:
                     refsel[bs] = sel
-                    mv[bs] = mv_sel_single
-                    cost[bs] = cost_single
+                    mv[bs] = best_mv
+                    cost[bs] = best_c
                     if compound:
                         # compound skipped at this size (speed preset):
                         # keep a well-formed second-MV field — no cell
-                        # selects 2 here, so it is never coded
-                        mv_c[bs] = mv1[bs]
+                        # selects the compound marker here
+                        mv_c[bs] = mvs_all[1][bs]
 
         # --- per-size MC + residual coding + RD costs (rdo path) ---------
         def mc_one(plane_idx, chroma, bs2, pad2, mvs, mvs_c, sel):
@@ -583,21 +603,23 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             # core (both=True): regular + CONV_BUF outputs from one pass
             pt0, r0, c0 = _gather_mc_patch(padded[0][plane_idx], mvs,
                                            bs2, pad2, chroma)
-            if nrefs == 2 and compound:
+            if nrefs >= 2 and compound:
                 p0, m0 = _interp_patch(pt0, r0, c0, bs2, bd, False, filt,
                                        both=True)
             else:
                 p0 = _interp_patch(pt0, r0, c0, bs2, bd, False, filt)
             if nrefs == 1:
                 return p0
-            p1 = _mc_patch(padded[1][plane_idx], mvs, bs2, pad2, chroma,
-                           bd, filt=filt)
-            out = jnp.where((sel == 1)[..., None, None], p1, p0)
+            out = p0
+            for i in range(1, nrefs):
+                pi = _mc_patch(padded[i][plane_idx], mvs, bs2, pad2,
+                               chroma, bd, filt=filt)
+                out = jnp.where((sel == i)[..., None, None], pi, out)
             if compound:
                 m1 = _mc_patch(padded[1][plane_idx], mvs_c, bs2, pad2,
                                chroma, bd, jnt=True, filt=filt)
                 pc = MC.jnt_average(jnp, m0, m1, bd)
-                out = jnp.where((sel == 2)[..., None, None], pc, out)
+                out = jnp.where((sel == nrefs)[..., None, None], pc, out)
             return out
 
         levels = {}
@@ -635,10 +657,10 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 base_r = (ME.mv_rate_bits(mv[bs] - per_ref[0][2][bs] * 8)
                           + round(_LEAF["mode"]
                                   + (_LEAF["ref_single"]
-                                     if nrefs == 2 else 0)))
+                                     if nrefs >= 2 else 0)))
                 if compound:
                     base_r = base_r + jnp.where(
-                        refsel[bs] == 2,
+                        refsel[bs] == nrefs,
                         ME.mv_rate_bits(mv_c[bs] - per_ref[1][2][bs] * 8)
                         + COMP_EXTRA_BITS, 0)
                 # tx-type search (ref ENCDEC_TX_SEARCH full-loop,
@@ -750,11 +772,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                          + ME.mv_rate_bits(rmv - rpri * 8)
                          + round(_LEAF["mode"]
                                  + (_LEAF["ref_single"]
-                                    if nrefs == 2 else 0)))
+                                    if nrefs >= 2 else 0)))
                     if compound:
                         rpri2 = pick(per_ref[1][2][cs])
                         r = r + jnp.where(
-                            rsel == 2,
+                            rsel == nrefs,
                             ME.mv_rate_bits(rmv2 - rpri2 * 8)
                             + COMP_EXTRA_BITS, 0)
                     jr = d.astype(jnp.float32) + lam_rd * r
@@ -821,7 +843,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             # fast path (preset 8): SAD-domain rate-biased merge from the
             # ME costs; residual coding happens once, at the selected
             # size, below
-            mb = _LEAF["mode"] + (_LEAF["ref_single"] if nrefs == 2 else 0)
+            mb = _LEAF["mode"] + (_LEAF["ref_single"] if nrefs >= 2 else 0)
             oh = {bs: (lam * round(mb + _PART_BITS[bs][0])) >> 4
                   for bs in SIZES64}
             sp = {bs: (lam * round(_PART_BITS[bs][1])) >> 4
@@ -894,7 +916,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
         # 2 = compound average) + second MV for compound leaves
         ref8 = None
         mv2_sel = None
-        if nrefs == 2:
+        if nrefs >= 2:
             cells = sq_cells(refsel)
             if rect:
                 for k in RECT_KINDS:
@@ -1067,7 +1089,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             lv_pack = lv_pack.astype(dt)
         out = (size8, mv_sel, ly_pack, lu_pack, lv_pack,
                rec_y, rec_u, rec_v, idx_sb)
-        if nrefs == 2:
+        if nrefs >= 2:
             out = out + (ref8,)
         if compound:
             out = out + (mv2_sel,)
@@ -1181,18 +1203,21 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=6)
 def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               search: int = SEARCH_RANGE,
                               cdef: bool = False, compound: bool = False,
                               bd: int = 8, rdo: bool = True,
                               txs: bool = False, filt: int = 0,
-                              lr: bool = False, rect: bool = False):
-    """Dynamic-q two-ref step: fn(sy, su, sv, r0y, r0u, r0v, r1y, r1u,
-    r1v, qindex, lf_y, lf_u, lf_v); one compile serves every qindex
-    (hier-B layer offsets, rate control).  compound=True adds the
-    COMPOUND_AVERAGE candidate (fwd+bwd pairs only)."""
-    fn = p_frame_step(ph, pw, None, search, nrefs=2, compound=compound,
-                      bd=bd, rdo=rdo, txs=txs, filt=filt, lr=lr, rect=rect)
+                              lr: bool = False, rect: bool = False,
+                              nrefs: int = 2):
+    """Dynamic-q multi-ref step: fn(sy, su, sv, r0..., r1...[, r2...],
+    qindex, lf_y, lf_u, lf_v); one compile serves every qindex (hier-B
+    layer offsets, rate control).  compound=True adds the
+    COMPOUND_AVERAGE candidate (ref0+ref1 pairs); nrefs=3 adds a third
+    single-prediction reference (far bwd / ALTREF) to the argmin."""
+    fn = p_frame_step(ph, pw, None, search, nrefs=nrefs,
+                      compound=compound, bd=bd, rdo=rdo, txs=txs,
+                      filt=filt, lr=lr, rect=rect)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

@@ -65,13 +65,120 @@ class ModelRateController:
         qi = self.qi - (self.KEY_BOOST_Q if is_key else 0)
         return int(np.clip(qi, self.min_qi, self.max_qi))
 
-    def update(self, bits: int, is_key: bool) -> None:
+    def update(self, bits: int, is_key: bool, layer: int = 0) -> None:
+        if layer < 0:           # header-only TU (show_existing)
+            self.fullness += bits
+            return
         budget = self.target_bpf * (4.0 if is_key else 1.0)
         self.fullness += bits - budget
         if is_key:
             return              # keyframes have their own scale; skip C
         c_obs = bits * self._qstep(self.qi)
         self.C = c_obs if self.C is None else 0.75 * self.C + 0.25 * c_obs
+
+
+class GopRateController:
+    """Hierarchical-B VBR v2: plan a whole mini-GOP's bits at dispatch.
+
+    The reference keeps per-GOP-interval parallel RC state
+    (rate_control_param_queue[PARALLEL_GOP_MAX_NUMBER],
+    EbRateControlProcess.c:3895-3901) and allocates hierarchical-layer
+    budgets from lookahead stats.  TPU-build equivalent: at span
+    dispatch the encoder hands over the span's frame count, layer list
+    and per-frame complexity (mean-abs-diff of consecutive sources —
+    the mini-GOP buffer IS the lookahead window); this controller
+    solves for the base qindex such that the per-layer bits models
+    predict the span budget, where each layer keeps its own
+    bits*qstep complexity constant.  Keyframe budget comes from the
+    measured intra/inter complexity ratio instead of a hardcoded 4x.
+    """
+
+    LAYER_OFF = (-8, 6, 12, 16, 18)   # matches pipeline.gop layer offsets
+
+    def __init__(self, target_bit_rate: int, fps: float,
+                 min_qp: int = 0, max_qp: int = 63,
+                 constrained: bool = False) -> None:
+        self.target_bpf = max(1.0, target_bit_rate / max(fps, 1e-6))
+        self.fps = max(fps, 1.0)
+        self.min_qi = max(1, qp_to_qindex(max(min_qp, 1)))
+        self.max_qi = qp_to_qindex(max_qp)
+        self.constrained = constrained
+        self.fullness = 0.0
+        self.base_qi = 128
+        # per-layer complexity constants C_l (bits * qstep); None until
+        # first observation of that layer
+        self._C = [None] * 5
+        self._key_C = None
+        self._mad_ema = None
+
+    def _qstep(self, qi) -> float:
+        return max(1.0, tables.ac_q(int(np.clip(qi, 1, 255)), 8) / 8.0)
+
+    def _span_bits(self, qi: float, layers: list) -> float:
+        """Predicted span bits at base qindex qi from the layer models."""
+        tot = 0.0
+        for l in layers:
+            li = min(l, 4)
+            C = self._C[li]
+            if C is None:
+                C = 4000.0 * self._qstep(128)   # prior until observed
+            tot += C / self._qstep(qi + self.LAYER_OFF[li])
+        return tot
+
+    def plan_span(self, layers: list, mads: list) -> None:
+        """Called once per mini-GOP dispatch with the span's layer list
+        and per-frame complexities; sets base_qi for the span."""
+        mad = float(np.mean(mads)) if mads else 0.0
+        self._mad_ema = (mad if self._mad_ema is None
+                         else 0.8 * self._mad_ema + 0.2 * mad)
+        scale = 1.0
+        if self._mad_ema and self._mad_ema > 1e-3:
+            # busier spans borrow bits, calm spans repay (VBR)
+            scale = float(np.clip(mad / self._mad_ema, 0.6, 1.7))
+        budget = self.target_bpf * len(layers) * scale
+        # drift repayment: spread the buffer error over ~2 seconds
+        budget -= self.fullness * len(layers) / (2.0 * self.fps)
+        budget = max(budget, self.target_bpf * len(layers) * 0.2)
+        lo, hi = self.min_qi, self.max_qi
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._span_bits(mid, layers) > budget:
+                lo = mid + 1
+            else:
+                hi = mid
+        self.base_qi = lo
+
+    def frame_qindex(self, is_key: bool) -> int:
+        if is_key:
+            # measured keyframe boost: size the key down-shift so the
+            # predicted key cost stays near its complexity-derived
+            # share (~sqrt of the intra/inter cost ratio), replacing
+            # the fixed 4x assumption
+            ratio = 4.0
+            if self._key_C and self._C[0]:
+                ratio = float(np.clip(self._key_C / self._C[0], 1.5, 8.0))
+            off = int(np.clip(10.0 * np.log2(ratio), 8, 40))
+            return int(np.clip(self.base_qi - off, self.min_qi,
+                               self.max_qi))
+        return int(np.clip(self.base_qi, self.min_qi, self.max_qi))
+
+    def update(self, bits: int, is_key: bool, layer: int = 0) -> None:
+        self.fullness += bits - (self.target_bpf if layer >= 0 else 0)
+        if self.constrained:
+            cap = self.target_bpf * self.fps
+            self.fullness = float(np.clip(self.fullness, -cap, cap))
+        if layer < 0:
+            return    # show_existing / header-only TU: bits only
+        qi = self.frame_qindex(is_key)
+        c_obs = bits * self._qstep(
+            qi if is_key else qi + self.LAYER_OFF[min(layer, 4)])
+        if is_key:
+            self._key_C = (c_obs if self._key_C is None
+                           else 0.5 * self._key_C + 0.5 * c_obs)
+            return
+        li = min(layer, 4)
+        prev = self._C[li]
+        self._C[li] = c_obs if prev is None else 0.7 * prev + 0.3 * c_obs
 
 
 class RateController:
@@ -97,8 +204,11 @@ class RateController:
             qi -= self.KEY_BOOST_Q
         return int(np.clip(qi, self.min_qi, self.max_qi))
 
-    def update(self, bits: int, is_key: bool) -> None:
+    def update(self, bits: int, is_key: bool, layer: int = 0) -> None:
         """Feedback after a frame is packetized (ref RC feedback tasks)."""
+        if layer < 0:           # header-only TU (show_existing)
+            self.fullness += bits
+            return
         # keyframes are budgeted at ~4x a P frame
         budget = self.target_bpf * (4.0 if is_key else 1.0)
         self.fullness += bits - budget

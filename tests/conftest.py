@@ -31,3 +31,39 @@ from svt_av1_tpu.utils.cache import jax_cache_dir  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# ---------------------------------------------------------------------------
+# fast/slow tiers: `-m "not slow"` is the CI-speed subset run before
+# every commit; the names below measured >30 s on the 1-core reference
+# box (pytest --durations, round 4).  New expensive e2e tests should be
+# added here or marked slow directly.
+import pytest  # noqa: E402
+
+_SLOW = (
+    "test_rdo.py", "test_restoration.py", "test_bd10.py",
+    "test_parallel.py", "test_warp.py", "test_tiles.py",
+    "test_intra_part16.py", "test_multistream.py",
+    "test_rect.py::test_rect_ippp_bitexact",
+    "test_rect.py::test_device_step_picks_rect_leaves",
+    "test_rate_control.py::test_vbr_converges_and_parity",
+    "test_rate_control.py::test_vbr_intra_only_batch",
+    "test_rate_control.py::test_gop_rc_hier_vbr_hits_target",
+    "test_aux.py::test_gop_retry_recovers",
+    "test_aux.py::test_adaptive_quantization_e2e",
+    "test_lookahead.py::test_lookahead_e2e_bit_exact_varying_q",
+    "test_deblock.py::test_e2e_deblock_parity",
+    "test_cdef.py::test_e2e_cdef_parity",
+    "test_film_grain.py::test_film_grain_e2e_output_parity",
+    "test_ibc.py::test_ibc_keyframe_then_inter",
+    "test_conformance.py::test_streams_pass_independent_checker",
+    "test_inter.py::test_ippp_keyframe_interval",
+    "test_inter.py::test_global_motion_e2e",
+    "test_hier.py::test_hier_keyframe_interval_flushes_gop",
+    "test_multiref.py::test_multi_ref_improves_or_matches_rate",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(tag in item.nodeid for tag in _SLOW):
+            item.add_marker(pytest.mark.slow)

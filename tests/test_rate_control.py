@@ -71,3 +71,55 @@ def test_model_rc_converges():
     bpf = target / 30
     steady = np.mean(sizes[n // 2 :])
     assert 0.4 * bpf < steady < 2.2 * bpf, (steady, bpf)
+
+
+def test_gop_rc_hier_vbr_hits_target():
+    """RC v2 (GopRateController): hier-B VBR converges to the target
+    within a reasonable band and stays bit-exact decodable."""
+    import numpy as np
+    W, H, n, fpsn = 192, 128, 33, 30
+    target = 400_000
+    base = synthetic_frame(W, H, seed=9)
+    rng = np.random.default_rng(11)
+    frames = []
+    for i in range(n):
+        f = synthetic_frame(W, H, seed=9)
+        # motion + fresh noise: residuals exist, so the target is
+        # actually reachable (pure rolls code as all-skip)
+        f.y[:] = np.clip(np.roll(base.y, (i, 2 * i), (0, 1)).astype(int)
+                         + rng.integers(-12, 13, base.y.shape), 0, 255)
+        frames.append(f)
+    enc = Encoder(EncoderConfig(width=W, height=H, rate_control_mode=2,
+                                target_bit_rate=target,
+                                frame_rate_num=fpsn, intra_period=-1,
+                                pred_structure=2, hierarchical_levels=2,
+                                scene_change_detection=False))
+    from svt_av1_tpu.pipeline.rate_control import GopRateController
+    assert isinstance(enc._rc, GopRateController)
+    dec = Decoder()
+    tot = 0
+    shown = 0
+
+    def drain(block):
+        nonlocal tot, shown
+        while True:
+            p = enc.get_packet()
+            if p is None:
+                return
+            df = dec.decode_temporal_unit(p.payload)
+            if df is not None:
+                shown += 1
+            tot += len(p.payload)
+
+    # streaming cadence: drain as we go so RC feedback reaches the
+    # next span's planner (the deployment shape for live VBR)
+    for i, f in enumerate(frames):
+        enc.send_picture(f)
+        if i % 4 == 3:
+            drain(False)
+    enc.flush()
+    drain(True)
+    assert shown == n
+    kbps = tot * 8 * fpsn / n / 1000
+    # steady-state band: the model needs a couple of mini-GOPs to lock
+    assert 0.6 * target / 1000 < kbps < 1.6 * target / 1000, kbps
