@@ -283,9 +283,11 @@ class Decoder:
         # decode_tile resets RefLrWiener/RefSgrXqd at tile start)
         self._lr_ref = [list(S.WIENER_MID) * 2 for _ in range(3)]
         self._sgr_ref = [list(S.SGR_XQD_MID) for _ in range(3)]
+        self._cur_q = self.fp.base_q_idx
         for r4 in range(0, hm, SB_MI):
             for c4 in range(0, wm, SB_MI):
                 self._cdef_done = False
+                self._dq_done = False
                 self._read_lr(r4 + r0, c4 + c0)
                 self._partition(r4, c4, SB_MI)
         self.skip_map[r0:r1, c0:c1] = self.tc.skips
@@ -345,6 +347,28 @@ class Decoder:
         self.cdef_idx_map[(r4 + self.toff[0]) // SB_MI,
                           (c4 + self.toff[1]) // SB_MI] = idx
         self._cdef_done = True
+
+    def _read_delta_q(self, r4: int, c4: int, w4: int, h4: int,
+                      skip: int) -> None:
+        """Mirror of TileWriter._write_delta_q (spec
+        read_delta_qindex): updates CurrentQIndex at each SB's first
+        block; an SB-sized skip block carries no delta."""
+        if not self.fp.delta_q_res or self._dq_done:
+            return
+        if (r4 % SB_MI) or (c4 % SB_MI):
+            return
+        self._dq_done = True
+        if w4 == SB_MI and h4 == SB_MI and skip:
+            return
+        delta = S.code_delta_q(None, self.dec, self.fc)
+        self._cur_q = int(np.clip(
+            self._cur_q + (delta << self.fp.delta_q_res), 1, 255))
+
+    def _block_q(self) -> int:
+        """qindex for the current block's dequant: CurrentQIndex when
+        the frame codes per-SB delta-q, else the frame base."""
+        return (self._cur_q if self.fp.delta_q_res
+                else self.fp.base_q_idx)
 
     def _partition(self, r4: int, c4: int, n4: int) -> None:
         tc = self.tc
@@ -411,6 +435,7 @@ class Decoder:
         skip = dec.decode_symbol(cdf, 2)
         update_icdf(cdf, skip, 2)
         self._read_cdef(r4, c4, skip)
+        self._read_delta_q(r4, c4, w4, h4, skip)
 
         is_inter = S.code_is_inter(None, dec, fc, mi, tc, r4, c4)
         assert is_inter, "intra blocks in inter frames not yet supported"
@@ -567,7 +592,7 @@ class Decoder:
                               (mv8[1] & 15) >> 1][
                     r0 : r0 + pbh, c0 : c0 + pbw]
             bd2 = self.seq.bit_depth
-            dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size, bd2)
+            dq = Q.dequantize_np(levels, self._block_q(), tx_size, bd2)
             resid = T.inv_txfm2d_np(dq, tx_size, ltx, bd2)
             self.rec[plane][py : py + pbh, px : px + pbw] = np.clip(
                 pred + resid, 0, (1 << bd2) - 1)
@@ -637,7 +662,7 @@ class Decoder:
                     dvc = (mv8[1] >> 3) >> (plane > 0)
                     pred = rec[py + dvr : py + dvr + bs,
                                px + dvc : px + dvc + bs]
-                    dq = Q.dequantize_np(levels, self.fp.base_q_idx,
+                    dq = Q.dequantize_np(levels, self._block_q(),
                                          tx_size, bd)
                     resid = T.inv_txfm2d_np(dq, tx_size, ltx, bd)
                     rec[py : py + bs, px : px + bs] = np.clip(
@@ -744,7 +769,7 @@ class Decoder:
                 pred = intra.predict_block_np(mode, above, left, tl, ha,
                                               hl, bs, bs, bd,
                                               above_ext=above_ext)
-            dq = Q.dequantize_np(levels, self.fp.base_q_idx, tx_size, bd)
+            dq = Q.dequantize_np(levels, self._block_q(), tx_size, bd)
             # intra chroma tx type is derived from the uv mode (spec
             # compute_tx_type; ref intra_mode_to_tx_type,
             # EbModeDecision.c:1851); luma stays at the coded DCT

@@ -86,6 +86,7 @@ class FrameContext:
         self.cfl_sign = conv(t["default_cfl_sign_cdf"])[0]         # [9]
         self.cfl_alpha = conv(t["default_cfl_alpha_cdf"])          # [6][17]
         self.partition = conv(t["default_partition_cdf"])          # [20][11]
+        self.delta_q = conv(t["default_delta_q_cdf"])[0]           # [5]
         self.skip = conv(t["default_skip_cdfs"])                   # [3][3]
         self.intra_ext_tx = conv(t["default_intra_ext_tx_cdf"])    # [3][4][13][17]
         self.tx_size = conv(t["default_tx_size_cdf"])              # [4][3][4]

@@ -666,6 +666,42 @@ CLASS0_BITS = 1
 CLASS0_SIZE = 1 << CLASS0_BITS
 
 
+def code_delta_q(enc, dec, fc, delta=None) -> int:
+    """Per-superblock delta_q (spec read_delta_qindex, 5.11.41; ref
+    av1_write_delta_qindex).  ``delta`` is the RES-SCALED value
+    ("reduced": applied as delta << delta_q_res).  Coded at the first
+    block of each superblock when the frame header sets
+    delta_q_present.  Paired write/read; returns the scaled delta."""
+    DELTA_Q_SMALL = 3
+    if enc is not None:
+        a = abs(int(delta))
+        sym = min(a, DELTA_Q_SMALL)
+        _code_sym(enc, None, fc.delta_q, 4, sym)
+        if sym == DELTA_Q_SMALL:
+            n = (a - 1).bit_length() - 1        # a in [2^n+1, 2^(n+1)]
+            for i in range(2, -1, -1):          # rem_bits = n - 1, L(3)
+                enc.encode_bool(((n - 1) >> i) & 1, 16384)
+            bits = a - 1 - (1 << n)
+            for i in range(n - 1, -1, -1):      # abs_bits, L(n)
+                enc.encode_bool((bits >> i) & 1, 16384)
+        if a:
+            enc.encode_bool(1 if delta < 0 else 0, 16384)
+        return int(delta)
+    a = _code_sym(None, dec, fc.delta_q, 4)
+    if a == DELTA_Q_SMALL:
+        n = 0
+        for _ in range(3):
+            n = (n << 1) | dec.decode_bool(16384)
+        n += 1
+        bits = 0
+        for _ in range(n):
+            bits = (bits << 1) | dec.decode_bool(16384)
+        a = bits + (1 << n) + 1
+    if a and dec.decode_bool(16384):
+        a = -a
+    return a
+
+
 def _code_bin(enc, dec, cdf, val=None) -> int:
     if enc is not None:
         enc.encode_symbol(int(val), cdf, 2)

@@ -59,8 +59,10 @@ def level_cap(qindex: int, tx_size: int, bd: int = 8) -> int:
 
 
 def _qgrids(qindex, tx_size: int, bd: int):
-    """(q, rnd, lvl_max) grids; qindex may be a static int or a traced
-    scalar (rate control varies q per frame without recompiling)."""
+    """(q, rnd, lvl_max) grids; qindex may be a static int, a traced
+    scalar (rate control varies q per frame without recompiling), or a
+    traced per-block array [...]: per-superblock delta-q quantizes each
+    block with its own qindex (grids broadcast as [..., 1, 1] x [h, w])."""
     w, h = TX_W[tx_size], TX_H[tx_size]
     shift = tx_scale(tx_size)
     if isinstance(qindex, (int, np.integer)):
@@ -71,6 +73,9 @@ def _qgrids(qindex, tx_size: int, bd: int):
         dc = jnp.asarray(t[f"dc_qlookup_{bd}"])[qindex]
         ac = jnp.asarray(t[f"ac_qlookup_{bd}"])[qindex]
         cap = 1 << 30   # traced q: no int8 saturation optimization
+        if getattr(qindex, "ndim", 0):
+            dc = dc[..., None, None]
+            ac = ac[..., None, None]
     pos0 = np.zeros((h, w), bool)
     pos0[0, 0] = True
     pos0 = jnp.asarray(pos0)

@@ -113,6 +113,29 @@ def aq_frame_offset(stats: PictureStats, bd: int = 8) -> int:
     return int(np.clip(round(off), -12, 12))
 
 
+def aq_sb_qmap(stats: PictureStats, base_q: int, res: int = 2,
+               bd: int = 8) -> np.ndarray:
+    """Per-superblock qindex map for delta-q AQ (spec 5.9.17 per-SB
+    deltas; ref per-SB QP from the BEA/variance classifiers,
+    EbSourceBasedOperationsProcess.c:89-703 + EbModeDecisionConfiguration
+    budgeting, reduced to variance masking).
+
+    Offsets follow log-variance relative to the frame's geometric mean
+    (busy SBs hide noise -> higher q; flat SBs show it -> lower q),
+    quantized to the delta_q_res grid so base_q + off stays exactly
+    representable by the coded deltas (no Clip3 drift), and bounded so
+    the absolute qindex remains in [1, 255]."""
+    sc = 1 << (2 * (bd - 8))
+    v = np.maximum(stats.var_sb / sc, 1.0)
+    g = float(np.exp(np.mean(np.log(v))))
+    off = 4.0 * np.log2(v / max(g, 1.0))
+    step = 1 << res
+    off = np.clip(np.round(off / step) * step, -16, 16).astype(np.int32)
+    lo = -((base_q - 1) // step) * step
+    hi = ((255 - base_q) // step) * step
+    return base_q + np.clip(off, lo, hi)
+
+
 def pick_interp_filter(stats: PictureStats, qindex: int,
                        bd: int = 8) -> int:
     """Frame-level interpolation-filter decision (0 REGULAR, 1 SMOOTH,

@@ -507,6 +507,19 @@ class Encoder:
         lvls = self._lf_levels(qindex, False)
         dyn = (jnp.int32(qindex), jnp.int32(lvls[0]), jnp.int32(lvls[2]),
                jnp.int32(lvls[3]))
+        # per-superblock delta-q AQ (spec 5.9.17): variance-masking map
+        # from picture analysis; residual quantization goes per-SB on
+        # device, the entropy stage codes the per-SB deltas
+        DQ_RES = 2
+        qmap = None
+        aq_on = bool(cfg.enable_adaptive_quantization)
+        if aq_on:
+            from svt_av1_tpu.pipeline.analysis import analyze, aq_sb_qmap
+            m = aq_sb_qmap(analyze(frame.y), qindex, res=DQ_RES,
+                           bd=cfg.bit_depth)
+            qmap = np.full((ph32 // 64, pw32 // 64), qindex, np.int32)
+            qmap[: m.shape[0], : m.shape[1]] = m[: ph32 // 64,
+                                                 : pw32 // 64]
         compound = False
         third = None
         if step.bwd is None:
@@ -514,8 +527,9 @@ class Encoder:
                 ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
                 cdef=cfg.enable_cdef, bd=cfg.bit_depth, rdo=self._rdo,
                 txs=self._txs, filt=self._pick_interp(frame, qindex),
-                lr=cfg.enable_restoration, rect=self._rect)
-            out = fn(sy, su, sv, *fwd["dev"], *dyn)
+                lr=cfg.enable_restoration, rect=self._rect, aq=aq_on)
+            extra_aq = ((jnp.asarray(qmap),) if aq_on else ())
+            out = fn(sy, su, sv, *fwd["dev"], *dyn, *extra_aq)
             nrefs = 1
         else:
             bwd = self._store[step.bwd]
@@ -533,9 +547,12 @@ class Encoder:
                 cdef=cfg.enable_cdef, compound=compound, bd=cfg.bit_depth,
                 rdo=self._rdo, txs=self._txs,
                 filt=self._pick_interp(frame, qindex),
-                lr=cfg.enable_restoration, rect=self._rect, nrefs=nrefs)
+                lr=cfg.enable_restoration, rect=self._rect, nrefs=nrefs,
+                aq=aq_on)
             extra = third["dev"] if third is not None else ()
-            out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *extra, *dyn)
+            extra_aq = ((jnp.asarray(qmap),) if aq_on else ())
+            out = fn(sy, su, sv, *fwd["dev"], *bwd["dev"], *extra, *dyn,
+                     *extra_aq)
         slot = self._free_slots.pop(0)
         meta_lr = {}
         if cfg.enable_restoration:
@@ -566,6 +583,7 @@ class Encoder:
         meta = {"display": step.disp, "show": False, "nrefs": nrefs,
                 "ref_types": ref_types, "layer": step.layer,
                 "compound": compound,
+                **({"qmap": qmap, "dq_res": DQ_RES} if aq_on else {}),
                 "order_hint": self._hint(step.disp),
                 "refresh": 1 << slot,
                 "ref_idx": ref_idx,
@@ -1346,6 +1364,8 @@ class Encoder:
             return np.ascontiguousarray(a[rr : rr + nr, cc : cc + nc])
 
         lr = meta.get("lr") if meta else None
+        qmap = meta.get("qmap") if meta else None
+        dq_res = meta.get("dq_res", 0) if meta else 0
         if meta is not None and meta.get("lr_planes") is not None:
             ry, ru, rv = meta["lr_planes"]
 
@@ -1365,8 +1385,10 @@ class Encoder:
             if t_sh is not None and not t_sh.any():
                 t_sh = None
             t_wp = sl(warp8, r0, c0, hm, wm, 2, align=8)
+            t_qm = sl(qmap, r0, c0, hm, wm, 16)
             fc = FrameContext(qindex)
             if (lr is None and t_sh is None and t_wp is None
+                    and t_qm is None
                     and cfg.entropy_backend in ("auto", "cpp")):
                 from svt_av1_tpu.entropy import backend as native
                 if native.available():
@@ -1394,7 +1416,8 @@ class Encoder:
                                    refs=t_refs, sign_bias=sign_bias,
                                    comp_pair=comp_pair, mvs2=t_mv2,
                                    txty=t_tt, gm=gm, shapes=t_sh,
-                                   warp8=t_wp)
+                                   warp8=t_wp, qmap=t_qm,
+                                   delta_q_res=dq_res)
 
         jobs = [(r01, c01) for r01 in trows for c01 in tcols]
         if len(jobs) > 1:
@@ -1425,6 +1448,7 @@ class Encoder:
             hdr["gm_trans"] = tuple(gm_trans)
         mm_on = warp8 is not None
         fp = O.FrameParams(base_q_idx=qindex,
+                           delta_q_res=(dq_res if qmap is not None else 0),
                            tile_cols_log2=cfg.tile_columns_log2,
                            tile_rows_log2=cfg.tile_rows_log2,
                            frame_type=O.INTER_FRAME,

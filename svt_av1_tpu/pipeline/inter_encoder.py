@@ -125,9 +125,12 @@ def _unblock(blocks):
     return blocks.transpose(0, 2, 1, 3).reshape(nbh * bh, nbw * bw)
 
 
-def _encode_plane(src_blocks, pred_blocks, qindex: int, tx_size: int,
+def _encode_plane(src_blocks, pred_blocks, qindex, tx_size: int,
                   bd: int = 8, tx_type: int = T.DCT_DCT):
     nbh, nbw, bh, bw = src_blocks.shape
+    if getattr(qindex, "ndim", 0):
+        # per-block qindex grid [nbh, nbw] (per-SB AQ) -> flat batch
+        qindex = qindex.reshape(-1)
     resid = (src_blocks - pred_blocks).reshape(-1, bh, bw)
     # forward txfm on the MXU (f32 matrix path): the fwd side is an
     # encoder choice — levels are self-consistent with the normative
@@ -377,7 +380,7 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                  nrefs: int = 1, compound: bool = False, bd: int = 8,
                  rdo: bool = True, txs: bool = False, filt: int = 0,
                  gm: bool = False, lr: bool = False, rect: bool = False,
-                 filters: bool = True):
+                 filters: bool = True, aq: bool = False):
     """Build the (unjitted) P/B-frame encode step.
 
     Geometry: ph, pw are the *64-padded* plane dims (multiples of 64,
@@ -418,6 +421,12 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             lf_levels = (dyn[1], dyn[1], dyn[2], dyn[3])
             ac = jnp.asarray(_tbl.spec_tables()[f"ac_qlookup_{bd}"])[q]
             lam = jnp.maximum(8, ac // 4).astype(jnp.int32)
+            # per-superblock adaptive quantization: dyn carries the
+            # ABSOLUTE per-SB qindex map [ph/64, pw/64]; residual
+            # quantization (and ONLY it) goes per-block — lambda, loop
+            # filters and CDEF damping stay at the frame base q (spec:
+            # those are frame-header driven)
+            qmap = dyn[4] if aq else None
         else:
             q = qindex
             lf_levels = lf_levels_cell[0]
@@ -622,6 +631,16 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                 out = jnp.where((sel == nrefs)[..., None, None], pc, out)
             return out
 
+        def qq(bsh, bsw=None):
+            """quantizer grid for residual coding at block size
+            (bsh, bsw): the per-SB map expanded to per-block cells when
+            AQ rides the frame, else the frame scalar."""
+            if not (dynamic_q and aq):
+                return q
+            bsw = bsh if bsw is None else bsw
+            return jnp.repeat(jnp.repeat(qmap, 64 // bsh, 0),
+                              64 // bsw, 1)
+
         levels = {}
         rec_planes = {}
         if rdo:
@@ -676,11 +695,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                               else (T.DCT_DCT, T.IDTX))
                 best = None
                 for ty in cand_types:
-                    ly, rec_y = _encode_plane(src_b, pred_y, q, TX_OF[bs],
-                                              bd, ty)
-                    lu, rec_u = _encode_plane(su_b, pred_u, q,
+                    ly, rec_y = _encode_plane(src_b, pred_y, qq(bs),
+                                              TX_OF[bs], bd, ty)
+                    lu, rec_u = _encode_plane(su_b, pred_u, qq(bs),
                                               TX_OF_C[bs], bd, ty)
-                    lv, rec_v = _encode_plane(sv_b, pred_v, q,
+                    lv, rec_v = _encode_plane(sv_b, pred_v, qq(bs),
                                               TX_OF_C[bs], bd, ty)
                     d = (((src_b - rec_y) ** 2).sum((-1, -2))
                          + ((su_b - rec_u) ** 2).sum((-1, -2))
@@ -756,13 +775,14 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                     sby = _block_rect(sy, bh_, bw_)
                     sbu = _block_rect(su, bh_ // 2, bw_ // 2)
                     sbv = _block_rect(sv, bh_ // 2, bw_ // 2)
+                    qr = qq(bh_, bw_)
                     ly_, ry_ = _encode_plane(sby, _block_rect(py_, bh_, bw_),
-                                             q, RECT_TX[kind], bd)
+                                             qr, RECT_TX[kind], bd)
                     lu_, ru_ = _encode_plane(
-                        sbu, _block_rect(pu_, bh_ // 2, bw_ // 2), q,
+                        sbu, _block_rect(pu_, bh_ // 2, bw_ // 2), qr,
                         RECT_TX_C[kind], bd)
                     lv_, rv_ = _encode_plane(
-                        sbv, _block_rect(pv_, bh_ // 2, bw_ // 2), q,
+                        sbv, _block_rect(pv_, bh_ // 2, bw_ // 2), qr,
                         RECT_TX_C[kind], bd)
                     d = (((sby - ry_) ** 2).sum((-1, -2))
                          + ((sbu - ru_) ** 2).sum((-1, -2))
@@ -956,13 +976,13 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             for bs in SIZES64:
                 ly, rec_y = _encode_plane(_block(sy, bs),
                                           _block(pred_y_pl, bs),
-                                          q, TX_OF[bs], bd)
+                                          qq(bs), TX_OF[bs], bd)
                 cbs = bs // 2
                 lu, rec_u = _encode_plane(_block(su, cbs),
-                                          _block(pred_u_pl, cbs), q,
+                                          _block(pred_u_pl, cbs), qq(bs),
                                           TX_OF_C[bs], bd)
                 lv, rec_v = _encode_plane(_block(sv, cbs),
-                                          _block(pred_v_pl, cbs), q,
+                                          _block(pred_v_pl, cbs), qq(bs),
                                           TX_OF_C[bs], bd)
                 levels[bs] = (ly.astype(jnp.int16), lu.astype(jnp.int16),
                               lv.astype(jnp.int16))
@@ -1191,14 +1211,15 @@ def build_p_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               rdo: bool = True, txs: bool = False,
                               filt: int = 0, gm: bool = False,
                               lr: bool = False, rect: bool = False,
-                              filters: bool = True):
+                              filters: bool = True, aq: bool = False):
     """Dynamic-q P step: fn(..., qindex, lf_y, lf_u, lf_v[, gmv]); one
     compile serves every qindex (rate control).  filters=False skips
     the in-loop filters (warped-motion mode: the host flips blocks to
     WARPED_CAUSAL on the pre-filter recon, then a separate postproc
     step deblocks/CDEFs — pipeline.warp_pass)."""
     fn = p_frame_step(ph, pw, None, search, bd=bd, rdo=rdo, txs=txs,
-                      filt=filt, gm=gm, lr=lr, rect=rect, filters=filters)
+                      filt=filt, gm=gm, lr=lr, rect=rect, filters=filters,
+                      aq=aq)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)
 
@@ -1210,7 +1231,7 @@ def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
                               bd: int = 8, rdo: bool = True,
                               txs: bool = False, filt: int = 0,
                               lr: bool = False, rect: bool = False,
-                              nrefs: int = 2):
+                              nrefs: int = 2, aq: bool = False):
     """Dynamic-q multi-ref step: fn(sy, su, sv, r0..., r1...[, r2...],
     qindex, lf_y, lf_u, lf_v); one compile serves every qindex (hier-B
     layer offsets, rate control).  compound=True adds the
@@ -1218,6 +1239,6 @@ def build_b_frame_encoder_dyn(ph: int, pw: int, mi_rows: int, mi_cols: int,
     single-prediction reference (far bwd / ALTREF) to the argmin."""
     fn = p_frame_step(ph, pw, None, search, nrefs=nrefs,
                       compound=compound, bd=bd, rdo=rdo, txs=txs,
-                      filt=filt, lr=lr, rect=rect)
+                      filt=filt, lr=lr, rect=rect, aq=aq)
     fn.bind_masks(mi_rows, mi_cols, False, cdef)
     return jax.jit(fn)

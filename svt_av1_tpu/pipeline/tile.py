@@ -209,7 +209,7 @@ class TileWriter:
                      levels: dict, cdef_idx=None, refs=None,
                      sign_bias=None, comp_pair=None, mvs2=None,
                      txty=None, gm=None, shapes=None,
-                     warp8=None) -> bytes:
+                     warp8=None, qmap=None, delta_q_res: int = 0) -> bytes:
         """P/B-frame tile: variable-partition single-ref NEWMV blocks.
 
         sizes:  [nb8h, nb8w] leaf size (8/16/32/64) covering each 8x8
@@ -247,13 +247,37 @@ class TileWriter:
         self.ref_select = comp_pair is not None
         self.inter = True
         self.cdef_idx = cdef_idx
+        # per-superblock delta-q (spec read_delta_qindex): qmap holds
+        # each SB's ABSOLUTE target qindex (base + AQ offset, already on
+        # the delta_q_res grid); the running CurrentQIndex mirrors the
+        # decoder's state machine
+        self.qmap = qmap
+        self.dq_res = delta_q_res
+        self._cur_q = self.qindex
         self.mi = MVP.MiInter(tc.mi_rows, tc.mi_cols)
         for r4 in range(0, tc.mi_rows, SB_MI):
             for c4 in range(0, tc.mi_cols, SB_MI):
                 self._cdef_done = False
+                self._dq_done = False
                 self._write_lr(r4, c4)
                 self._partition(r4, c4, SB_MI)
         return self.enc.done()
+
+    def _write_delta_q(self, r4: int, c4: int, w4: int, h4: int,
+                       skip: int) -> None:
+        """spec read_delta_qindex: at each SB's first block, after the
+        cdef index; an SB-sized skip block codes nothing."""
+        if getattr(self, "qmap", None) is None or self._dq_done:
+            return
+        if (r4 % SB_MI) or (c4 % SB_MI):
+            return
+        self._dq_done = True
+        if w4 == SB_MI and h4 == SB_MI and skip:
+            return
+        target = int(self.qmap[r4 // SB_MI, c4 // SB_MI])
+        delta = (target - self._cur_q) >> self.dq_res
+        S.code_delta_q(self.enc, None, self.fc, delta)
+        self._cur_q += delta << self.dq_res
 
     def _write_cdef(self, r4: int, c4: int, skip: int) -> None:
         """ref write_cdef (EbEntropyCoding.c): emit the 64x64 unit's
@@ -338,6 +362,7 @@ class TileWriter:
         enc.encode_symbol(skip, cdf, 2)
         update_icdf(cdf, skip, 2)
         self._write_cdef(r4, c4, skip)
+        self._write_delta_q(r4, c4, w4, h4, skip)
 
         # is_inter + ref frame(s)
         ref = (MVP.LAST_FRAME if self.refs is None
