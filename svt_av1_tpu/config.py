@@ -57,7 +57,12 @@ class EncoderConfig:
     target_bit_rate: int = 0
     min_qp_allowed: int = 0
     max_qp_allowed: int = 63
-    enable_adaptive_quantization: bool = False
+    # adaptive quantization (ref --adaptive-quantization levels):
+    # 0/False off; 1/True frame-level q offset from picture analysis;
+    # 2 per-superblock delta-q (spec 5.9.17 deltas; hier-B inter
+    # frames; routes entropy through the Python tile writer until the
+    # C++ coder learns the delta_q symbol)
+    enable_adaptive_quantization: int = 0
 
     # --- AV1 tools (ref :260-345) ---
     tile_columns_log2: int = 0

@@ -512,7 +512,7 @@ class Encoder:
         # device, the entropy stage codes the per-SB deltas
         DQ_RES = 2
         qmap = None
-        aq_on = bool(cfg.enable_adaptive_quantization)
+        aq_on = int(cfg.enable_adaptive_quantization) >= 2
         if aq_on:
             from svt_av1_tpu.pipeline.analysis import analyze, aq_sb_qmap
             m = aq_sb_qmap(analyze(frame.y), qindex, res=DQ_RES,

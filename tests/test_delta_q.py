@@ -37,7 +37,7 @@ def test_delta_q_hier_bit_exact_and_signaled():
     frames = _mixed_clip(9)
     enc = Encoder(EncoderConfig(width=W, height=H, qp=40, intra_period=-1,
                                 pred_structure=2, hierarchical_levels=2,
-                                enable_adaptive_quantization=True,
+                                enable_adaptive_quantization=2,
                                 scene_change_detection=False))
     for f in frames:
         enc.send_picture(f)
