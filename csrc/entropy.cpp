@@ -166,6 +166,7 @@ struct Tables {
   int32_t* nmv_bits;      // [2][10][3]
   int32_t* cfl_sign;      // [9]
   int32_t* cfl_alpha;     // [6][17]
+  int32_t* delta_q;       // [5] (per-SB delta_q abs symbol)
 };
 
 constexpr long TABLE_SIZES[] = {
@@ -177,7 +178,7 @@ constexpr long TABLE_SIZES[] = {
     6 * 3, 2 * 3, 6 * 3, 3 * 3, 4 * 3, 3 * 6 * 3, 4 * 4 * 17,
     5 * 3, 5 * 3, 3 * 3 * 3, 3 * 2 * 3, 8 * 9,
     5, 2 * 12, 2 * 2 * 5, 2 * 5, 2 * 3, 2 * 3, 2 * 3, 2 * 3, 2 * 10 * 3,
-    9, 6 * 17,
+    9, 6 * 17, 5,
 };
 constexpr int N_TABLES = sizeof(TABLE_SIZES) / sizeof(long);
 
@@ -201,7 +202,7 @@ void bind_tables(Tables* t, int32_t* blob) {
       &t->inter_comp_mode,
       &t->nmv_joints, &t->nmv_classes, &t->nmv_class0_fp, &t->nmv_fp,
       &t->nmv_sign, &t->nmv_class0_hp, &t->nmv_hp, &t->nmv_class0,
-      &t->nmv_bits, &t->cfl_sign, &t->cfl_alpha};
+      &t->nmv_bits, &t->cfl_sign, &t->cfl_alpha, &t->delta_q};
   for (int i = 0; i < N_TABLES; ++i) {
     *slots[i] = p;
     p += TABLE_SIZES[i];
@@ -608,6 +609,31 @@ struct TileWriter {
     cdef_done = true;
   }
 
+  void write_delta_q(int r4, int c4, int n4, bool skip) {
+    // spec read_delta_qindex: first block of each SB, after the cdef
+    // index; an SB-sized skip block codes nothing (twin of
+    // pipeline/tile.py _write_delta_q + syntax code_delta_q)
+    if (qmap == nullptr || dq_done) return;
+    if ((r4 & 15) || (c4 & 15)) return;
+    dq_done = true;
+    if (n4 == 16 && skip) return;
+    const int target = qmap[static_cast<size_t>(r4 / 16) * nsb_w + c4 / 16];
+    const int delta = (target - cur_q) / (1 << dq_res);
+    int a = delta < 0 ? -delta : delta;
+    const int sym = a < 3 ? a : 3;
+    code_sym(t.delta_q, sym, 4);
+    if (sym == 3) {
+      const int n = 31 - __builtin_clz(static_cast<unsigned>(a - 1));
+      for (int i = 2; i >= 0; --i)
+        enc.encode_bool(((n - 1) >> i) & 1, 16384);
+      const int bits = a - 1 - (1 << n);
+      for (int i = n - 1; i >= 0; --i)
+        enc.encode_bool((bits >> i) & 1, 16384);
+    }
+    if (a) enc.encode_bool(delta < 0 ? 1 : 0, 16384);
+    cur_q += delta << dq_res;
+  }
+
   // --- intra leaf (8x8, or 16x16 from the multi-size wavefront) ---
   void write_block(int r4, int c4, int n4 = 2) {
     int br = r4 >> 1, bc = c4 >> 1;
@@ -728,6 +754,11 @@ struct TileWriter {
   int cdef_bits = 2;
   int nsb_w = 0;
   bool cdef_done = false;             // per-64x64 first-non-skip flag
+  // per-SB delta-q (spec read_delta_qindex): absolute qindex targets
+  const int32_t* qmap = nullptr;      // [nsb_h][nsb_w]
+  int dq_res = 0;
+  int cur_q = 0;                      // CurrentQIndex state machine
+  bool dq_done = false;               // per-SB first-block flag
   const int32_t* mvs = nullptr;      // [nb8h][nb8w][2] 1/8-pel (selected)
   const uint8_t* ref_map = nullptr;  // [nb8h][nb8w] ref type 1..7 (LAST..
                                      // ALTREF); 0 = compound cell;
@@ -1307,6 +1338,7 @@ struct TileWriter {
     int left = c4 > 0 ? skips[r4 * mi_cols + c4 - 1] : 0;
     code_bin(t.skip + (above + left) * 3, skip ? 1 : 0);
     write_cdef_idx(r4, c4, skip);
+    write_delta_q(r4, c4, n4, skip);
 
     // is_inter (ctx from coded top/left intra-vs-inter state)
     bool ha = r4 > 0 && mi_valid[(r4 - 1) * mi_cols + c4];
@@ -1630,7 +1662,8 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
                            int comp_bwd, const uint8_t* txty,
                            const uint8_t* gm_type, const int32_t* gm_vec,
                            const int16_t* pack_y, const int16_t* pack_u,
-                           const int16_t* pack_v) {
+                           const int16_t* pack_v, const int32_t* qmap,
+                           int dq_res) {
   TileWriter tw;
   tw.init(mi_rows, mi_cols, qindex, reduced_tx_set, cdf_blob);
   tw.inter_frame = true;
@@ -1644,6 +1677,9 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
   tw.ref_select = mvs2 != nullptr;
   tw.comp_fwd = comp_fwd;
   tw.comp_bwd = comp_bwd;
+  tw.qmap = qmap;
+  tw.dq_res = dq_res;
+  tw.cur_q = qindex;
   if (sign_bias)
     for (int i = 0; i < 8; ++i) tw.sign_bias[i] = sign_bias[i];
   if (pack_y) {
@@ -1662,6 +1698,7 @@ long svt_encode_tile_inter(int mi_rows, int mi_cols, int qindex,
   for (int r4 = 0; r4 < mi_rows; r4 += 16)
     for (int c4 = 0; c4 < mi_cols; c4 += 16) {
       tw.cdef_done = false;
+      tw.dq_done = false;
       tw.partition(r4, c4, 16);
     }
   return tw.enc.done(out, out_cap);

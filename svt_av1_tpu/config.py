@@ -59,9 +59,9 @@ class EncoderConfig:
     max_qp_allowed: int = 63
     # adaptive quantization (ref --adaptive-quantization levels):
     # 0/False off; 1/True frame-level q offset from picture analysis;
-    # 2 per-superblock delta-q (spec 5.9.17 deltas; hier-B inter
-    # frames; routes entropy through the Python tile writer until the
-    # C++ coder learns the delta_q symbol)
+    # 2 adds per-superblock delta-q on hier-B inter frames (spec 5.9.17
+    # deltas; variance-masking maps; C++ and Python entropy both code
+    # the delta_q symbol)
     enable_adaptive_quantization: int = 0
 
     # --- AV1 tools (ref :260-345) ---

@@ -33,7 +33,7 @@ _TABLE_ORDER = [
     "inter_compound_mode",
     "nmv_joints", "nmv_classes", "nmv_class0_fp", "nmv_fp", "nmv_sign",
     "nmv_class0_hp", "nmv_hp", "nmv_class0", "nmv_bits",
-    "cfl_sign", "cfl_alpha",
+    "cfl_sign", "cfl_alpha", "delta_q",
 ]
 
 
@@ -83,6 +83,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
     ]
     return lib
 
@@ -150,7 +151,8 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
                           cdef_idx=None, cdef_bits: int = 2,
                           refs=None, sign_bias=None, mvs2=None,
                           comp_pair=(1, 7), txty=None, gm=None,
-                          packs=None) -> bytes:
+                          packs=None, qmap=None,
+                          delta_q_res: int = 0) -> bytes:
     """levels: {8: (ly,lu,lv), ..., 64: (...)} per-size level grids; OR
     packs = (py, pu, pv) per-8x8-cell level tiles ([nb8h, nb8w, 8, 8]
     luma / [.., 4, 4] chroma int16 — the device step's native layout,
@@ -215,7 +217,10 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
         None if gv is None else p(gv, ctypes.c_int32),
         None if pk is None else p(pk[0], ctypes.c_int16),
         None if pk is None else p(pk[1], ctypes.c_int16),
-        None if pk is None else p(pk[2], ctypes.c_int16))
+        None if pk is None else p(pk[2], ctypes.c_int16),
+        None if qmap is None else p(
+            np.ascontiguousarray(qmap, np.int32), ctypes.c_int32),
+        delta_q_res)
     if n < 0:
         raise RuntimeError("tile buffer overflow")
     return bytes(out[:n])

@@ -1388,7 +1388,6 @@ class Encoder:
             t_qm = sl(qmap, r0, c0, hm, wm, 16)
             fc = FrameContext(qindex)
             if (lr is None and t_sh is None and t_wp is None
-                    and t_qm is None
                     and cfg.entropy_backend in ("auto", "cpp")):
                 from svt_av1_tpu.entropy import backend as native
                 if native.available():
@@ -1396,7 +1395,8 @@ class Encoder:
                         fc, hm, wm, qindex, t_sizes, t_mv, packs=t_pk,
                         cdef_idx=t_ci, refs=t_refs, sign_bias=sign_bias,
                         mvs2=t_mv2 if ref_select else None,
-                        comp_pair=comp_pair or (1, 7), txty=t_tt, gm=gm)
+                        comp_pair=comp_pair or (1, 7), txty=t_tt, gm=gm,
+                        qmap=t_qm, delta_q_res=dq_res)
                 if cfg.entropy_backend == "cpp":
                     raise RuntimeError("C++ entropy backend unavailable")
             # Python writer (LR / rect / warp frames): stitch the
