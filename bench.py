@@ -277,11 +277,14 @@ def main(argv=None) -> int:
     # configs 1-2, then heavyweight 4-5 — each gated on remaining
     # budget (estimated cost incl. possible cold compiles) and
     # individually failure-isolated.
+    # estimates include possible cold compiles (measured: the 4K-10bit
+    # full-RD config compiles for many minutes through the remote
+    # compiler — better to record "skipped: budget" than die trying)
     for name, fn, est in (
         ("480p_allintra_cqp_fps", run_intra_480p, 120.0),
         ("720p_lowdelayP_fps", run_ldp_720p, 150.0),
-        ("4k10_vod_rdo_lr_fps", run_vod_4k10, 420.0),
-        ("4x1080p_live_agg_fps", run_live_4x1080, 240.0),
+        ("4k10_vod_rdo_lr_fps", run_vod_4k10, 900.0),
+        ("4x1080p_live_agg_fps", run_live_4x1080, 300.0),
     ):
         if remaining() < est:
             _result["extra"][name] = "skipped: budget"
