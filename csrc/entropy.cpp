@@ -618,7 +618,9 @@ struct TileWriter {
     dq_done = true;
     if (n4 == 16 && skip) return;
     const int target = qmap[static_cast<size_t>(r4 / 16) * nsb_w + c4 / 16];
-    const int delta = (target - cur_q) / (1 << dq_res);
+    // arithmetic shift (floor), matching the Python twin; targets are
+    // asserted step-aligned at the backend boundary
+    const int delta = (target - cur_q) >> dq_res;
     int a = delta < 0 ? -delta : delta;
     const int sym = a < 3 ? a : 3;
     code_sym(t.delta_q, sym, 4);
@@ -631,7 +633,10 @@ struct TileWriter {
         enc.encode_bool((bits >> i) & 1, 16384);
     }
     if (a) enc.encode_bool(delta < 0 ? 1 : 0, 16384);
+    // mirror the decoder's Clip3(1, 255, ...) on CurrentQIndex
     cur_q += delta << dq_res;
+    if (cur_q < 1) cur_q = 1;
+    if (cur_q > 255) cur_q = 255;
   }
 
   // --- intra leaf (8x8, or 16x16 from the multi-size wavefront) ---

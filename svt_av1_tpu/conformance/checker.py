@@ -305,9 +305,8 @@ def _check_frame_header(payload: bytes, s: SeqInfo,
         raise ConformanceError("segmentation not produced")
     if base_q > 0:
         if b.f(1):                           # delta_q_present (legal:
-            dq_res = b.f(2)                  # per-SB AQ) + delta_q_res
-            if not 1 <= dq_res <= 3:
-                raise ConformanceError("delta_q_res out of range")
+            b.f(2)                           # per-SB AQ) + delta_q_res
+            # delta_q_res 0..3 all spec-legal (0 = step 1)
     # spec 5.9.11/5.9.19/5.9.20: no loop filter / cdef / lr syntax when
     # allow_intrabc (filters are forced off)
     if not allow_intrabc:

@@ -352,8 +352,10 @@ class Decoder:
                       skip: int) -> None:
         """Mirror of TileWriter._write_delta_q (spec
         read_delta_qindex): updates CurrentQIndex at each SB's first
-        block; an SB-sized skip block carries no delta."""
-        if not self.fp.delta_q_res or self._dq_done:
+        block; an SB-sized skip block carries no delta.  Gated on the
+        present FLAG, not the res value — present=1 with res=0 is
+        spec-legal (step 1) and must still consume the symbol."""
+        if not self.fp.delta_q_on or self._dq_done:
             return
         if (r4 % SB_MI) or (c4 % SB_MI):
             return
@@ -367,7 +369,7 @@ class Decoder:
     def _block_q(self) -> int:
         """qindex for the current block's dequant: CurrentQIndex when
         the frame codes per-SB delta-q, else the frame base."""
-        return (self._cur_q if self.fp.delta_q_res
+        return (self._cur_q if self.fp.delta_q_on
                 else self.fp.base_q_idx)
 
     def _partition(self, r4: int, c4: int, n4: int) -> None:

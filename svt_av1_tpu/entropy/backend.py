@@ -161,6 +161,17 @@ def encode_tile_inter_cpp(fc: FrameContext, mi_rows: int, mi_cols: int,
     blob = build_blob(fc)
     assert blob.size == lib.svt_tile_blob_size(), \
         (blob.size, lib.svt_tile_blob_size())
+    if qmap is not None:
+        # the writer's running CurrentQIndex starts at base q and moves
+        # in (1 << delta_q_res) steps: every target must sit on that
+        # grid and in the decoder's Clip3 range or coded q diverges
+        # from the quantization q (recon drift)
+        step = 1 << delta_q_res
+        qa = np.asarray(qmap, np.int32)
+        assert ((qa - int(qindex)) % step == 0).all(), \
+            "qmap targets not on the delta_q_res grid"
+        assert (qa >= 1).all() and (qa <= 255).all(), \
+            "qmap targets outside Clip3(1, 255)"
     nb8h, nb8w = sizes.shape
     sz = np.ascontiguousarray(sizes, np.uint8)
     mv = np.ascontiguousarray(mvs, np.int32)

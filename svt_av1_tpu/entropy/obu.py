@@ -284,10 +284,18 @@ class FrameParams:
     # in-loop filters are off, spec 5.9.11/5.9.19/5.9.20)
     allow_screen_content: bool = False
     allow_intrabc: bool = False
-    # per-superblock delta-q (spec 5.9.17 quantization_params): 0 = off;
-    # 1..3 codes delta_q_present with delta_q_res = this log2 step
-    # (per-SB deltas apply as reduced << delta_q_res)
+    # per-superblock delta-q (spec 5.9.17 quantization_params):
+    # delta_q_present gates the per-SB syntax; delta_q_res (0..3) is the
+    # log2 step (per-SB deltas apply as reduced << delta_q_res).  A
+    # conformant stream may code present=1 with res=0, so the two are
+    # tracked separately; delta_q_res > 0 with present unset still means
+    # "on" (the encoder's historical shorthand).
     delta_q_res: int = 0
+    delta_q_present: bool = False
+
+    @property
+    def delta_q_on(self) -> bool:
+        return self.delta_q_present or self.delta_q_res > 0
 
     @property
     def is_intra(self) -> bool:
@@ -517,8 +525,8 @@ def write_frame_header_bits(sp: SequenceParams, fp: FrameParams) -> BitWriter:
     w.f(0, 1)                    # using_qmatrix
     w.f(0, 1)                    # segmentation_enabled
     if fp.base_q_idx > 0:
-        w.f(1 if fp.delta_q_res else 0, 1)   # delta_q_present
-        if fp.delta_q_res:
+        w.f(1 if fp.delta_q_on else 0, 1)    # delta_q_present
+        if fp.delta_q_on:
             w.f(fp.delta_q_res, 2)           # delta_q_res (log2)
     # loop_filter_params / cdef_params / lr_params are NOT coded when
     # allow_intrabc (spec 5.9.11/5.9.19/5.9.20: defaults, filters off)
@@ -732,8 +740,10 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
     assert r.f(1) == 0  # qmatrix
     assert r.f(1) == 0  # segmentation
     delta_q_res = 0
+    delta_q_present = False
     if base_q_idx > 0 and r.f(1):   # delta_q_present
-        delta_q_res = r.f(2)
+        delta_q_present = True
+        delta_q_res = r.f(2)        # 0..3 all spec-legal
     l0 = l1 = lu = lv_ = 0
     if not allow_intrabc:
         l0, l1 = r.f(6), r.f(6)
@@ -800,7 +810,8 @@ def parse_frame_header_bits(r: BitReader, sp: SequenceParams,
                        allow_warped_motion=allow_warped,
                        allow_screen_content=allow_sc,
                        allow_intrabc=allow_intrabc,
-                       delta_q_res=delta_q_res)
+                       delta_q_res=delta_q_res,
+                       delta_q_present=delta_q_present)
 
 
 def tile_starts(sp: SequenceParams, cols_log2: int, rows_log2: int):

@@ -40,6 +40,10 @@ class Packet:
     # the picture this TU codes or shows (None for flat modes)
     show: bool = True
     display_idx: Optional[int] = None
+    # the ACTUALLY dispatched frame qindex (incl. layer/AQ offsets and
+    # clipping) — RC feedback fits its bit models against this, not a
+    # re-derivation (which drifts once the next span re-plans base q)
+    qindex: Optional[int] = None
 
 
 class Encoder:
@@ -176,13 +180,17 @@ class Encoder:
             self._qp_queue: list = []
         self._qp_queue.append(qp)
 
-    def _aq_offset(self, frame: Frame) -> int:
+    def _aq_offset(self, frame: Frame, stats=None) -> int:
         """Frame-level adaptive quantization from picture analysis (ref
-        SourceBasedOperations QP scaling; pipeline/analysis.py)."""
+        SourceBasedOperations QP scaling; pipeline/analysis.py).
+        stats: pre-computed PictureStats (the per-SB variance pass costs
+        real host time at 1080p — callers that also need the per-SB
+        qmap analyze once and share)."""
         if not self.cfg.enable_adaptive_quantization:
             return 0
         from svt_av1_tpu.pipeline.analysis import analyze, aq_frame_offset
-        return aq_frame_offset(analyze(frame.y), self.cfg.bit_depth)
+        return aq_frame_offset(stats if stats is not None
+                               else analyze(frame.y), self.cfg.bit_depth)
 
     def _frame_qindex(self, is_key: bool) -> int:
         q = getattr(self, "_qp_queue", None)
@@ -403,15 +411,24 @@ class Encoder:
             else:
                 pending_pins[d] = n
         self._unpin(lo)                    # release the old anchor pin
+        aq2 = int(self.cfg.enable_adaptive_quantization) >= 2
         for step in steps:
             if isinstance(step, CodeStep):
+                stats = None
+                if self.cfg.enable_adaptive_quantization:
+                    # ONE variance pass per frame, shared by the frame
+                    # offset and the per-SB qmap (advisor: analyze ran
+                    # twice per frame at 1080p)
+                    from svt_av1_tpu.pipeline.analysis import analyze
+                    stats = analyze(frames[step.disp].y)
                 base_q = self._frame_qindex(False)
                 q = layer_qindex(base_q, step.layer)
                 q = max(1, min(255,
-                               q + self._aq_offset(frames[step.disp])))
+                               q + self._aq_offset(frames[step.disp],
+                                                   stats)))
                 self._dispatch_code(step, frames[step.disp], q,
                                     pending_pins.pop(step.disp, 0),
-                                    alt=hi)
+                                    alt=hi, stats=stats if aq2 else None)
                 self._unpin(step.fwd)
                 if step.bwd is not None:
                     self._unpin(step.bwd)
@@ -490,7 +507,7 @@ class Encoder:
         return self._interp_filt
 
     def _dispatch_code(self, step, frame: Frame, qindex: int,
-                       pins: int, alt=None) -> None:
+                       pins: int, alt=None, stats=None) -> None:
         """Device-dispatch one hier frame (P for the base layer, multi-
         ref B otherwise) and enqueue its packet metadata.
 
@@ -515,7 +532,8 @@ class Encoder:
         aq_on = int(cfg.enable_adaptive_quantization) >= 2
         if aq_on:
             from svt_av1_tpu.pipeline.analysis import analyze, aq_sb_qmap
-            m = aq_sb_qmap(analyze(frame.y), qindex, res=DQ_RES,
+            m = aq_sb_qmap(stats if stats is not None
+                           else analyze(frame.y), qindex, res=DQ_RES,
                            bd=cfg.bit_depth)
             qmap = np.full((ph32 // 64, pw32 // 64), qindex, np.int32)
             qmap[: m.shape[0], : m.shape[1]] = m[: ph32 // 64,
@@ -1125,7 +1143,8 @@ class Encoder:
             self._packets.append(pkt)
             if self._rc is not None:
                 self._rc.update(len(pkt.payload) * 8, pkt.is_keyframe,
-                                layer=(meta or {}).get("layer", 0))
+                                layer=(meta or {}).get("layer", 0),
+                                qindex=pkt.qindex)
             return
         kind, frames, out, nbh, nbw, qindex = entry[:6]
         deb = entry[6] if len(entry) > 6 else None
@@ -1188,7 +1207,8 @@ class Encoder:
                 p.pts = base_idx + i
             self._packets.append(p)
             if self._rc is not None:
-                self._rc.update(len(p.payload) * 8, p.is_keyframe)
+                self._rc.update(len(p.payload) * 8, p.is_keyframe,
+                                qindex=p.qindex)
 
     def _fetch_inter_arrs(self, out, lay, force_recon: bool = False
                           ) -> dict:
@@ -1470,7 +1490,7 @@ class Encoder:
                 rv[: (self.seq.height + 1) // 2,
                    : (self.seq.width + 1) // 2].astype(self._px))
         psnr = _psnr(frame, recon) if (cfg.stat_report and recon) else None
-        return Packet(payload, -1, False, recon, psnr)
+        return Packet(payload, -1, False, recon, psnr, qindex=qindex)
 
     def _make_packet(self, frame: Frame, dev: dict, qindex: int,
                      meta=None, coded_idx: int = 0) -> Packet:
@@ -1554,7 +1574,7 @@ class Encoder:
                                : (self.seq.width + 1) // 2].astype(px))
         psnr = (_psnr(frame, recon, cfg.bit_depth)
                 if (cfg.stat_report and recon) else None)
-        return Packet(payload, -1, True, recon, psnr)
+        return Packet(payload, -1, True, recon, psnr, qindex=qindex)
 
     def _grain_for(self, n: int):
         """Per-frame film grain params: the seed advances 3381 per coded

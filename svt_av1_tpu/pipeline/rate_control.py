@@ -65,7 +65,8 @@ class ModelRateController:
         qi = self.qi - (self.KEY_BOOST_Q if is_key else 0)
         return int(np.clip(qi, self.min_qi, self.max_qi))
 
-    def update(self, bits: int, is_key: bool, layer: int = 0) -> None:
+    def update(self, bits: int, is_key: bool, layer: int = 0,
+               qindex=None) -> None:
         if layer < 0:           # header-only TU (show_existing)
             self.fullness += bits
             return
@@ -93,7 +94,9 @@ class GopRateController:
     measured intra/inter complexity ratio instead of a hardcoded 4x.
     """
 
-    LAYER_OFF = (-8, 6, 12, 16, 18)   # matches pipeline.gop layer offsets
+    # single source of truth: the dispatcher applies gop.layer_qindex,
+    # so the bit models must see the identical per-layer offsets
+    from svt_av1_tpu.pipeline.gop import LAYER_Q_OFFSET as LAYER_OFF
 
     def __init__(self, target_bit_rate: int, fps: float,
                  min_qp: int = 0, max_qp: int = 63,
@@ -162,16 +165,22 @@ class GopRateController:
                                self.max_qi))
         return int(np.clip(self.base_qi, self.min_qi, self.max_qi))
 
-    def update(self, bits: int, is_key: bool, layer: int = 0) -> None:
+    def update(self, bits: int, is_key: bool, layer: int = 0,
+               qindex=None) -> None:
+        """qindex: the ACTUALLY dispatched frame qindex (incl. layer
+        offset, AQ offset and clipping) carried through the packet —
+        re-deriving it here would fit C_l against the wrong qstep when
+        feedback arrives after the next plan_span re-plans base_qi."""
         self.fullness += bits - (self.target_bpf if layer >= 0 else 0)
         if self.constrained:
             cap = self.target_bpf * self.fps
             self.fullness = float(np.clip(self.fullness, -cap, cap))
         if layer < 0:
             return    # show_existing / header-only TU: bits only
-        qi = self.frame_qindex(is_key)
-        c_obs = bits * self._qstep(
-            qi if is_key else qi + self.LAYER_OFF[min(layer, 4)])
+        if qindex is None:
+            qi = self.frame_qindex(is_key)
+            qindex = qi if is_key else qi + self.LAYER_OFF[min(layer, 4)]
+        c_obs = bits * self._qstep(qindex)
         if is_key:
             self._key_C = (c_obs if self._key_C is None
                            else 0.5 * self._key_C + 0.5 * c_obs)
@@ -204,7 +213,8 @@ class RateController:
             qi -= self.KEY_BOOST_Q
         return int(np.clip(qi, self.min_qi, self.max_qi))
 
-    def update(self, bits: int, is_key: bool, layer: int = 0) -> None:
+    def update(self, bits: int, is_key: bool, layer: int = 0,
+               qindex=None) -> None:
         """Feedback after a frame is packetized (ref RC feedback tasks)."""
         if layer < 0:           # header-only TU (show_existing)
             self.fullness += bits

@@ -275,9 +275,14 @@ class TileWriter:
         if w4 == SB_MI and h4 == SB_MI and skip:
             return
         target = int(self.qmap[r4 // SB_MI, c4 // SB_MI])
+        assert (target - self._cur_q) % (1 << self.dq_res) == 0, \
+            "qmap target not on the delta_q_res grid (coded q would " \
+            "diverge from the quantization q)"
         delta = (target - self._cur_q) >> self.dq_res
         S.code_delta_q(self.enc, None, self.fc, delta)
-        self._cur_q += delta << self.dq_res
+        # mirror the decoder's Clip3(1, 255, ...) on CurrentQIndex
+        self._cur_q = int(np.clip(self._cur_q + (delta << self.dq_res),
+                                  1, 255))
 
     def _write_cdef(self, r4: int, c4: int, skip: int) -> None:
         """ref write_cdef (EbEntropyCoding.c): emit the 64x64 unit's
