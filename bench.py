@@ -13,6 +13,14 @@ headline on stdout.  A SIGALRM watchdog prints whatever has been
 measured and exits 0 if the total budget is exceeded (round 3 shipped
 rc=124/parsed:null by printing nothing until all configs finished).
 
+Reproducibility invariant (round-4 fix): every timed section counts
+XLA compilations (a logging hook on jax's dispatch logger).  A compile
+inside a timed region invalidates the measurement — the run is redone
+once (now warm) and the pollution is recorded in "extra".  The repo
+ships a committed TPU persistent-compile cache (.jax_cache/tpu,
+populated by tools/prewarm.py) so a fresh container starts warm; the
+in-run warmups remain as the safety net.
+
 vs_baseline is the ratio to a 30 fps real-time floor (the reference's
 VOD/live positioning, README.md:7; the reference repo publishes no
 absolute fps — BASELINE.md "published: none").
@@ -29,6 +37,7 @@ excluded via warmup).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import signal
 import sys
@@ -37,16 +46,50 @@ import time
 import numpy as np
 
 # persistent XLA compile cache: the remote AOT compile of the big frame
-# steps costs minutes; cache across runs/processes
+# steps costs minutes; the TPU cache ships IN THE REPO (.jax_cache/tpu)
+# so driver runs in fresh containers start warm
 import jax  # noqa: E402
 
-from svt_av1_tpu.utils.cache import jax_cache_dir
+from svt_av1_tpu.utils.cache import setup_jax_cache
 
-jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # test harnesses force CPU without fighting sitecustomize's axon env
 if os.environ.get("SVT_BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["SVT_BENCH_PLATFORM"])
+setup_jax_cache(jax)
+
+
+class _CompileCounter(logging.Handler):
+    """Counts XLA compilations via jax's dispatch log records — the
+    bench invariant is ZERO compiles inside any timed section."""
+
+    def __init__(self) -> None:
+        super().__init__(level=logging.DEBUG)
+        self.count = 0
+
+    def emit(self, record: logging.LogRecord) -> None:
+        if "Finished XLA compilation" in record.getMessage():
+            self.count += 1
+
+
+_compiles = _CompileCounter()
+_dispatch_logger = logging.getLogger("jax._src.dispatch")
+_dispatch_logger.addHandler(_compiles)
+_dispatch_logger.setLevel(logging.DEBUG)
+_dispatch_logger.propagate = False
+
+
+class timed:
+    """Timed-section guard: wall clock + compile count."""
+
+    def __enter__(self):
+        self.compiles0 = _compiles.count
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.dt = time.perf_counter() - self.t0
+        self.compiles = _compiles.count - self.compiles0
+        return False
 
 
 def synthetic_clip(w: int, h: int, n: int):
@@ -69,7 +112,7 @@ def synthetic_clip(w: int, h: int, n: int):
     return frames
 
 
-def run_intra_480p() -> float:
+def run_intra_480p():
     from svt_av1_tpu.config import EncoderConfig
     from svt_av1_tpu.io.yuv import synthetic_frame
     from svt_av1_tpu.pipeline.encoder import Encoder
@@ -82,15 +125,15 @@ def run_intra_480p() -> float:
         enc.send_picture(f)
     for _ in range(32):
         enc.get_packet()
-    t0 = time.perf_counter()
-    for f in frames:
-        enc.send_picture(f)
-    for _ in frames:
-        enc.get_packet()
-    return N / (time.perf_counter() - t0)
+    with timed() as t:
+        for f in frames:
+            enc.send_picture(f)
+        for _ in frames:
+            enc.get_packet()
+    return N / t.dt, t
 
 
-def run_ldp_720p() -> float:
+def run_ldp_720p():
     from svt_av1_tpu.config import EncoderConfig
     from svt_av1_tpu.pipeline.encoder import Encoder
 
@@ -103,17 +146,17 @@ def run_ldp_720p() -> float:
         enc.send_picture(f)
     for _ in range(4):
         enc.get_packet()
-    t0 = time.perf_counter()
-    for f in frames:
-        enc.send_picture(f)
-    n = 0
-    while n < N:
-        if enc.get_packet() is not None:
-            n += 1
-    return N / (time.perf_counter() - t0)
+    with timed() as t:
+        for f in frames:
+            enc.send_picture(f)
+        n = 0
+        while n < N:
+            if enc.get_packet() is not None:
+                n += 1
+    return N / t.dt, t
 
 
-def run_hierb_1080p() -> float:
+def run_hierb_1080p():
     from svt_av1_tpu.config import EncoderConfig
     from svt_av1_tpu.pipeline.encoder import Encoder
 
@@ -130,18 +173,16 @@ def run_hierb_1080p() -> float:
     while enc.get_packet() is not None:
         pass
     enc2 = Encoder(EncoderConfig(**cfg))
-    t0 = time.perf_counter()
-    for f in frames:
-        enc2.send_picture(f)
-    enc2.flush()
-    n = 0
-    while enc2.get_packet() is not None:
-        n += 1
-    dt = time.perf_counter() - t0
-    return N / dt
+    with timed() as t:
+        for f in frames:
+            enc2.send_picture(f)
+        enc2.flush()
+        while enc2.get_packet() is not None:
+            pass
+    return N / t.dt, t
 
 
-def run_vod_4k10() -> float:
+def run_vod_4k10():
     """Config 4: 4K 10-bit VOD — hier-B, full-RD preset, adaptive
     quantization, restoration.  Few frames: the point is a truthful
     per-frame rate for the heaviest configuration, not a long run."""
@@ -168,16 +209,16 @@ def run_vod_4k10() -> float:
     while enc.get_packet() is not None:     # warmup incl. compile
         pass
     enc2 = Encoder(EncoderConfig(**cfg))
-    t0 = time.perf_counter()
-    for f in frames:
-        enc2.send_picture(f)
-    enc2.flush()
-    while enc2.get_packet() is not None:
-        pass
-    return N / (time.perf_counter() - t0)
+    with timed() as t:
+        for f in frames:
+            enc2.send_picture(f)
+        enc2.flush()
+        while enc2.get_packet() is not None:
+            pass
+    return N / t.dt, t
 
 
-def run_live_4x1080() -> float:
+def run_live_4x1080():
     """Config 5 (single-chip form): 4 x 1080p live streams batched
     through one vmapped device step (pipeline/multistream.py — the
     multi-channel-instances analog; cross-host GOP sharding is the
@@ -205,13 +246,13 @@ def run_live_4x1080() -> float:
     ms = MultiStreamEncoder(cfg, S)
     for i in range(2):                      # warmup: key + P compile
         ms.send(slot(i))
-    t0 = time.perf_counter()
-    for i in range(2, 2 + N):
-        ms.send(slot(i))
-    return S * N / (time.perf_counter() - t0)
+    with timed() as t:
+        for i in range(2, 2 + N):
+            ms.send(slot(i))
+    return S * N / t.dt, t
 
 
-def run_smoke() -> float:
+def run_smoke():
     """Tiny all-intra config: proves the end-to-end path + JSON contract
     in seconds (no separate warmup encoder, minimal frames)."""
     from svt_av1_tpu.config import EncoderConfig
@@ -222,12 +263,12 @@ def run_smoke() -> float:
     enc = Encoder(EncoderConfig(width=W, height=H, qp=40, device_batch=N,
                                 recon_output=False))
     frames = [synthetic_frame(W, H, seed=i) for i in range(N)]
-    t0 = time.perf_counter()
-    for f in frames:
-        enc.send_picture(f)
-    for _ in frames:
-        enc.get_packet()
-    return N / (time.perf_counter() - t0)
+    with timed() as t:
+        for f in frames:
+            enc.send_picture(f)
+        for _ in frames:
+            enc.get_packet()
+    return N / t.dt, t
 
 
 HEADLINE = "1080p_hierB_compound_cdef_fps"
@@ -245,10 +286,25 @@ def _watchdog(signum, frame):  # pragma: no cover - timing dependent
     os._exit(0)
 
 
+def _measure(name: str, fn, remaining, est: float):
+    """Run one config with the compile invariant: a compile inside the
+    timed section voids the measurement — rerun once (warm now) when
+    budget allows, and record the pollution either way."""
+    fps, t = fn()
+    if t.compiles:
+        _result["extra"][name + "_compiles_timed"] = t.compiles
+        if remaining() > est:
+            fps2, t2 = fn()
+            if not t2.compiles:
+                _result["extra"][name + "_cold_fps"] = round(fps, 3)
+                return fps2
+    return fps
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if "--smoke" in argv:
-        fps = run_smoke()
+        fps, _t = run_smoke()
         _result["metric"] = "smoke_allintra_fps"
         _result["value"] = round(fps, 3)
         _result["vs_baseline"] = round(fps / 30.0, 4)
@@ -266,31 +322,33 @@ def main(argv=None) -> int:
     # Headline FIRST; a failure falls back to a shorter run so the
     # driver always records a number for the graded metric.
     try:
-        fps3 = run_hierb_1080p()
+        fps3 = _measure(HEADLINE, run_hierb_1080p, remaining, 60.0)
     except Exception as e:             # pragma: no cover
         _result["extra"]["headline_error"] = f"{type(e).__name__}: {e}"
-        fps3 = run_smoke() * 0.0       # keep contract: value present
+        fps3 = 0.0
     _result["value"] = round(fps3, 3)
     _result["vs_baseline"] = round(fps3 / 30.0, 4)
     _emit()                            # land the number NOW
 
-    # configs 1-2, then heavyweight 4-5 — each gated on remaining
-    # budget (estimated cost incl. possible cold compiles) and
-    # individually failure-isolated.
-    # estimates include possible cold compiles (measured: the 4K-10bit
-    # full-RD config compiles for many minutes through the remote
-    # compiler — better to record "skipped: budget" than die trying)
+    # configs 1-2, then 4 BEFORE 5 (4K never recorded a number in
+    # rounds 1-4; it gets budget priority now that the committed
+    # compile cache removes its cold-compile cost) — each gated on
+    # remaining budget and individually failure-isolated.  Estimates
+    # are warm-cache run times + margin; a cold-cache container pays
+    # compiles in the warmup phases, which the per-config gate absorbs
+    # by skipping later configs rather than dying (watchdog backstop).
     for name, fn, est in (
-        ("480p_allintra_cqp_fps", run_intra_480p, 120.0),
-        ("720p_lowdelayP_fps", run_ldp_720p, 150.0),
-        ("4k10_vod_rdo_lr_fps", run_vod_4k10, 900.0),
-        ("4x1080p_live_agg_fps", run_live_4x1080, 300.0),
+        ("480p_allintra_cqp_fps", run_intra_480p, 60.0),
+        ("720p_lowdelayP_fps", run_ldp_720p, 90.0),
+        ("4k10_vod_rdo_lr_fps", run_vod_4k10, 240.0),
+        ("4x1080p_live_agg_fps", run_live_4x1080, 120.0),
     ):
         if remaining() < est:
             _result["extra"][name] = "skipped: budget"
             continue
         try:
-            _result["extra"][name] = round(fn(), 3)
+            _result["extra"][name] = round(
+                _measure(name, fn, remaining, est), 3)
         except Exception as e:         # pragma: no cover
             _result["extra"][name] = f"error: {type(e).__name__}"
     signal.alarm(0)

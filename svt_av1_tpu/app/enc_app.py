@@ -130,6 +130,12 @@ def open_reader(path, args):
 
 
 def main(argv=None) -> int:
+    # persistent compile cache (repo-shipped on TPU backends): frame
+    # steps cold-compile in minutes through remote TPU compilers
+    import jax
+
+    from svt_av1_tpu.utils.cache import setup_jax_cache
+    setup_jax_cache(jax)
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.config_file:

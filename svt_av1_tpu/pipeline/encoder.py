@@ -768,33 +768,29 @@ class Encoder:
                 ibc_maps = (use, dv.astype(np.int32))
                 self._ibc_by_idx[self._frame_idx] = ibc_maps
         part16 = self._rdo and ibc_maps is None
-        if self._rc is None:
-            out, nbh, nbw = IE.dispatch_frame_device(
-                frame.y, frame.u, frame.v, qindex,
-                self.seq.mi_rows, self.seq.mi_cols,
-                self.cfg.bit_depth, rich=self._txs, part16=part16,
-                ibc=ibc_maps)
-        else:
-            nbh, nbw = ph // 8, pw // 8
-            sy = jnp.asarray(IE.block_planes(
-                IE.pad_plane(frame.y.astype(self._px), ph, pw), 8))
-            su = jnp.asarray(IE.block_planes(
-                IE.pad_plane(frame.u.astype(self._px), ph // 2, pw // 2),
-                4))
-            sv = jnp.asarray(IE.block_planes(
-                IE.pad_plane(frame.v.astype(self._px), ph // 2, pw // 2),
-                4))
-            extra = ()
-            if ibc_maps is not None:
-                extra = (jnp.asarray(ibc_maps[0]),
-                         jnp.asarray(ibc_maps[1][..., 0]),
-                         jnp.asarray(ibc_maps[1][..., 1]))
-            out = IE.build_frame_encoder_dyn(nbh, nbw,
-                                             self.cfg.bit_depth,
-                                             rich=self._txs,
-                                             part16=part16,
-                                             ibc=ibc_maps is not None)(
-                sy, su, sv, jnp.int32(qindex), *extra)
+        # ONE dynamic-q keyframe variant serves CQP and RC alike (the
+        # static-q builder doubled the compile-variant space per
+        # geometry; cold remote compiles cost minutes)
+        nbh, nbw = ph // 8, pw // 8
+        sy = jnp.asarray(IE.block_planes(
+            IE.pad_plane(frame.y.astype(self._px), ph, pw), 8))
+        su = jnp.asarray(IE.block_planes(
+            IE.pad_plane(frame.u.astype(self._px), ph // 2, pw // 2),
+            4))
+        sv = jnp.asarray(IE.block_planes(
+            IE.pad_plane(frame.v.astype(self._px), ph // 2, pw // 2),
+            4))
+        extra = ()
+        if ibc_maps is not None:
+            extra = (jnp.asarray(ibc_maps[0]),
+                     jnp.asarray(ibc_maps[1][..., 0]),
+                     jnp.asarray(ibc_maps[1][..., 1]))
+        out = IE.build_frame_encoder_dyn(nbh, nbw,
+                                         self.cfg.bit_depth,
+                                         rich=self._txs,
+                                         part16=part16,
+                                         ibc=ibc_maps is not None)(
+            sy, su, sv, jnp.int32(qindex), *extra)
         planes = tuple(_unblock_dev(out[i]) for i in (4, 5, 6))
         deb = None
         if ibc_maps is not None:
@@ -887,7 +883,15 @@ class Encoder:
             self._enqueue_key(frame, out, deb, meta, qindex, nbh, nbw)
         else:
             sy, su, sv = self._upload_src(frame)
+            # GM is a TRACED runtime input, never a compile key: the
+            # estimator returning None on some frame must not trigger a
+            # mid-stream recompile (round-4 driver bench: one such flip
+            # cost a ~170 s cold remote compile INSIDE the timed region,
+            # 720p 9.8 -> 0.265 fps).  gm_on is config-static; a None
+            # estimate rides as the (0,0) vector, which only adds a
+            # zero-MV candidate the ME sweep already covers.
             gmv = None
+            gm_on = self._gm_enab
             if self._gm_enab and self._gm_prev_src is not None:
                 from svt_av1_tpu.pipeline.analysis import (
                     estimate_global_translation)
@@ -897,36 +901,27 @@ class Encoder:
                 self._gm_prev_src = frame.y
                 if gmv is not None:
                     self._gm_by_idx[self._send_idx - 1] = {1: gmv}
-            gm_args = (() if gmv is None
-                       else (jnp.asarray(np.asarray(gmv, np.int32)),))
+            gm_args = (() if not gm_on
+                       else (jnp.asarray(np.asarray(gmv or (0, 0),
+                                                    np.int32)),))
             if self._warp:
                 self._warp_dispatch(frame, sy, su, sv, qindex, gmv,
                                     gm_args)
                 return
-            if self._rc is None and self._la is None:
-                fn = PE.build_p_frame_encoder(
-                    ph32, pw32, self.seq.mi_rows, self.seq.mi_cols, qindex,
-                    deblock=self.cfg.enable_deblocking,
-                    cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
-                    rdo=self._rdo, txs=self._txs,
-                    filt=self._pick_interp(frame, qindex),
-                    gm=gmv is not None, lr=self.cfg.enable_restoration,
-                    rect=self._rect)
-                out = fn(sy, su, sv, *self._ref_dev, *gm_args)
-            else:
-                # dynamic-q step: lookahead/RC vary q per frame without
-                # recompiling
-                lvls = self._lf_levels(qindex, False)
-                fn = PE.build_p_frame_encoder_dyn(
-                    ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
-                    cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
-                    rdo=self._rdo, txs=self._txs,
-                    filt=self._pick_interp(frame, qindex),
-                    gm=gmv is not None, lr=self.cfg.enable_restoration,
-                    rect=self._rect)
-                out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
-                         jnp.int32(lvls[0]), jnp.int32(lvls[2]),
-                         jnp.int32(lvls[3]), *gm_args)
+            # ONE dynamic-q variant serves CQP and RC/lookahead alike
+            # (the static-q builder doubled the compile-variant space
+            # per geometry for a negligible constant-folding win)
+            lvls = self._lf_levels(qindex, False)
+            fn = PE.build_p_frame_encoder_dyn(
+                ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
+                cdef=self.cfg.enable_cdef, bd=self.cfg.bit_depth,
+                rdo=self._rdo, txs=self._txs,
+                filt=self._pick_interp(frame, qindex),
+                gm=gm_on, lr=self.cfg.enable_restoration,
+                rect=self._rect)
+            out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex),
+                     jnp.int32(lvls[0]), jnp.int32(lvls[2]),
+                     jnp.int32(lvls[3]), *gm_args)
             meta = None
             if self.cfg.enable_restoration:
                 lr, pl, self._ref_dev = self._lr_from_dev(
@@ -940,8 +935,7 @@ class Encoder:
                 self._ref_dev = self._as_ref_planes(out[5][:ph, :pw],
                                        out[6][: ph // 2, : pw // 2],
                                        out[7][: ph // 2, : pw // 2])
-            dyn_q = not (self._rc is None and self._la is None)
-            lay = PE.inter_layout(1, False, self._txs, lv8=dyn_q,
+            lay = PE.inter_layout(1, False, self._txs, lv8=True,
                                   lr=False, rect=self._rect)
             self._enqueue_p(frame, out, lay, qindex, meta)
 
@@ -991,7 +985,7 @@ class Encoder:
         fn = PE.build_p_frame_encoder_dyn(
             ph32, pw32, self.seq.mi_rows, self.seq.mi_cols,
             cdef=False, bd=cfg.bit_depth, rdo=self._rdo, txs=self._txs,
-            filt=self._pick_interp(frame, qindex), gm=gmv is not None,
+            filt=self._pick_interp(frame, qindex), gm=bool(gm_args),
             lr=False, rect=self._rect, filters=False)
         z = jnp.int32(0)
         out = fn(sy, su, sv, *self._ref_dev, jnp.int32(qindex), z, z, z,
