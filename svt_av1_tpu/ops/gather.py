@@ -187,9 +187,23 @@ def _gather_tiles_pallas(plane, base_r, base_c, *, nbh: int, nbw: int,
             crem = jax.lax.rem(cc, 128)
             cc128 = pl.multiple_of(cc - crem, 128)
             chunk = band[pl.ds(rr8, thp), pl.ds(cc128, twp)]
-            chunk = pltpu.roll(chunk, jax.lax.rem(thp - rrem, thp), 0)
-            chunk = pltpu.roll(chunk, jax.lax.rem(twp - crem, twp), 1)
-            tile = jax.lax.slice(chunk, (0, 0), (th, tw))
+            # Mosaic implements dynamic_rotate only for 32-bit vectors
+            # ("Rotate with non-32-bit data").  Sub-word planes bitcast
+            # to a sublane-packed u32 view for the LANE (column) rotate
+            # — lane geometry is unchanged by sublane packing, so the
+            # roll moves pixel columns regardless of which rows share a
+            # word — and the row remainder (0..7) is an 8-way
+            # static-slice select instead of a dim-0 roll.
+            if plane.dtype.itemsize < 4:
+                c32 = pltpu.bitcast(chunk, jnp.uint32)
+                c32 = pltpu.roll(c32, jax.lax.rem(twp - crem, twp), 1)
+                chunk = pltpu.bitcast(c32, plane.dtype)
+            else:
+                chunk = pltpu.roll(chunk, jax.lax.rem(twp - crem, twp), 1)
+            tile = jax.lax.switch(
+                rrem,
+                [(lambda s=s: jax.lax.slice(chunk, (s, 0), (s + th, tw)))
+                 for s in range(8)])
             out_ref[pl.ds(j, 1)] = tile.reshape(1, th, tw)
             return 0
 

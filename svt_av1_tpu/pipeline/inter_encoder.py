@@ -152,6 +152,62 @@ def _encode_plane(src_blocks, pred_blocks, qindex, tx_size: int,
     return levels.reshape(nbh, nbw, bh, bw), recon
 
 
+def _phase_grid(patch, bs: int, bd: int, kern):
+    """Pixel-domain quarter-pel phase grid from a gathered patch.
+
+    patch: [ext, ext, N] int32, ext = bs + 8, gathered at offset -4
+    (filter halo + the -1 integer reach of negative deltas).  Returns
+    P[py][px] planes, each [bs+1, bs+1, N] int16 clipped pixels:
+    P[0][0] the full-pel copy, rows/cols 1..3 the 4/8/12 sixteenth-pel
+    phases, with av1_convolve_{x,y,2d}_sr_c rounding case-for-case
+    (shared by the per-size and the merged-cell subpel refiners)."""
+    hi = (1 << bd) - 1
+
+    def hconv(p, ker):                               # -> [:, bs+1, N]
+        out = None
+        for k, c in enumerate(ker):
+            t = c * p[:, k : k + bs + 1, :]
+            out = t if out is None else out + t
+        return out
+
+    def vconv(p, ker):                               # -> [bs+1, :, N]
+        out = None
+        for k, c in enumerate(ker):
+            t = c * p[k : k + bs + 1, :, :]
+            out = t if out is None else out + t
+        return out
+
+    rs = lambda x, n: (x + (1 << (n - 1))) >> n
+    offset0 = 1 << (bd + 6)                          # 1 << (bd+FILTER_BITS-1)
+    offset_bits = bd + 11                            # bd + 2*7 - 3
+    sub = (1 << (bd - 1)) + (1 << (bd - 2))
+    i16 = lambda x: x.astype(jnp.int16)
+    P = [[None] * 4 for _ in range(4)]
+    P[0][0] = i16(patch[3 : 4 + bs, 3 : 4 + bs, :])
+    im = {}
+    for pxi, px in enumerate((4, 8, 12)):
+        # x-only (av1_convolve_x_sr_c rounding)
+        P[0][pxi + 1] = i16(jnp.clip(
+            rs(rs(hconv(patch[3 : 4 + bs, :, :], kern[px]), 3), 4), 0, hi))
+        im[px] = rs(hconv(patch, kern[px]) + offset0, 3)
+    for pyi, py in enumerate((4, 8, 12)):
+        # y-only (av1_convolve_y_sr_c rounding)
+        P[pyi + 1][0] = i16(jnp.clip(
+            rs(vconv(patch[:, 3 : 4 + bs, :], kern[py]), 7), 0, hi))
+        for pxi, px in enumerate((4, 8, 12)):
+            # 2-D (av1_convolve_2d_sr_c rounding)
+            P[pyi + 1][pxi + 1] = i16(jnp.clip(
+                rs(vconv(im[px], kern[py]) + (1 << offset_bits), 11) - sub,
+                0, hi))
+    return P
+
+
+def _filter_kern(filt: int):
+    from svt_av1_tpu import tables as _tbl
+    table = _tbl.spec_tables()[MC.FILTER_TABLES[filt]]
+    return {p: tuple(int(v) for v in table[p]) for p in (4, 8, 12)}
+
+
 def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
                          lam, prior8, bd: int = 8, filt: int = 0,
                          lat_reach: int = 6):
@@ -174,10 +230,7 @@ def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
     produces.  ref HalfPelSearch_LCU / QuarterPelSearch_LCU
     (EbMotionEstimation.c:3829/:4746).
     """
-    from svt_av1_tpu import tables as _tbl
-    table = _tbl.spec_tables()[MC.FILTER_TABLES[filt]]
-    kern = {p: tuple(int(v) for v in table[p]) for p in (4, 8, 12)}
-    hi = (1 << bd) - 1
+    kern = _filter_kern(filt)
     nbh, nbw = mv_fp.shape[:2]
     # patch top-left = block origin + mv - 4 (filter halo + the -1
     # integer reach of negative deltas); N-MINOR layout so the block
@@ -185,47 +238,12 @@ def _subpel_refine_dense(src_blocks, ref_pad, mv_fp, bs: int, pad: int,
     patch = G.gather_blocks_grid(ref_pad, mv_fp[..., 0], mv_fp[..., 1],
                                  bs, pad, pad - 1, halo=8, off=-4)
     patch = jnp.transpose(patch, (1, 2, 0)).astype(jnp.int32)  # [ext,ext,N]
-
-    def hconv(p, ker):                               # -> [:, bs+1, N]
-        out = None
-        for k, c in enumerate(ker):
-            t = c * p[:, k : k + bs + 1, :]
-            out = t if out is None else out + t
-        return out
-
-    def vconv(p, ker):                               # -> [bs+1, :, N]
-        out = None
-        for k, c in enumerate(ker):
-            t = c * p[k : k + bs + 1, :, :]
-            out = t if out is None else out + t
-        return out
-
-    rs = lambda x, n: (x + (1 << (n - 1))) >> n
-    offset0 = 1 << (bd + 6)                          # 1 << (bd+FILTER_BITS-1)
-    offset_bits = bd + 11                            # bd + 2*7 - 3
-    sub = (1 << (bd - 1)) + (1 << (bd - 2))
     # pixel-domain phase grid P[py][px]: [bs+1, bs+1, N] each, stored
     # int16 (clipped pixels; halves the 16-plane HBM footprint that the
-    # 49-candidate loop re-reads)
-    i16 = lambda x: x.astype(jnp.int16)
-    P = [[None] * 4 for _ in range(4)]
-    P[0][0] = i16(patch[3 : 4 + bs, 3 : 4 + bs, :])
-    im = {}
-    for pxi, px in enumerate((4, 8, 12)):
-        # x-only (av1_convolve_x_sr_c rounding)
-        P[0][pxi + 1] = i16(jnp.clip(
-            rs(rs(hconv(patch[3 : 4 + bs, :, :], kern[px]), 3), 4), 0, hi))
-        im[px] = rs(hconv(patch, kern[px]) + offset0, 3)
-    for pyi, py in enumerate((4, 8, 12)):
-        # y-only (av1_convolve_y_sr_c rounding)
-        P[pyi + 1][0] = i16(jnp.clip(
-            rs(vconv(patch[:, 3 : 4 + bs, :], kern[py]), 7), 0, hi))
-        for pxi, px in enumerate((4, 8, 12)):
-            # 2-D (av1_convolve_2d_sr_c rounding)
-            P[pyi + 1][pxi + 1] = i16(jnp.clip(
-                rs(vconv(im[px], kern[py]) + (1 << offset_bits), 11) - sub,
-                0, hi))
+    # candidate loop re-reads)
+    P = _phase_grid(patch, bs, bd, kern)
 
+    i16 = lambda x: x.astype(jnp.int16)
     src = i16(jnp.transpose(src_blocks.reshape(-1, bs, bs), (1, 2, 0)))
     best_cost = None
     best_mv = None
@@ -471,18 +489,42 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             priors = {bs: ME.median3_mv_field(p1[bs][0]) for bs in SIZES}
             p2 = ME.select_from_lattice(lat, centers, 32, r2, lam, priors)
             mv_i, cost_i = {}, {}
+            if not rdo:
+                # speed preset: NO per-size subpel here — the merge runs
+                # on full-pel lattice costs and ONE cell-granularity
+                # quarter-pel refinement follows the partition decision
+                # (the reference's fast presets likewise partition from
+                # the full-pel ME pyramid and refine the winner,
+                # signal_derivation_me_kernel_oq).  The 64 level comes
+                # straight from the lattice (2x2 sums of the 32 level)
+                # instead of four per-child MC evaluations.
+                priors[64] = priors[32][::2, ::2]
+                for bs in SIZES:
+                    mv_i[bs] = p2[bs][0] * 8          # 1/8-pel units
+                    cost_i[bs] = p2[bs][1]
+                n_ = 2 * r2 + 1
+                lat64 = lat[32].reshape(
+                    n_ * n_, lat[32].shape[1] // 2, 2,
+                    lat[32].shape[2] // 2, 2).sum((2, 4))
+                cen64 = centers[::2, ::2]
+                dyx64 = jnp.stack([jnp.arange(n_ * n_) // n_ - r2,
+                                   jnp.arange(n_ * n_) % n_ - r2], -1)
+                c64 = lat64 + ((lam * ME.mv_rate_bits(
+                    (cen64[None] + dyx64[:, None, None, :]) * 8
+                    - priors[64][None] * 8)) >> 4)
+                k64 = jnp.argmin(c64, 0)
+                oh64 = (k64[..., None]
+                        == jnp.arange(n_ * n_)[None, None]).astype(jnp.int32)
+                mv_i[64] = (cen64 + oh64 @ dyx64) * 8
+                cost_i[64] = c64.min(0)
+                return mv_i, cost_i, priors
             for bs in SIZES:
                 # dense quarter-pel refine against the TRUE reference;
                 # its d=0 candidate re-scores the warped-sweep winner
-                # (the warped cost is approximate near tile seams).
-                # Speed preset: +-0.5-pel lattice (25 candidates) — the
-                # full-pel stage pins the integer part, so +-6/8 mostly
-                # re-derives it (ref narrows subpel search by preset the
-                # same way, signal_derivation_me_kernel_oq)
+                # (the warped cost is approximate near tile seams)
                 mv_i[bs], cost_i[bs] = _subpel_refine_dense(
                     _block(sy, bs), py_pad_i, p2[bs][0], bs, pad, lam,
-                    priors[bs] * 8, bd, filt,
-                    lat_reach=6 if rdo else 4)
+                    priors[bs] * 8, bd, filt, lat_reach=6)
             priors[64] = priors[32][::2, ::2]
             return mv_i, cost_i, priors
 
@@ -531,22 +573,55 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             # GLOBALMV injection, EbModeDecision.c inject loop)
             mv = dict(mv)
             cost = dict(cost)
-            for bs in SIZES:
-                nbh_g, nbw_g = mv[bs].shape[:2]
-                mvg = jnp.broadcast_to(gmv[None, None, :],
-                                       (nbh_g, nbw_g, 2)).astype(jnp.int32)
-                predg = _mc_patch(padded[0][0], mvg, bs, pad, False, bd,
-                                  filt=filt)
-                sadg = jnp.abs(_block(sy, bs) - predg).sum((-1, -2))
-                costg = sadg + ((lam * 4) >> 4)
-                use_g = costg < cost[bs]
-                mv[bs] = jnp.where(use_g[..., None], mvg, mv[bs])
-                cost[bs] = jnp.minimum(costg, cost[bs])
+            if rdo:
+                for bs in SIZES:
+                    nbh_g, nbw_g = mv[bs].shape[:2]
+                    mvg = jnp.broadcast_to(
+                        gmv[None, None, :],
+                        (nbh_g, nbw_g, 2)).astype(jnp.int32)
+                    predg = _mc_patch(padded[0][0], mvg, bs, pad, False,
+                                      bd, filt=filt)
+                    sadg = jnp.abs(_block(sy, bs) - predg).sum((-1, -2))
+                    costg = sadg + ((lam * 4) >> 4)
+                    use_g = costg < cost[bs]
+                    mv[bs] = jnp.where(use_g[..., None], mvg, mv[bs])
+                    cost[bs] = jnp.minimum(costg, cost[bs])
+            else:
+                # speed preset: the estimator emits FULL-pel global
+                # vectors, so one copy-gather at the 8 level + 2x2
+                # lattice sums score every size (replaces 3 subpel MC
+                # evaluations)
+                nbh8_, nbw8_ = ph // 8, pw // 8
+                tiles = G.gather_blocks_grid(
+                    padded[0][0],
+                    jnp.broadcast_to(gmv[0] >> 3, (nbh8_, nbw8_)),
+                    jnp.broadcast_to(gmv[1] >> 3, (nbh8_, nbw8_)),
+                    8, pad, pad - 1)
+                sadg = {8: jnp.abs(
+                    _block(sy, 8) - tiles.reshape(nbh8_, nbw8_, 8, 8)
+                    .astype(jnp.int32)).sum((-1, -2))}
+                for bs in (16, 32, 64):
+                    sadg[bs] = _sum4(sadg[bs // 2])
+                for bs in SIZES64:
+                    nbh_g, nbw_g = mv[bs].shape[:2]
+                    mvg = jnp.broadcast_to(
+                        gmv[None, None, :],
+                        (nbh_g, nbw_g, 2)).astype(jnp.int32)
+                    costg = sadg[bs] + ((lam * 4) >> 4)
+                    use_g = costg < cost[bs]
+                    mv[bs] = jnp.where(use_g[..., None], mvg, mv[bs])
+                    cost[bs] = jnp.minimum(costg, cost[bs])
         # 64x64 leaf candidates per reference (post-GM so pans inherit
-        # the injected global MV through the 32 winners)
+        # the injected global MV through the 32 winners); the speed
+        # preset selected its 64 level from the lattice in me_one_ref
         mv = dict(mv)
         cost = dict(cost)
-        mv[64], cost[64] = me64(padded[0][0], mv[32], per_ref[0][2][64])
+        if rdo:
+            mv[64], cost[64] = me64(padded[0][0], mv[32],
+                                    per_ref[0][2][64])
+        # clean per-ref MV snapshots for the post-merge cell refinement
+        # (the argmin loop below mutates mv in place)
+        per_ref_mv = [dict(mv)]
         refsel = {bs: None for bs in SIZES64}
         mv_c = {bs: None for bs in SIZES64}   # compound second (bwd) MV
         if nrefs >= 2:
@@ -558,10 +633,12 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             mvs_all, costs_all = [mv], [cost]
             for i in range(1, nrefs):
                 mvi, costi = dict(per_ref[i][0]), dict(per_ref[i][1])
-                mvi[64], costi[64] = me64(padded[i][0], mvi[32],
-                                          per_ref[i][2][64])
+                if rdo:
+                    mvi[64], costi[64] = me64(padded[i][0], mvi[32],
+                                              per_ref[i][2][64])
                 mvs_all.append(mvi)
                 costs_all.append(costi)
+                per_ref_mv.append(dict(mvi))
             for bs in SIZES64:
                 sel = jnp.zeros(costs_all[0][bs].shape, jnp.uint8)
                 best_c = costs_all[0][bs]
@@ -572,12 +649,11 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
                     best_c = jnp.minimum(costs_all[i][bs], best_c)
                     best_mv = jnp.where(better[..., None],
                                         mvs_all[i][bs], best_mv)
-                if compound and (rdo or bs >= 16):
+                if compound and rdo:
                     # COMPOUND_AVERAGE candidate from the per-ref best
                     # MVs (ref per-ref ME + BI candidate injection).
-                    # Speed preset skips the 8x8 level: smallest blocks
-                    # rarely pick compound and their patch gathers are
-                    # the most expensive of the sweep
+                    # Speed preset: the compound decision moves AFTER
+                    # the merge + cell refinement (no per-size MC here)
                     mid0 = _mc_patch(padded[0][0], mvs_all[0][bs], bs,
                                      pad, False, bd, jnt=True, filt=filt)
                     mid1 = _mc_patch(padded[1][0], mvs_all[1][bs], bs,
@@ -957,6 +1033,125 @@ def p_frame_step(ph: int, pw: int, qindex=None, search: int = SEARCH_RANGE,
             txty8 = kpick(cells, jnp.uint8)
 
         if not rdo:
+            # --- merged-cell quarter-pel refinement --------------------
+            # ONE subpel pass per reference at 8x8-cell granularity,
+            # AFTER the partition merge: each cell anchors at its leaf's
+            # full-pel winner, a shared 25-candidate quarter-pel lattice
+            # is scored per cell against the TRUE reference, and each
+            # LEAF picks the candidate minimizing the sum of its cells'
+            # SADs (+ its level's MV rate) so the leaf moves as one.
+            # Replaces the former per-size refine (3 sizes x nrefs patch
+            # gathers + phase grids) and the per-size compound MC — the
+            # step is HBM-bound and the patch-gather/interp pool was its
+            # largest byte pool (round-5 HLO accounting).
+            reach_q = 4
+            cand = [(dy, dx) for dy in range(-reach_q, reach_q + 1, 2)
+                    for dx in range(-reach_q, reach_q + 1, 2)]
+            ncand = len(cand)
+            dyx_c = jnp.asarray(np.array(cand, np.int32))
+            kern_c = _filter_kern(filt)
+            nb8h_, nb8w_ = ph // 8, pw // 8
+            src8T = jnp.transpose(_block(sy, 8).reshape(-1, 8, 8),
+                                  (1, 2, 0)).astype(jnp.int16)
+            upk = lambda a, k: (a if k == 1
+                                else jnp.repeat(jnp.repeat(a, k, 0), k, 1))
+
+            def cand_slice(P, ci):
+                dy, dx = cand[ci]
+                pyi = ((2 * dy) & 15) >> 2
+                pxi = ((2 * dx) & 15) >> 2
+                fy, fx = dy >> 3, dx >> 3
+                return P[pyi][pxi][fy + 1 : fy + 9, fx + 1 : fx + 9, :]
+
+            def refine_ref(i):
+                mv_dict = per_ref_mv[i]
+                priors_i = per_ref[i][2]
+                # cell anchor: this ref's own leaf-size winner (full-pel
+                # valued, 1/8-pel units -> arithmetic shift is exact)
+                mvc8 = kpick(sq_cells(mv_dict), jnp.int32)
+                patch = G.gather_blocks_grid(
+                    padded[i][0], mvc8[..., 0] >> 3, mvc8[..., 1] >> 3,
+                    8, pad, pad - 1, halo=8, off=-4)
+                patch = jnp.transpose(patch, (1, 2, 0)).astype(jnp.int32)
+                P = _phase_grid(patch, 8, bd, kern_c)
+                lat_c = jnp.stack([
+                    jnp.abs(src8T - cand_slice(P, ci))
+                    .sum((0, 1), dtype=jnp.int32).reshape(nb8h_, nb8w_)
+                    for ci in range(ncand)])
+                idx_l, cost_l, lvl = {}, {}, lat_c
+                for bs in SIZES64:
+                    if bs > 8:
+                        lvl = lvl.reshape(ncand, lvl.shape[1] // 2, 2,
+                                          lvl.shape[2] // 2, 2).sum((2, 4))
+                    cl = lvl + ((lam * ME.mv_rate_bits(
+                        mv_dict[bs][None] + dyx_c[:, None, None, :]
+                        - priors_i[bs][None] * 8)) >> 4)
+                    idx_l[bs] = jnp.argmin(cl, 0)
+                    cost_l[bs] = cl.min(0)
+                kcell = kpick({ki: upk(idx_l[bs_], bs_ // 8)
+                               for ki, bs_ in enumerate(SIZES64)},
+                              jnp.int32)
+                onehot = (kcell[..., None] == jnp.arange(ncand)[None, None]
+                          ).astype(jnp.int32)
+                refined = mvc8 + onehot @ dyx_c
+                return refined, cost_l, P, kcell
+
+            ref_fine = [refine_ref(i) for i in range(nrefs)]
+            if nrefs == 1:
+                mv_sel = ref_fine[0][0].astype(jnp.int16)
+            else:
+                sadc = None
+                if compound:
+                    # compound decision from the refined cell preds
+                    # (pixel-domain average approximates the jnt path's
+                    # CONV_BUF rounding; the RECON below still uses the
+                    # exact jnt average, so decode parity is untouched)
+                    def pred_sel(P, kcell):
+                        flat = (kcell.reshape(-1))[None, None, :]
+                        out = jnp.zeros_like(cand_slice(P, 0))
+                        for ci in range(ncand):
+                            out = jnp.where(flat == ci,
+                                            cand_slice(P, ci), out)
+                        return out
+                    p0s = pred_sel(ref_fine[0][2], ref_fine[0][3])
+                    p1s = pred_sel(ref_fine[1][2], ref_fine[1][3])
+                    avg = (p0s.astype(jnp.int32) + p1s + 1) >> 1
+                    sadc = (jnp.abs(src8T.astype(jnp.int32) - avg)
+                            .sum((0, 1)).reshape(nb8h_, nb8w_))
+                sel_l = {}
+                for bs in SIZES64:
+                    k = bs // 8
+                    costs = jnp.stack([ref_fine[i][1][bs]
+                                       for i in range(nrefs)])
+                    s = jnp.argmin(costs, 0).astype(jnp.uint8)
+                    if compound:
+                        if bs > 8:
+                            sadc = _sum4(sadc)
+                        if bs >= 16:
+                            # smallest blocks rarely pick compound and
+                            # cost the most; keep them single-ref
+                            r0 = ME.mv_rate_bits(
+                                ref_fine[0][0][::k, ::k]
+                                - per_ref[0][2][bs] * 8)
+                            r1 = ME.mv_rate_bits(
+                                ref_fine[1][0][::k, ::k]
+                                - per_ref[1][2][bs] * 8)
+                            cc = sadc + ((lam * (r0 + r1
+                                                 + COMP_EXTRA_BITS)) >> 4)
+                            s = jnp.where(cc < costs.min(0),
+                                          np.uint8(nrefs), s)
+                    sel_l[bs] = s
+                ref8 = kpick({ki: upk(sel_l[bs_], bs_ // 8)
+                              for ki, bs_ in enumerate(SIZES64)},
+                             jnp.uint8)
+                mv_sel = ref_fine[0][0]
+                for i in range(1, nrefs):
+                    mv_sel = jnp.where((ref8 == i)[..., None],
+                                       ref_fine[i][0], mv_sel)
+                mv_sel = mv_sel.astype(jnp.int16)
+                if compound:
+                    mv2_sel = ref_fine[1][0].astype(jnp.int16)
+
             # --- motion compensation ONCE at selected-cell granularity ---
             # The interpolation is translation-invariant, so MCing a
             # 32x32 leaf equals MCing its sixteen 8x8 cells with the same

@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""BD-rate vs the REFERENCE SVT-AV1 encoder (the external anchor).
+
+Round-4 verdict: the repo's BD-rate harness only compared this encoder
+to itself.  This tool encodes the same clip with BOTH encoders over a
+QP sweep and reports Bjontegaard delta-rate of svt_av1_tpu vs the
+reference build (negative = we save bits at equal quality), writing
+BDRATE.md.
+
+The reference binary comes from tools/refbuild/build_reference.sh
+(reference tree compiled without the nasm tier; see that script).
+Quality is measured identically for both sides: mean per-frame PSNR-Y
+of the encoder's own reconstruction vs the source (ref: -o recon file;
+ours: Packet.recon), bitrate as coded bits/frame from the IVF payload.
+
+Usage:
+  python tools/bdrate_ref.py [--ref-bin PATH] [--frames N]
+      [--size WxH] [--qps 28,36,44,52] [--enc-mode 8] [--cpu]
+      [--pred ldp|ra] [--out BDRATE.md]
+
+ref anchors: test/e2e_test/SvtAv1E2EFramework.cc:263 (recon-vs-source
+checking), Docs/svt-av1_encoder_user_guide.md (CLI semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+from bdrate import bd_rate, make_clip  # noqa: E402
+
+
+def write_yuv(frames, path: str) -> None:
+    with open(path, "wb") as fh:
+        for f in frames:
+            fh.write(f.y.tobytes())
+            fh.write(f.u.tobytes())
+            fh.write(f.v.tobytes())
+
+
+def psnr_y_against(frames, recon_path: str, w: int, h: int) -> float:
+    fsz = w * h * 3 // 2
+    vals = []
+    with open(recon_path, "rb") as fh:
+        for f in frames:
+            buf = fh.read(fsz)
+            if len(buf) < fsz:
+                break
+            y = np.frombuffer(buf, np.uint8, w * h).reshape(h, w)
+            mse = ((y.astype(np.float64) - f.y.astype(np.float64)) ** 2
+                   ).mean()
+            vals.append(99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse))
+    return float(np.mean(vals))
+
+
+def run_reference(binary, yuv, frames, w, h, qp, enc_mode, pred,
+                  workdir="/tmp"):
+    ivf = os.path.join(workdir, f"ref_q{qp}.ivf")
+    rec = os.path.join(workdir, f"ref_q{qp}_rec.yuv")
+    cmd = [binary, "-i", yuv, "-w", str(w), "-h", str(h),
+           "-n", str(len(frames)), "-q", str(qp),
+           "-enc-mode", str(enc_mode), "-rc", "0",
+           "-intra-period", "-1", "-pred-struct", pred,
+           "-b", ivf, "-o", rec]
+    t0 = time.perf_counter()
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    dt = time.perf_counter() - t0
+    if r.returncode != 0 or not os.path.exists(ivf) \
+            or os.path.getsize(ivf) == 0:
+        raise RuntimeError(f"reference encode failed: {r.stdout[-400:]} "
+                           f"{r.stderr[-400:]}")
+    bits = os.path.getsize(ivf) * 8 / len(frames)
+    ps = psnr_y_against(frames, rec, w, h)
+    return bits, ps, len(frames) / dt
+
+
+def run_ours(frames, w, h, qp, enc_mode, pred):
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.encoder import Encoder
+
+    cfg = dict(width=w, height=h, qp=qp, enc_mode=enc_mode,
+               intra_period=-1, stat_report=True,
+               scene_change_detection=False)
+    if pred == "0":
+        cfg["pred_structure"] = 0
+    else:
+        cfg.update(pred_structure=2, hierarchical_levels=3,
+                   compound_mode=1)
+    enc = Encoder(EncoderConfig(**cfg))
+    bits = 0
+    psnr = []
+    t0 = time.perf_counter()
+    for pkt in enc.encode_all(frames):
+        bits += (len(pkt.payload) + 12) * 8      # + IVF frame header
+        if pkt.psnr:
+            psnr.append(pkt.psnr[0])
+    dt = time.perf_counter() - t0
+    return (32 * 8 + bits) / len(frames), float(np.mean(psnr)), \
+        len(frames) / dt
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref-bin",
+                    default="/tmp/refsrc/Bin/Release/SvtAv1EncApp")
+    ap.add_argument("--frames", type=int, default=24)
+    # this reference snapshot requires multiple-of-8 dimensions
+    ap.add_argument("--size", default="848x480")
+    ap.add_argument("--qps", default="28,36,44,52")
+    ap.add_argument("--enc-mode", type=int, default=8)
+    ap.add_argument("--pred", choices=["ldp", "ra"], default="ldp")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None, help="append results to file")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from svt_av1_tpu.utils.cache import setup_jax_cache
+    setup_jax_cache(jax)
+
+    if not os.path.exists(args.ref_bin):
+        print(f"reference binary not found at {args.ref_bin}; run "
+              "tools/refbuild/build_reference.sh first", file=sys.stderr)
+        return 2
+
+    w, h = (int(x) for x in args.size.split("x"))
+    qps = [int(q) for q in args.qps.split(",")]
+    frames = make_clip(w, h, args.frames)
+    yuv = f"/tmp/bdref_{w}x{h}_{args.frames}.yuv"
+    write_yuv(frames, yuv)
+    pred = "0" if args.pred == "ldp" else "2"
+
+    rows = []
+    rr, rp, ro_fps = [], [], []
+    for qp in qps:
+        b, p, fps = run_reference(args.ref_bin, yuv, frames, w, h, qp,
+                                  args.enc_mode, pred)
+        rr.append(b)
+        rp.append(p)
+        ro_fps.append(fps)
+        print(f"  ref  qp={qp}: {b:9.0f} bits/frame  PSNR-Y {p:.3f}  "
+              f"({fps:.2f} fps)", file=sys.stderr)
+    tr, tp, t_fps = [], [], []
+    for qp in qps:
+        b, p, fps = run_ours(frames, w, h, qp, args.enc_mode, pred)
+        tr.append(b)
+        tp.append(p)
+        t_fps.append(fps)
+        print(f"  tpu  qp={qp}: {b:9.0f} bits/frame  PSNR-Y {p:.3f}  "
+              f"({fps:.2f} fps)", file=sys.stderr)
+
+    bd = bd_rate(np.array(rr), np.array(rp), np.array(tr), np.array(tp))
+    hdr = (f"{args.size} x{args.frames} {args.pred} enc-mode "
+           f"{args.enc_mode}")
+    lines = [f"## {hdr}", "",
+             "| qp | ref bits/f | ref PSNR-Y | tpu bits/f | tpu PSNR-Y |",
+             "|---|---|---|---|---|"]
+    for i, qp in enumerate(qps):
+        lines.append(f"| {qp} | {rr[i]:.0f} | {rp[i]:.3f} | {tr[i]:.0f} "
+                     f"| {tp[i]:.3f} |")
+    lines += ["",
+              f"**BD-rate (tpu vs reference): {bd:+.2f}%** "
+              "(negative = tpu saves bits at equal quality)",
+              f"reference fps on this host: {np.mean(ro_fps):.2f}; "
+              f"tpu-encoder fps: {np.mean(t_fps):.2f}", ""]
+    text = "\n".join(lines)
+    print(text)
+    if args.out:
+        with open(args.out, "a") as fh:
+            fh.write(text + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
