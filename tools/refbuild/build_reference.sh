@@ -18,6 +18,9 @@ if [ ! -d "$COPY" ]; then
     sed -i 's/project(${project_name} C CXX ASM_NASM)/project(${project_name} C CXX)/' "$COPY/CMakeLists.txt"
     sed -i 's/^\s*"\*\.asm"\s*$//' "$COPY/Source/Lib/Common/ASM_SSE2/CMakeLists.txt"
     cp "$HERE/nasm_stubs.c" "$COPY/Source/Lib/Common/ASM_SSE2/nasm_stubs.c"
+    # recon FIFO in this snapshot deadlocks the pipeline; patch in a
+    # direct file dump (env SVT_RECON_DUMP) used by tools/bdrate_ref.py
+    REFSRC_COPY="$COPY" python "$HERE/recon_dump_patch.py"
 fi
 mkdir -p "$BUILD"
 cd "$BUILD"
