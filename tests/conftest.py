@@ -43,6 +43,16 @@ _SLOW = (
     "test_rdo.py", "test_restoration.py", "test_bd10.py",
     "test_parallel.py", "test_warp.py", "test_tiles.py",
     "test_intra_part16.py", "test_multistream.py",
+    # round-5 re-tier (VERDICT: fast tier <= 3 min): the six largest
+    # fast-tier tests by measured --durations move to slow; the paths
+    # they cover keep smaller fast-tier guards (hier e2e, delta-q unit,
+    # entropy-backend parity, film grain 8-bit, conformance pass)
+    "test_multiref.py::test_three_ref_hier_bit_exact",
+    "test_rect.py::test_rect_hier_b_compound_bitexact",
+    "test_delta_q.py::test_delta_q_hier_bit_exact_and_signaled",
+    "test_rate_control.py::test_model_rc_converges",
+    "test_film_grain.py::test_film_grain_10bit_e2e",
+    "test_conformance.py::test_checker_catches_seeded_corruption",
     "test_rect.py::test_rect_ippp_bitexact",
     "test_rect.py::test_device_step_picks_rect_leaves",
     "test_rate_control.py::test_vbr_converges_and_parity",

@@ -47,7 +47,7 @@ def test_full_mode_emits_headline_before_extras():
     extra config runs, under a SIGALRM watchdog."""
     src = open(os.path.join(REPO, "bench.py")).read()
     i_alarm = src.index("signal.alarm")
-    i_headline = src.index("fps3 = run_hierb_1080p()")
+    i_headline = src.index("run_hierb_1080p, remaining")
     i_first_emit = src.index("_emit()                            # land the number NOW")
     i_extras = src.index("run_intra_480p, ")
     assert i_alarm < i_headline < i_first_emit < i_extras

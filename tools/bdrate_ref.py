@@ -65,13 +65,20 @@ def run_reference(binary, yuv, frames, w, h, qp, enc_mode, pred,
                   workdir="/tmp"):
     ivf = os.path.join(workdir, f"ref_q{qp}.ivf")
     rec = os.path.join(workdir, f"ref_q{qp}_rec.yuv")
+    if os.path.exists(rec):
+        os.unlink(rec)
+    # recon comes via the SVT_RECON_DUMP direct dump (the snapshot's -o
+    # recon FIFO deadlocks; see tools/refbuild/recon_dump_patch.py) —
+    # -o must still be passed so the library enables recon generation
     cmd = [binary, "-i", yuv, "-w", str(w), "-h", str(h),
            "-n", str(len(frames)), "-q", str(qp),
            "-enc-mode", str(enc_mode), "-rc", "0",
            "-intra-period", "-1", "-pred-struct", pred,
-           "-b", ivf, "-o", rec]
+           "-b", ivf, "-o", os.path.join(workdir, "ref_ignored.yuv")]
+    env = dict(os.environ, SVT_RECON_DUMP=rec)
     t0 = time.perf_counter()
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                       env=env)
     dt = time.perf_counter() - t0
     if r.returncode != 0 or not os.path.exists(ivf) \
             or os.path.getsize(ivf) == 0:
