@@ -340,7 +340,7 @@ def main(argv=None) -> int:
     for name, fn, est in (
         ("480p_allintra_cqp_fps", run_intra_480p, 60.0),
         ("720p_lowdelayP_fps", run_ldp_720p, 90.0),
-        ("4k10_vod_rdo_lr_fps", run_vod_4k10, 240.0),
+        ("4k10_vod_rdo_lr_fps", run_vod_4k10, 420.0),
         ("4x1080p_live_agg_fps", run_live_4x1080, 120.0),
     ):
         if remaining() < est:

@@ -164,6 +164,12 @@ def search_wiener_plane(src: np.ndarray, cdef: np.ndarray,
     cols = ru_grid(w, unit)
     use = np.zeros((len(rows), len(cols)), bool)
     taps = np.zeros((len(rows), len(cols), 6), np.int32)
+    # stripe extensions built ONCE per plane: the former per-unit
+    # apply_wiener_plane call filtered the WHOLE plane per candidate
+    # (O(units x plane) — 53 s on a 4K luma), where only the unit's
+    # stripe-aware filtered block is needed
+    exts = [(_extend_stripe(cdef, deblock, y0s, y1s), y0s, y1s)
+            for y0s, y1s in _stripe_spans(h, ss_y)]
     for ri, (ry0, ry1) in enumerate(rows):
         for ci, (cx0, cx1) in enumerate(cols):
             s = src[ry0:ry1, cx0:cx1].astype(np.float64)
@@ -173,14 +179,16 @@ def search_wiener_plane(src: np.ndarray, cdef: np.ndarray,
             if t is None:
                 continue
             cand = np.array(t, np.int32)
-            ru_use = np.zeros((len(rows), len(cols)), bool)
-            ru_use[ri, ci] = True
-            ru_t = np.zeros((len(rows), len(cols), 6), np.int32)
-            ru_t[ri, ci] = cand
-            got = apply_wiener_plane(cdef, deblock, unit, ss_y, ru_use,
-                                     ru_t, bd)
+            got = np.empty((ry1 - ry0, cx1 - cx0), np.int32)
+            for ext, y0s, y1s in exts:
+                iy0, iy1 = max(ry0, y0s), min(ry1, y1s)
+                if iy0 >= iy1:
+                    continue
+                blk = ext[iy0 - y0s : iy1 - y0s + 6, cx0 : cx1 + 6]
+                got[iy0 - ry0 : iy1 - ry0, :] = wiener_block(
+                    blk, cand[:3], cand[3:], bd)
             a = src[ry0:ry1, cx0:cx1].astype(np.int64)
-            sse_new = ((got[ry0:ry1, cx0:cx1] - a) ** 2).sum()
+            sse_new = ((got.astype(np.int64) - a) ** 2).sum()
             sse_old = ((cdef[ry0:ry1, cx0:cx1].astype(np.int64) - a)
                        ** 2).sum()
             if sse_new < sse_old:

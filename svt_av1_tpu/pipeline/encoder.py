@@ -716,8 +716,14 @@ class Encoder:
             dsub = np.ascontiguousarray(deb[p][:h, :w].astype(np.int32))
             use_w, taps = LRR.search_wiener_plane(
                 src, crop, dsub, unit, ss, bd=self.cfg.bit_depth)
+            # preset-gated SGR candidate set (ref sg_filter_mode,
+            # EbRestorationPick.c: fast presets search a reduced ep
+            # set); the full 8-ep sweep costs ~18 s/plane at 4K on host
+            eps = ((4, 11) if self.cfg.enc_mode >= 6
+                   else (0, 4, 7, 9, 11, 13, 14, 15))
             use_s, ep, xqd, sse_s = LRR.search_sgr_plane(
-                src, crop, dsub, unit, ss, bd=self.cfg.bit_depth)
+                src, crop, dsub, unit, ss, eps=eps,
+                bd=self.cfg.bit_depth)
             # plane-level type pick by realized SSE (off-RU keeps self)
             got_w = crop
             if use_w.any():
