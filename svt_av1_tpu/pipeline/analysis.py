@@ -33,6 +33,9 @@ class PictureStats:
     noise: float           # high-frequency noise level estimate
     pyr4: np.ndarray       # 1/4-decimated luma
     pyr16: np.ndarray      # 1/16-decimated luma
+    # content classifiers (ref SourceBasedOperations grass/skin/dark
+    # detectors); None when analyze() ran luma-only
+    protect_sb: np.ndarray | None = None   # [sb_rows, sb_cols] bool
 
 
 def decimate(xp, plane, factor: int):
@@ -81,10 +84,53 @@ def noise_level(xp, plane):
     return xp.abs(lap).mean() / 6.0
 
 
-def analyze(frame_y: np.ndarray) -> PictureStats:
-    """Host-side picture analysis of one luma plane."""
+def block_mean(xp, plane, bs: int):
+    """Per-[bs x bs]-block mean (edge-padded like block_variance)."""
+    h, w = plane.shape
+    ph, pw = -(-h // bs) * bs, -(-w // bs) * bs
+    p = plane.astype(xp.int64)
+    if (ph, pw) != (h, w):
+        p = xp.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (p.reshape(ph // bs, bs, pw // bs, bs).sum((1, 3))
+            // (bs * bs)).astype(xp.int32)
+
+
+def content_class_map(y, u, v, bd: int = 8) -> np.ndarray:
+    """Per-superblock grass / skin / dark classifier union.
+
+    Behavioral port of the reference's source-based content detectors
+    (EbSourceBasedOperationsProcess.c:405-470 GrassLcu grass+skin mean
+    conditions, :394 dark-region DARK_FRM_TH=45): SBs whose luma/chroma
+    means fall in the grass (y 70..130, cb 80..115, cr 110..135) or
+    skin (y 70..130, cb 100..120, cr 135..160) windows, or whose luma
+    is dark (< 45), are artifact-sensitive and get protected by the AQ
+    map.  Means are taken per 64x64 luma SB (the reference classifies
+    per 16x16 CU and ORs up the tree; our delta-q granularity is the
+    SB).  Thresholds live in the 8-bit domain.
+    """
+    sh = bd - 8
+    ym = block_mean(np, np.asarray(y) >> sh if sh else np.asarray(y), 64)
+    cb = block_mean(np, np.asarray(u) >> sh if sh else np.asarray(u), 32)
+    cr = block_mean(np, np.asarray(v) >> sh if sh else np.asarray(v), 32)
+    n = min(ym.shape[0], cb.shape[0]), min(ym.shape[1], cb.shape[1])
+    ym = ym[: n[0], : n[1]]
+    cb = cb[: n[0], : n[1]]
+    cr = cr[: n[0], : n[1]]
+    ymid = (ym > 70) & (ym < 130)
+    grass = ymid & (cb > 80) & (cb < 115) & (cr > 110) & (cr < 135)
+    skin = ymid & (cb > 100) & (cb < 120) & (cr > 135) & (cr < 160)
+    dark = ym < 45
+    return grass | skin | dark
+
+
+def analyze(frame_y: np.ndarray, frame_u=None, frame_v=None,
+            bd: int = 8) -> PictureStats:
+    """Host-side picture analysis of one luma plane; pass the chroma
+    planes to also run the grass/skin/dark content classifiers."""
     y = np.asarray(frame_y)
     var_sb = block_variance(np, y, 64)
+    protect = (content_class_map(y, frame_u, frame_v, bd)
+               if frame_u is not None else None)
     return PictureStats(
         mean=float(y.mean()),
         variance=float(var_sb.mean()),
@@ -93,6 +139,7 @@ def analyze(frame_y: np.ndarray) -> PictureStats:
         noise=float(noise_level(np, y)),
         pyr4=np.asarray(decimate(np, y, 4)),
         pyr16=np.asarray(decimate(np, y, 16)),
+        protect_sb=protect,
     )
 
 
@@ -129,6 +176,15 @@ def aq_sb_qmap(stats: PictureStats, base_q: int, res: int = 2,
     v = np.maximum(stats.var_sb / sc, 1.0)
     g = float(np.exp(np.mean(np.log(v))))
     off = 4.0 * np.log2(v / max(g, 1.0))
+    if stats.protect_sb is not None:
+        # grass/skin/dark SBs (content_class_map) are artifact-
+        # sensitive: bias one delta-q step finer regardless of their
+        # variance masking (ref SourceBasedOperations classifier ->
+        # QP scaling direction)
+        pr = stats.protect_sb
+        h = min(off.shape[0], pr.shape[0])
+        w = min(off.shape[1], pr.shape[1])
+        off[:h, :w] -= 4.0 * pr[:h, :w]
     step = 1 << res
     off = np.clip(np.round(off / step) * step, -16, 16).astype(np.int32)
     lo = -((base_q - 1) // step) * step

@@ -418,9 +418,11 @@ class Encoder:
                 if self.cfg.enable_adaptive_quantization:
                     # ONE variance pass per frame, shared by the frame
                     # offset and the per-SB qmap (advisor: analyze ran
-                    # twice per frame at 1080p)
+                    # twice per frame at 1080p); chroma planes enable
+                    # the grass/skin/dark classifiers in the qmap
                     from svt_av1_tpu.pipeline.analysis import analyze
-                    stats = analyze(frames[step.disp].y)
+                    f_ = frames[step.disp]
+                    stats = analyze(f_.y, f_.u, f_.v, self.cfg.bit_depth)
                 base_q = self._frame_qindex(False)
                 q = layer_qindex(base_q, step.layer)
                 q = max(1, min(255,

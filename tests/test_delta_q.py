@@ -81,3 +81,49 @@ def test_delta_q_syntax_roundtrip():
     dec = RangeDecoder(data)
     got = [S.code_delta_q(None, dec, fc_d) for _ in vals]
     assert got == vals, got
+
+
+def test_content_classifiers_protect_skin_dark_grass():
+    """Grass/skin/dark SBs (ref EbSourceBasedOperationsProcess.c:394-470
+    mean windows) get a finer qindex in the AQ map than equally-flat
+    neutral SBs."""
+    import numpy as np
+
+    from svt_av1_tpu.pipeline.analysis import analyze, aq_sb_qmap
+
+    h = w = 256                      # 4x4 SBs
+    rng = np.random.default_rng(3)
+    y = np.full((h, w), 160, np.uint8)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    # equal mild texture everywhere so variance masking is uniform
+    t = rng.integers(-6, 7, (h, w))
+    y = np.clip(y.astype(np.int32) + t, 0, 255).astype(np.uint8)
+    # SB (0,0): skin tones; SB (1,1): dark; SB (2,2): grass
+    y[0:64, 0:64] = np.clip(100 + t[0:64, 0:64], 0, 255)
+    u[0:32, 0:32] = 110
+    v[0:32, 0:32] = 150
+    y[64:128, 64:128] = np.clip(30 + t[64:128, 64:128], 0, 255)
+    y[128:192, 128:192] = np.clip(100 + t[128:192, 128:192], 0, 255)
+    u[64:96, 64:96] = 100
+    v[64:96, 64:96] = 120
+
+    st = analyze(y, u, v)
+    assert st.protect_sb is not None
+    assert st.protect_sb[0, 0] and st.protect_sb[1, 1] \
+        and st.protect_sb[2, 2]
+    assert not st.protect_sb[3, 3]
+    import dataclasses
+    qm = aq_sb_qmap(st, 120, res=2)
+    qm0 = aq_sb_qmap(dataclasses.replace(st, protect_sb=None), 120,
+                     res=2)
+    # protected SBs are coded at least one delta-q step finer than the
+    # same content without the classifier; neutral SBs are untouched
+    assert qm[0, 0] < qm0[0, 0]
+    assert qm[1, 1] < qm0[1, 1]
+    assert qm[2, 2] < qm0[2, 2]
+    assert qm[3, 3] == qm0[3, 3]
+
+    # luma-only analysis keeps the classifier off (no chroma evidence)
+    st2 = analyze(y)
+    assert st2.protect_sb is None
